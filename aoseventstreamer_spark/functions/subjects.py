@@ -1,0 +1,194 @@
+"""Subject (routing-key) grammar of the event log.
+
+Re-implements, byte-for-byte, the subject/query-string builders of the
+reference (`/root/reference/src/utils/utils.rs:16-147`): ids joined by
+the separator ``._.`` under the common prefix ``UPDATES.STORAGE``, an
+``OBJECT`` / ``OBJECTGROUP`` discriminator token inserted before the
+3rd id (utils.rs:20-27), publish subjects terminated by ``._``
+(utils.rs:44-47), and query subjects terminated by ``._`` (exact
+level) or ``.>`` (whole subtree) (utils.rs:35-42).
+
+Two parallel APIs:
+
+- plain-Python string builders (golden-tested against the reference's
+  unit-test strings, utils.rs:181-298) for driver-side code;
+- Catalyst ``Column`` builders (pure ``concat`` expressions — no UDFs,
+  fully codegen'd and pushdown-friendly) for dataflow.
+
+The subtree query ``<base>.>`` is a NATS multi-token wildcard: it
+matches any subject with >= 1 token after ``<base>``. Because every
+publish subject under a node starts with ``<base>.``, the equivalent
+Spark predicate is ``startswith(base + '.')``; the exact-level query
+``<base>._`` is plain string equality. Both are pushed to Parquet by
+Catalyst (EqualTo / StringStartsWith).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+COMMON_PREFIX = "UPDATES.STORAGE"
+OBJECT_NAME = "OBJECT"
+OBJECT_GROUP_NAME = "OBJECTGROUP"
+SEP = "._."
+PUBLISH_TERMINATOR = "._"
+SUBTREE_TERMINATOR = ".>"
+
+# ---------------------------------------------------------------------------
+# Plain-Python builders (parity with utils.rs; golden-tested)
+# ---------------------------------------------------------------------------
+
+
+def base_subject(ids: list[str], is_object_group: bool) -> str:
+    """Join ids with ``._.``; before the 3rd id insert the OBJECT /
+    OBJECTGROUP discriminator (utils.rs:16-32)."""
+    out = COMMON_PREFIX
+    for stage, rid in enumerate(ids):
+        if stage == 2:
+            out += SEP + (OBJECT_GROUP_NAME if is_object_group else OBJECT_NAME)
+        out += SEP + rid
+    return out
+
+
+def query(base: str, include_subresources: bool) -> str:
+    """Exact-level (``<base>._``) vs subtree (``<base>.>``) query
+    subject (utils.rs:35-42)."""
+    return base + (SUBTREE_TERMINATOR if include_subresources else PUBLISH_TERMINATOR)
+
+
+def project_subject(project_id: str) -> str:
+    return base_subject([project_id], False) + PUBLISH_TERMINATOR
+
+
+def project_query(project_id: str, include_subresources: bool) -> str:
+    return query(base_subject([project_id], False), include_subresources)
+
+
+def collection_subject(project_id: str, collection_id: str) -> str:
+    return base_subject([project_id, collection_id], False) + PUBLISH_TERMINATOR
+
+
+def collection_query(project_id: str, collection_id: str, include_subresources: bool) -> str:
+    return query(base_subject([project_id, collection_id], False), include_subresources)
+
+
+def object_subject(project_id: str, collection_id: str, shared_object_id: str, object_id: str) -> str:
+    return (
+        base_subject([project_id, collection_id, shared_object_id, object_id], False)
+        + PUBLISH_TERMINATOR
+    )
+
+
+def object_query(
+    project_id: str,
+    collection_id: str,
+    shared_object_id: str,
+    object_id: str,
+    include_subresources: bool,
+) -> str:
+    return query(
+        base_subject([project_id, collection_id, shared_object_id, object_id], False),
+        include_subresources,
+    )
+
+
+def object_group_subject(
+    project_id: str, collection_id: str, shared_object_group_id: str, object_group_id: str
+) -> str:
+    return (
+        base_subject(
+            [project_id, collection_id, shared_object_group_id, object_group_id], True
+        )
+        + PUBLISH_TERMINATOR
+    )
+
+
+def object_group_query(
+    project_id: str,
+    collection_id: str,
+    shared_object_group_id: str,
+    object_group_id: str,
+    include_subresources: bool,
+) -> str:
+    return query(
+        base_subject(
+            [project_id, collection_id, shared_object_group_id, object_group_id], True
+        ),
+        include_subresources,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalyst Column builders (no UDFs — plain concat, codegen'd JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def _as_col(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("string")
+
+
+def base_subject_col(ids: list[Column | str], is_object_group: bool = False) -> Column:
+    parts: list[Column] = [F.lit(COMMON_PREFIX)]
+    for stage, rid in enumerate(ids):
+        if stage == 2:
+            parts.append(F.lit(SEP + (OBJECT_GROUP_NAME if is_object_group else OBJECT_NAME)))
+        parts.append(F.lit(SEP))
+        parts.append(_as_col(rid))
+    return F.concat(*parts)
+
+
+def publish_subject_col(ids: list[Column | str], is_object_group: bool = False) -> Column:
+    return F.concat(base_subject_col(ids, is_object_group), F.lit(PUBLISH_TERMINATOR))
+
+
+def project_subject_col(project_id: Column | str) -> Column:
+    return publish_subject_col([project_id], False)
+
+
+def collection_subject_col(project_id: Column | str, collection_id: Column | str) -> Column:
+    return publish_subject_col([project_id, collection_id], False)
+
+
+def object_subject_col(
+    project_id: Column | str,
+    collection_id: Column | str,
+    shared_object_id: Column | str,
+    object_id: Column | str,
+) -> Column:
+    return publish_subject_col([project_id, collection_id, shared_object_id, object_id], False)
+
+
+def object_group_subject_col(
+    project_id: Column | str,
+    collection_id: Column | str,
+    shared_object_group_id: Column | str,
+    object_group_id: Column | str,
+) -> Column:
+    return publish_subject_col(
+        [project_id, collection_id, shared_object_group_id, object_group_id], True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query predicates (pushdown-friendly: EqualTo / StringStartsWith)
+# ---------------------------------------------------------------------------
+
+
+def exact_level_predicate(subject_col: Column | str, base: str) -> Column:
+    """``<base>._`` — events at exactly this node (utils.rs:39)."""
+    col = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    return col == F.lit(base + PUBLISH_TERMINATOR)
+
+
+def subtree_predicate(subject_col: Column | str, base: str) -> Column:
+    """``<base>.>`` — this node and every descendant (utils.rs:37)."""
+    col = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    return col.startswith(base + ".")
+
+
+def query_predicate(subject_col: Column | str, base: str, include_subresources: bool) -> Column:
+    if include_subresources:
+        return subtree_predicate(subject_col, base)
+    return exact_level_predicate(subject_col, base)
