@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (subtree subscription +
+aggregation) at sf0.001; ``queries()`` / ``oracle_sql()`` expose the
+full declared surface from aoseventstreamer_spark.queries.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aoseventstreamer_spark import queries as Q  # noqa: E402
+from aoseventstreamer_spark.functions import subjects as S  # noqa: E402
+from aoseventstreamer_spark.session import load_table  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.1): all events under project '7'
+    (subtree subscription, the reference's one true query operator),
+    grouped by event_type and counted."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    subj = ev.select(
+        "event_id",
+        "event_type",
+        S.collection_subject_col(
+            F.col("user_id").cast("string"), F.col("event_type")
+        ).alias("subject"),
+    )
+    matched = subj.filter(S.subtree_predicate("subject", S.base_subject(["7"], False)))
+    return matched.groupBy("event_type").agg(F.count("*").alias("cnt"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE_SQL)

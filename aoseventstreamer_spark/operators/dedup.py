@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are pure DataFrame/higher-order-function pipelines — no
+Python UDFs — so they whole-stage-codegen and scale linearly:
+
+- exact dedup: content hash + groupBy (one shuffle on the hash);
+- MinHash + LSH: shingle → K minhashes → B bands → band-bucket
+  self-join. The join key (band_id, band_hash) is the classic LSH
+  bucketing, so candidate generation is an equi-join, never an O(n²)
+  cross join;
+- SimHash: 64-bit sign-vote fingerprint via aggregate/zip_with.
+
+At 100 TB: the only shuffles are the band-bucket join (keys are
+near-uniform hashes → no skew) and the final pair dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(text_col: Column | str, normalize: bool = True) -> Column:
+    """Deterministic content fingerprint (sha2-256) for exact dedup."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if normalize:
+        c = F.regexp_replace(F.lower(c), r"\s+", " ")
+    return F.sha2(c, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical content; report duplicate count."""
+    return (
+        df.select(content_hash(text_col).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+def word_shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document (array<string>)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.trim(c), r"\s+")
+    n = F.size(tokens)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """num_hashes independent minhashes (array<long>): permutation j is
+    xxhash64 seeded with j. One aggregate pass over the shingles with
+    an elementwise-min fold — the shingle array is evaluated once, not
+    num_hashes times."""
+    MAX_LONG = (1 << 63) - 1
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(MAX_LONG), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Explode shingles → vectorized hash-agg of per-permutation mins.
+
+    Preferred over the array-fold version at scale: partial (map-side)
+    aggregation means the shuffle carries only num_hashes longs per
+    (doc, mapper), and duplicate shingles need no dedup pass (the min
+    is invariant under multiplicity)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
+    )
+    agg = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash):
+    documents agreeing on any full band become a candidate pair."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup candidate pipeline."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k)
+    return lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+
+
+def simhash_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """SimHash: per-token 64-bit hash, sign-vote per bit position,
+    rendered as a 16-char hex string column ``simhash``.
+
+    Explode tokens → one vectorized hash-agg with 64 conditional-sum
+    columns (map-side partial aggregation; the shuffle carries 64
+    longs per (doc, mapper)). Token multiplicity is part of SimHash's
+    definition and is naturally preserved by explode."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(n_bits)
+        ]
+    )
+    bits = [F.when(F.col(f"_v{i}") > 0, 1).otherwise(0) for i in range(n_bits)]
+    nibbles = [
+        F.lower(
+            F.hex(bits[n * 4] * 8 + bits[n * 4 + 1] * 4 + bits[n * 4 + 2] * 2 + bits[n * 4 + 3])
+        )
+        for n in range(n_bits // 4)
+    ]
+    return votes.select(F.col(id_col), F.concat(*nibbles).alias("simhash"))
+
+
+def ngram_set(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams (array<string>) for Jaccard."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substring(c, i, n)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """All-pairs n-gram Jaccard (use only on a pre-filtered candidate
+    set — this is the verify stage after LSH, not the discovery stage)."""
+    grams = df.select(F.col(id_col), ngram_set(text_col, n).alias("grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )

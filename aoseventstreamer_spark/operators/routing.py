@@ -187,10 +187,19 @@ def route_emits(raw_emits: DataFrame, secret: str | None = None) -> DataFrame:
     )
 
 
-def write_event_log(routed: DataFrame, path: str, mode: str = "append") -> None:
-    """Publish sink (natsio.rs:131-147) → partitioned Parquet event log.
+def write_event_log(
+    routed: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = ("project_id",),
+) -> None:
+    """Publish sink (natsio.rs:131-147) → Parquet event log.
 
     Partitioning by project_id gives dynamic partition pruning for
-    exact-level and project-subtree queries at scale.
+    exact-level and project-subtree queries at scale; pass
+    ``partition_by=None`` for a flat layout (streaming-source tests).
     """
-    routed.write.mode(mode).partitionBy("project_id").parquet(path)
+    writer = routed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB design requires:
+
+- brute-force cosine top-k: correct baseline. The query side is tiny
+  and broadcast; the candidate side streams through one scan; dot
+  products are zip_with/aggregate folds (JVM, no Python). Top-k is a
+  per-query window — shuffle keyed by query_id, never a global sort.
+- LSH-bucketed ANN: random-hyperplane signatures bucket both sides;
+  candidates come from an equi-join on the bucket key, so cost is
+  O(n · bucket_size), not O(n · q). Recall is tunable via n_planes /
+  n_tables. Hyperplanes are derived deterministically from xxhash64
+  so both sides agree without shipping a model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against all candidates.
+
+    Pre-computes norms once per side, broadcasts the query side, and
+    keeps the entire scoring loop in codegen'd array expressions.
+    """
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_vec(vec_col).alias("cand_vec"),
+    ).withColumn("cand_norm", l2_norm(F.col("cand_vec")))
+    qry = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("query_vec"),
+    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+
+    scored = (
+        cand.join(F.broadcast(qry), F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
+        .select("query_id", "cand_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component i of plane p is
+    a hash-derived value in [-1, 1). No model state to ship."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(20001)) - 10000) / 10000.0,
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane signature: one sign bit per plane,
+    concatenated into a string bucket key."""
+    bits = [
+        F.when(dot(vec, _hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: score only candidates sharing the query's
+    hyperplane-sign bucket. The join is an equi-join on the bucket
+    key — the scale path when the candidate set no longer broadcasts."""
+    cand = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("cand_vec"), n_planes, dim))
+        .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
+    )
+    qry = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("query_vec"), n_planes, dim))
+        .withColumn("query_norm", l2_norm(F.col("query_vec")))
+    )
+    scored = (
+        cand.join(F.broadcast(qry), on="bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    same-bucket pairs are scored."""
+    side = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes, dim)).withColumn(
+        "norm", l2_norm(F.col("vec"))
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn(
+            "sim",
+            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )

@@ -1,0 +1,232 @@
+"""LLM-data-pipeline queries (SURVEY.md §7.6 + north-star extensions):
+dedup family, text analysis, similarity search over the ``documents``
+and ``embeddings`` tables.
+
+Oracle-checked where DuckDB can express the same computation
+(text stats, language ID, quality, fingerprints, exact dedup, n-gram
+Jaccard, brute-force cosine top-k); hash-based sketches (MinHash,
+SimHash, hyperplane LSH) use engine-specific hash functions and are
+rows-only checked here but unit-tested against a pure-Python oracle in
+tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import dedup as D
+from aoseventstreamer_spark.operators import similarity as SIM
+from aoseventstreamer_spark.operators import text as TX
+from aoseventstreamer_spark.queries import query, t
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_txt,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+           CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_txt"),
+        TX.word_count("text").alias("n_words"),
+        TX.letter_count("text").alias("n_letters"),
+        TX.punct_count("text").alias("n_punct"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.word_count("text").alias("ws_tokens"),
+        TX.bpe_token_estimate("text").alias("bpe_est"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN position(' the ' IN pad) > 0 OR position(' and ' IN pad) > 0
+                  OR position(' of ' IN pad) > 0 THEN 'en'
+             WHEN position(' der ' IN pad) > 0 OR position(' und ' IN pad) > 0
+                  OR position(' die ' IN pad) > 0 THEN 'de'
+             WHEN position(' le ' IN pad) > 0 OR position(' la ' IN pad) > 0
+                  OR position(' et ' IN pad) > 0 THEN 'fr'
+             WHEN position(' el ' IN pad) > 0 OR position(' los ' IN pad) > 0
+                  OR position(' que ' IN pad) > 0 THEN 'es'
+             ELSE 'und'
+           END AS lang_pred
+    FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents)
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(0.5 * LEAST(1.0, length(text)/500.0)
+               + 0.4 * LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)/80.0)
+               + 0.1 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+                              / GREATEST(length(text), 1)),
+               4) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.quality_score("text", TX.word_count("text")).alias("quality")
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_doc_exact_dedup",
+    oracle="""
+    SELECT sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query("q_doc_minhash_band")  # rows-only: xxhash64 is Spark-specific
+def q_doc_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle → minhash →
+    band → bucket equi-join)."""
+    return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"))
+
+
+@query("q_doc_simhash")  # rows-only: xxhash64 is Spark-specific
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_docs(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(text) - 1),
+                                          i -> substr(text, CAST(i AS INTEGER), 3)))
+               AS grams
+      FROM documents WHERE doc_id < 30 AND length(text) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+                 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard on a bounded candidate set (the
+    verify stage of a dedup pipeline)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 30) & (F.length("text") >= 3))
+    )
+    return D.ngram_jaccard_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))
+               AS norm
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             list_dot_product(q.v, c.v) / (q.norm * c.norm) AS sim
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, cand_id AS neighbor_id, ROUND(sim, 4) AS sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors vec_id < 10."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query("q_ann_lsh")  # rows-only: hyperplanes derive from xxhash64
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN — the scale path for q_cosine_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query("q_embed_near_dup")  # rows-only: hyperplanes derive from xxhash64
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets."""
+    return SIM.cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@query("q_multimodal_features")  # rows-only: mapInPandas, not SQL-expressible
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode/feature plumbing (Arrow-batched
+    mapInPandas); decode itself is a deterministic stub — see
+    operators/multimodal.py."""
+    from aoseventstreamer_spark.operators import multimodal as MM
+
+    media = MM.attach_binary_payload(t(spark, sf_dir, "documents"))
+    return MM.extract_image_features(media).select("media_id", "n_bytes", "checksum")

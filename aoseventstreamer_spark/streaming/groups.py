@@ -1,0 +1,188 @@
+"""Stream groups: the reference's durable filtered subscriptions on
+Structured Streaming.
+
+Reference semantics re-expressed (SURVEY.md §3.2-3.3):
+
+- *create stream group* (`public_event_server.rs:123-143` +
+  `natsio.rs:150-185`): persist a group record and compile the
+  subject query. Here: a row in the ``stream_groups`` table + a
+  filter predicate + a per-group checkpoint directory. The reference
+  only implements Project/Collection groups (Object/ObjectGroup are
+  ``todo!()``, natsio.rs:171-173); the subject grammar already defines
+  the deeper levels, so we lift that limitation.
+- *attach + pull loop* (`natsio.rs:49-58,195-210`,
+  `public_event_server.rs:391-440`): a ``readStream`` over the event
+  log filtered by the compiled predicate, delivered by
+  ``foreachBatch`` with a 250 ms processing-time trigger (the
+  reference's pull expiry, natsio.rs:201). The micro-batch id is the
+  chunk id; the checkpoint commit after a successful deliver is the
+  ack. A failed deliver leaves the offset uncommitted, so the chunk
+  is redelivered — the reference's at-least-once contract
+  (`public_event_server.rs:330-386`).
+- *replay-from-start* (`natsio.rs:176-182` default deliver-all): a
+  fresh checkpoint makes the file source start from the earliest
+  available data, so a new group replays the full retained history.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark import schemas
+from aoseventstreamer_spark.functions import subjects as S
+
+
+@dataclass
+class StreamGroup:
+    id: str
+    event_type: int
+    resource_type: int
+    resource_id: str
+    notify_on_sub_resource: bool
+    filter_subject: str  # compiled query subject (exact `..._` or subtree `...>`)
+
+
+def compile_query_subject(
+    resource_type: int,
+    resource_id: str,
+    include_subresources: bool,
+    hierarchy: dict | None = None,
+) -> str:
+    """Compile the group's filter subject (natsio.rs:163-174, extended
+    to all levels the grammar defines)."""
+    h = hierarchy or {}
+    if resource_type == schemas.RESOURCE_PROJECT:
+        return S.project_query(resource_id, include_subresources)
+    if resource_type == schemas.RESOURCE_COLLECTION:
+        return S.collection_query(h["project_id"], resource_id, include_subresources)
+    if resource_type == schemas.RESOURCE_OBJECT:
+        return S.object_query(
+            h["project_id"], h["collection_id"], h["shared_id"], resource_id,
+            include_subresources,
+        )
+    if resource_type == schemas.RESOURCE_OBJECT_GROUP:
+        return S.object_group_query(
+            h["project_id"], h["collection_id"], h["shared_id"], resource_id,
+            include_subresources,
+        )
+    raise ValueError(f"unsupported resource_type {resource_type}")
+
+
+def subject_filter(filter_subject: str) -> F.Column:
+    """Predicate equivalent of the broker-side filter_subject."""
+    if filter_subject.endswith(S.SUBTREE_TERMINATOR):
+        return F.col("subject").startswith(filter_subject[:-1])
+    return F.col("subject") == F.lit(filter_subject)
+
+
+class StreamGroupManager:
+    """Registry + runtime for stream groups over a parquet event log."""
+
+    def __init__(self, spark: SparkSession, events_path: str, state_root: str):
+        self.spark = spark
+        self.events_path = events_path
+        self.state_root = state_root
+        self.groups_path = os.path.join(state_root, "stream_groups")
+        self.checkpoints_root = os.path.join(state_root, "checkpoints")
+
+    # -- DDL ---------------------------------------------------------------
+
+    def create_stream_group(
+        self,
+        resource_type: int,
+        resource_id: str,
+        include_subresources: bool,
+        hierarchy: dict | None = None,
+        event_type: int = schemas.EVENT_TYPE_ALL,
+    ) -> StreamGroup:
+        group = StreamGroup(
+            id=str(uuid.uuid4()),
+            event_type=event_type,
+            resource_type=resource_type,
+            resource_id=resource_id,
+            notify_on_sub_resource=include_subresources,
+            filter_subject=compile_query_subject(
+                resource_type, resource_id, include_subresources, hierarchy
+            ),
+        )
+        record = self.spark.createDataFrame(
+            [
+                (
+                    group.id,
+                    group.event_type,
+                    group.resource_type,
+                    group.resource_id,
+                    group.notify_on_sub_resource,
+                )
+            ],
+            schemas.STREAM_GROUPS_SCHEMA,
+        ).withColumn("filter_subject", F.lit(group.filter_subject))
+        record.write.mode("append").parquet(self.groups_path)
+        return group
+
+    def get_stream_group(self, group_id: str) -> StreamGroup:
+        """Lookup (operator #18)."""
+        row = (
+            self.spark.read.parquet(self.groups_path)
+            .filter(F.col("id") == group_id)
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"unknown stream group {group_id}")
+        return StreamGroup(
+            id=row.id,
+            event_type=row.event_type,
+            resource_type=row.resource_type,
+            resource_id=row.resource_id,
+            notify_on_sub_resource=row.notify_on_sub_resource,
+            filter_subject=row.filter_subject,
+        )
+
+    # -- read path ----------------------------------------------------------
+
+    def _filtered_stream(self, group: StreamGroup) -> DataFrame:
+        stream = (
+            self.spark.readStream.schema(schemas.ROUTED_EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "64")
+            .parquet(self.events_path)
+        )
+        return stream.filter(subject_filter(group.filter_subject))
+
+    def read_stream_group(
+        self,
+        group_id: str,
+        deliver: Callable[[int, DataFrame], None],
+        trigger: dict | None = None,
+    ):
+        """Start (or resume, via the group's checkpoint) chunked
+        delivery. ``deliver(chunk_id, df)`` is the client; raising
+        leaves the chunk unacked → redelivered on restart.
+        """
+        group = self.get_stream_group(group_id)
+        if trigger is None:
+            trigger = {"processingTime": "250 milliseconds"}
+
+        def _handle(batch_df: DataFrame, batch_id: int) -> None:
+            deliver(batch_id, batch_df)
+
+        return (
+            self._filtered_stream(group)
+            .writeStream.foreachBatch(_handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoints_root, group.id),
+            )
+            .trigger(**trigger)
+            .start()
+        )
+
+    def read_available(self, group_id: str, deliver: Callable[[int, DataFrame], None]):
+        """Catch-up mode: drain everything currently retained, then stop
+        (Trigger.AvailableNow) — used by tests and batch replays."""
+        return self.read_stream_group(group_id, deliver, trigger={"availableNow": True})

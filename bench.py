@@ -1,0 +1,73 @@
+"""Headline benchmark: runs representative queries from every operator
+family at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is forced with the noop sink (full pipeline runs, no driver
+collect overhead), after a warm-up query that absorbs session/JIT cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aoseventstreamer_spark import queries as Q
+from aoseventstreamer_spark.session import get_spark
+
+HEADLINE = [
+    "q_agg_events_by_type",
+    "q_filter_subtree_prefix",
+    "q_join_multiway",
+    "q_agg_multi",
+    "q_rank_events_per_user",
+    "q_session_window",
+    "q_window_sliding",
+    "q_topk_per_group",
+    "q_doc_exact_dedup",
+    "q_doc_minhash_band",
+    "q_doc_simhash",
+    "q_text_stats",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark("aoseventstreamer-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: session, codegen, parquet footers
+    Q.QUERIES["q_agg_events_by_type"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

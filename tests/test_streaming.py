@@ -1,0 +1,135 @@
+"""E2E streaming tests mirroring the reference e2e flow
+(/root/reference/src/e2e/tests.rs:108-277): emit BEFORE the group is
+created and still receive it (replay-from-start); a chunk whose deliver
+fails is redelivered after restart (at-least-once)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aoseventstreamer_spark import schemas
+from aoseventstreamer_spark.functions import subjects as S
+from aoseventstreamer_spark.operators.routing import route_emits, write_event_log
+from aoseventstreamer_spark.streaming.groups import (
+    StreamGroupManager,
+    compile_query_subject,
+    subject_filter,
+)
+
+
+def _emit_rows(start_id: int, project: str, n: int):
+    return [
+        {
+            "emit_id": start_id + i,
+            "token": "t",
+            "event_resource": schemas.RESOURCE_COLLECTION,
+            "resource_id": f"c{i}",
+            "event_type": schemas.EVENT_TYPE_ALL,
+            "relations": [
+                {"project": project, "collection": None, "shared_object": None,
+                 "object_groups": []}
+            ],
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    return str(tmp_path / "events")
+
+
+def _route_and_write(spark, rows, path):
+    raw = spark.createDataFrame(rows, schemas.RAW_EMITS_SCHEMA)
+    routed = route_emits(raw, secret="t")
+    # align to the declared streaming schema (ts is null for these)
+    write_event_log(routed, path, partition_by=None)
+
+
+def test_replay_from_start_and_filter(spark, tmp_path, log_dir):
+    # 1. emit BEFORE any group exists (tests.rs:154-170)
+    _route_and_write(spark, _emit_rows(0, "p1", 6) + _emit_rows(100, "p2", 4), log_dir)
+
+    mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "state"))
+    group = mgr.create_stream_group(
+        schemas.RESOURCE_PROJECT, "p1", include_subresources=True
+    )
+    assert group.filter_subject == "UPDATES.STORAGE._.p1.>"
+
+    delivered: dict[int, int] = {}
+
+    def deliver(chunk_id: int, df) -> None:
+        delivered[chunk_id] = df.count()
+        subjects = [r.subject for r in df.select("subject").collect()]
+        assert all(s.startswith("UPDATES.STORAGE._.p1.") for s in subjects)
+
+    q = mgr.read_available(group.id, deliver)
+    q.awaitTermination(120)
+    # full history replayed, p2 filtered out broker-side
+    assert sum(delivered.values()) == 6
+
+
+def test_at_least_once_redelivery(spark, tmp_path, log_dir):
+    _route_and_write(spark, _emit_rows(0, "p1", 5), log_dir)
+    mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "state"))
+    group = mgr.create_stream_group(
+        schemas.RESOURCE_PROJECT, "p1", include_subresources=True
+    )
+
+    seen: list[int] = []
+
+    def failing_deliver(chunk_id: int, df) -> None:
+        seen.append(df.count())
+        raise RuntimeError("client crashed before ack")
+
+    q = mgr.read_available(group.id, failing_deliver)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert sum(seen) > 0  # the chunk WAS handed over, but never acked
+
+    ok: list[int] = []
+    q2 = mgr.read_available(group.id, lambda cid, df: ok.append(df.count()))
+    q2.awaitTermination(120)
+    # unacked chunk redelivered in full after restart
+    assert sum(ok) == 5
+
+
+def test_group_registry_roundtrip(spark, tmp_path, log_dir):
+    _route_and_write(spark, _emit_rows(0, "p1", 1), log_dir)
+    mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "state"))
+    g = mgr.create_stream_group(
+        schemas.RESOURCE_COLLECTION,
+        "c9",
+        include_subresources=False,
+        hierarchy={"project_id": "p1"},
+    )
+    got = mgr.get_stream_group(g.id)
+    assert got.filter_subject == "UPDATES.STORAGE._.p1._.c9._"
+    assert got.resource_type == schemas.RESOURCE_COLLECTION
+    with pytest.raises(KeyError):
+        mgr.get_stream_group("nope")
+
+
+def test_compile_query_subject_all_levels():
+    h = {"project_id": "p", "collection_id": "c", "shared_id": "s"}
+    assert compile_query_subject(schemas.RESOURCE_PROJECT, "p", False) == \
+        "UPDATES.STORAGE._.p._"
+    assert compile_query_subject(schemas.RESOURCE_COLLECTION, "c", True, h) == \
+        "UPDATES.STORAGE._.p._.c.>"
+    # levels the reference left as todo!() — grammar-defined, we support them
+    assert compile_query_subject(schemas.RESOURCE_OBJECT, "o", False, h) == \
+        "UPDATES.STORAGE._.p._.c._.OBJECT._.s._.o._"
+    assert compile_query_subject(schemas.RESOURCE_OBJECT_GROUP, "og", True, h) == \
+        "UPDATES.STORAGE._.p._.c._.OBJECTGROUP._.s._.og.>"
+    with pytest.raises(ValueError):
+        compile_query_subject(schemas.RESOURCE_ALL, "x", False)
+
+
+def test_subject_filter_modes(spark):
+    df = spark.createDataFrame(
+        [(S.project_subject("p1"),), (S.collection_subject("p1", "c1"),),
+         (S.project_subject("p2"),)],
+        "subject string",
+    )
+    assert df.filter(subject_filter("UPDATES.STORAGE._.p1.>")).count() == 2
+    assert df.filter(subject_filter("UPDATES.STORAGE._.p1._")).count() == 1
