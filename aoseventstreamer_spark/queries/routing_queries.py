@@ -252,3 +252,80 @@ def q_union_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (stateful op #14/#21 analogue in batch)."""
     return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "q_route_emits",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CAST((event_id % 4) + 1 AS INTEGER) AS resource,
+             'res_' || CAST(event_id AS VARCHAR) AS rid,
+             'proj_' || CAST(user_id AS VARCHAR) AS proj,
+             event_type AS coll,
+             'so_' || CAST(event_id % 50 AS VARCHAR) AS so,
+             CASE WHEN event_id % 3 = 0
+                  THEN ['sg_' || CAST(event_id % 7 AS VARCHAR)]
+                  ELSE CAST([] AS VARCHAR[]) END AS ogs
+      FROM events
+    )
+    SELECT event_id AS seq, resource, rid AS resource_id,
+           'UPDATES.STORAGE._.' || rid || '._' AS subject
+    FROM e WHERE resource = 1
+    UNION ALL
+    SELECT event_id, resource, rid,
+           'UPDATES.STORAGE._.' || proj || '._.' || rid || '._'
+    FROM e WHERE resource = 2
+    UNION ALL
+    SELECT event_id, resource, rid,
+           'UPDATES.STORAGE._.' || proj || '._.' || coll || '._.OBJECT._.'
+             || so || '._.' || rid || '._'
+    FROM e WHERE resource = 3
+    UNION ALL
+    SELECT event_id, resource, rid,
+           'UPDATES.STORAGE._.' || proj || '._.' || coll || '._.OBJECTGROUP._.'
+             || og || '._.' || rid || '._'
+    FROM (SELECT e.*, UNNEST(ogs) AS og FROM e) WHERE resource IN (3, 4)
+    """,
+)
+def q_route_emits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core reference operator, hash-checked end-to-end: emit
+    requests (derived deterministically from the events table) run
+    through the real ``route_emits`` pipeline — token filter, relation
+    explode, resource-type dispatch, object-group fan-out (natsio.rs
+    :60-148) — and the resulting routed log must match a plain-SQL
+    formulation of the same dispatch rules."""
+    from aoseventstreamer_spark import schemas
+    from aoseventstreamer_spark.operators.routing import route_emits
+
+    ev = t(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_id").alias("emit_id"),
+        F.lit("s3cr3t").alias("token"),
+        ((F.col("event_id") % 4) + 1).cast("int").alias("event_resource"),
+        F.concat(F.lit("res_"), F.col("event_id").cast("string")).alias("resource_id"),
+        F.lit(schemas.EVENT_TYPE_ALL).alias("event_type"),
+        F.array(
+            F.struct(
+                F.concat(F.lit("proj_"), F.col("user_id").cast("string")).alias("project"),
+                F.col("event_type").alias("collection"),
+                F.concat(F.lit("so_"), (F.col("event_id") % 50).cast("string")).alias(
+                    "shared_object"
+                ),
+                F.when(
+                    F.col("event_id") % 3 == 0,
+                    F.array(
+                        F.struct(
+                            F.concat(
+                                F.lit("sg_"), (F.col("event_id") % 7).cast("string")
+                            ).alias("shared_object_group_id")
+                        )
+                    ),
+                )
+                .otherwise(F.array().cast("array<struct<shared_object_group_id:string>>"))
+                .alias("object_groups"),
+            )
+        ).alias("relations"),
+    )
+    routed = route_emits(raw, secret="s3cr3t")
+    return routed.select("seq", "resource", "resource_id", "subject")

@@ -1,0 +1,93 @@
+"""Source/sink layer (reference operators #1/#10/#16 generalized).
+
+The reference's only I/O is gRPC-in → NATS subject-publish → gRPC-out.
+The engine generalizes both ends to the formats a Spark deployment
+actually meets: parquet (canonical event log), csv/json (interchange),
+and a file-based streaming source/sink pair. Everything funnels
+through declared schemas — no inference in production paths — so
+plans stay stable and pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_BATCH_FORMATS = {"parquet", "csv", "json", "orc"}
+
+
+def read_batch(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported source format: {fmt}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} sources require an explicit schema (no inference)")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_batch(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+    **options,
+) -> None:
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported sink format: {fmt}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 64,
+    **options,
+) -> DataFrame:
+    """File-based streaming source (the event-log tail). An explicit
+    schema is mandatory: streaming sources cannot infer."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .options(**options)
+        .load(path)
+    )
+
+
+def write_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    trigger: dict | None = None,
+    partition_by: tuple[str, ...] | None = None,
+):
+    """Append-mode streaming file sink with checkpointed progress."""
+    writer = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer = writer.trigger(**(trigger or {"processingTime": "250 milliseconds"}))
+    return writer.start()

@@ -1,0 +1,124 @@
+"""Plan-quality regression tests: the 100 TB acceptance criteria as
+assertions (SURVEY.md §4/§6). These fail if a future change silently
+turns a broadcast join into a shuffle join, breaks predicate pushdown,
+or adds a shuffle to a narrow pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark import schemas
+from aoseventstreamer_spark.functions import subjects as S
+from aoseventstreamer_spark.operators.routing import route_emits
+from aoseventstreamer_spark.plans import (
+    broadcast_join_count,
+    has_pushed_filter,
+    shuffle_count,
+)
+from aoseventstreamer_spark.queries import QUERIES
+from aoseventstreamer_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def event_log(spark, tmp_path_factory):
+    """A routed parquet event log to scan-test against."""
+    path = str(tmp_path_factory.mktemp("plans") / "event_log")
+    raw = spark.createDataFrame(
+        [
+            {
+                "emit_id": i,
+                "token": "t",
+                "event_resource": schemas.RESOURCE_COLLECTION,
+                "resource_id": f"c{i}",
+                "event_type": schemas.EVENT_TYPE_ALL,
+                "relations": [
+                    {"project": f"p{i % 3}", "collection": None,
+                     "shared_object": None, "object_groups": []}
+                ],
+            }
+            for i in range(30)
+        ],
+        schemas.RAW_EMITS_SCHEMA,
+    )
+    route_emits(raw, secret="t").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_subtree_predicate_pushes_down(spark, event_log):
+    log = spark.read.parquet(event_log)
+    df = log.filter(S.subtree_predicate("subject", S.base_subject(["p1"], False)))
+    assert has_pushed_filter(df, r"StringStartsWith\(subject")
+
+
+def test_exact_predicate_pushes_down(spark, event_log):
+    log = spark.read.parquet(event_log)
+    df = log.filter(
+        S.exact_level_predicate("subject", S.base_subject(["p1", "c1"], False))
+    )
+    assert has_pushed_filter(df, r"EqualTo\(subject")
+
+
+def test_routing_pipeline_is_narrow(spark):
+    """The full emit→route pipeline must plan without any shuffle:
+    filter/explode/dispatch are all narrow transformations."""
+    raw = spark.createDataFrame([], schemas.RAW_EMITS_SCHEMA)
+    routed = route_emits(raw, secret="t")
+    assert shuffle_count(routed) == 0
+
+
+def test_hierarchy_join_broadcasts(spark, sf_dir):
+    # AQE's formatted explain repeats the plan (initial+final), so
+    # assert presence of broadcasts and absence of any shuffle join.
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q_join_hierarchy"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 2  # nation and region both broadcast
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_semi_and_anti_join_broadcast(spark, sf_dir):
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    for name in ("q_semi_authz", "q_anti_unauthorized"):
+        df = QUERIES[name](spark, sf_dir)
+        assert broadcast_join_count(df) >= 1
+        assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_topk_global_uses_take_ordered(spark, sf_dir):
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["q_topk_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no full global sort
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q_project_event_fields"](spark, sf_dir)
+    plan = formatted_plan(df)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in scan and "props" not in scan  # unused columns pruned
+
+
+def test_filter_pushdown_on_compound_query(spark, sf_dir):
+    df = QUERIES["q_filter_compound"](spark, sf_dir)
+    assert has_pushed_filter(df, r"GreaterThan\(value,100")
+    assert has_pushed_filter(df, r"In\(event_type")
+
+
+def test_events_scan_prunes_partitions_when_partitioned(spark, tmp_path):
+    """partitionBy(project_id) layout: exact-project predicates prune
+    at the file-listing level (partition filter, not a data filter)."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "project_id", F.col("user_id").cast("string")
+    )
+    path = str(tmp_path / "partitioned")
+    ev.write.partitionBy("project_id").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("project_id") == "7")
+    plan = formatted_plan(df)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "project_id" in scan
