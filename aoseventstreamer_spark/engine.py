@@ -1,0 +1,133 @@
+"""EventStreamerEngine — the user-level facade with the reference
+server's API surface (SURVEY.md §3), so a user of the reference can
+switch 1:1:
+
+    reference gRPC call                     engine method
+    ------------------------------------    ---------------------------
+    InternalEventEmitterService.emit_event  emit_events(df)
+    CreateEventStreamingGroup               create_event_streaming_group(...)
+    ReadStreamGroupMessages (bidi stream)   read_stream_group_messages(...)
+    GetEventStreamingGroup                  get_stream_group(...)
+    (no batch query in reference)           query_events(...) — bonus
+
+Authorization (reference operators #2/#11) is carried by a token check
+on emit and an optional grants table consulted at group creation.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark import schemas
+from aoseventstreamer_spark.functions import subjects as S
+from aoseventstreamer_spark.operators.routing import route_emits, write_event_log
+from aoseventstreamer_spark.streaming.groups import StreamGroup, StreamGroupManager
+
+
+class AuthorizationError(Exception):
+    pass
+
+
+class EventStreamerEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        secret: str | None = None,
+        grants: DataFrame | None = None,
+        partition_log: bool = True,
+    ):
+        self.spark = spark
+        self.root = root
+        self.secret = secret
+        self.grants = grants
+        self.partition_log = partition_log
+        self.events_path = os.path.join(root, "event_log")
+        self.groups = StreamGroupManager(spark, self.events_path, os.path.join(root, "state"))
+
+    # -- write path (operator #1-#10) ---------------------------------------
+
+    def emit_events(self, raw_emits: DataFrame) -> None:
+        """The EmitEvent pipeline: token filter → route → publish."""
+        routed = route_emits(raw_emits, secret=self.secret)
+        write_event_log(
+            routed,
+            self.events_path,
+            partition_by=("project_id",) if self.partition_log else None,
+        )
+
+    # -- subscription DDL (operators #11-#14) --------------------------------
+
+    def _authorize(self, token: str, resource_type: int, resource_id: str) -> None:
+        """AuthZ gate (public_event_server.rs:74-100): a lookup against
+        the grants table; absence of a grants table = mock always-true
+        (storage_endpoint_mock.rs:104-110)."""
+        if self.grants is None:
+            return
+        ok = (
+            self.grants.filter(
+                (F.col("token") == token)
+                & (F.col("resource_type") == resource_type)
+                & (F.col("resource_id") == resource_id)
+            ).count()
+            > 0
+        )
+        if not ok:
+            raise AuthorizationError(f"token not granted on {resource_type}:{resource_id}")
+
+    def create_event_streaming_group(
+        self,
+        token: str,
+        resource_type: int,
+        resource_id: str,
+        include_subresources: bool,
+        hierarchy: dict | None = None,
+        event_type: int = schemas.EVENT_TYPE_ALL,
+    ) -> str:
+        self._authorize(token, resource_type, resource_id)
+        group = self.groups.create_stream_group(
+            resource_type, resource_id, include_subresources, hierarchy, event_type
+        )
+        return group.id
+
+    def get_stream_group(self, group_id: str) -> StreamGroup:
+        return self.groups.get_stream_group(group_id)
+
+    # -- read path (operators #15-#22) ---------------------------------------
+
+    def read_stream_group_messages(
+        self,
+        group_id: str,
+        deliver: Callable[[int, DataFrame], None],
+        catch_up_only: bool = False,
+    ):
+        """Chunked at-least-once delivery; ``deliver(chunk_id, df)``.
+        ``catch_up_only`` drains retained history then stops
+        (Trigger.AvailableNow) instead of tailing at 250 ms."""
+        if catch_up_only:
+            return self.groups.read_available(group_id, deliver)
+        return self.groups.read_stream_group(group_id, deliver)
+
+    # -- batch query over the log (bonus surface) -----------------------------
+
+    def event_log(self) -> DataFrame:
+        return self.spark.read.parquet(self.events_path)
+
+    def query_events(
+        self, ids: list[str], include_subresources: bool, is_object_group: bool = False
+    ) -> DataFrame:
+        """Batch query with the same exact-level / subtree semantics as
+        a stream group filter; partition-prunes on project_id when the
+        log is partitioned."""
+        base = S.base_subject(ids, is_object_group)
+        df = self.event_log()
+        pred = S.query_predicate("subject", base, include_subresources)
+        if ids:
+            # redundant with the subject predicate, but lets the file
+            # index prune whole project partitions before any read
+            pred = pred & (F.col("project_id") == ids[0]) if self.partition_log else pred
+        return df.filter(pred)
