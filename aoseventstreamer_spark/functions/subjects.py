@@ -192,3 +192,32 @@ def query_predicate(subject_col: Column | str, base: str, include_subresources: 
     if include_subresources:
         return subtree_predicate(subject_col, base)
     return exact_level_predicate(subject_col, base)
+
+
+# ---------------------------------------------------------------------------
+# Inverse: parse a publish subject back into hierarchy components
+# ---------------------------------------------------------------------------
+
+
+def parse_subject_col(subject_col: Column | str) -> Column:
+    """Parse a publish subject into a struct
+    ``(project_id, collection_id, kind, shared_id, leaf_id)``.
+
+    Inverse of the builders above: strip the ``._`` terminator, split
+    on the ``._.`` separator, read positional tokens (the discriminator
+    occupies its own token before the 3rd id). Pure split/element_at
+    expressions — usable on raw logs that carry only the subject
+    string (e.g. external NATS dumps) to recover partition columns.
+    """
+    c = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    stripped = F.regexp_replace(c, r"\._$", "")
+    toks = F.split(stripped, r"\._\.")
+    n = F.size(toks)
+    kind = F.when(n >= 4, F.element_at(toks, 4)).otherwise(F.lit(None).cast("string"))
+    return F.struct(
+        F.when(n >= 2, F.element_at(toks, 2)).otherwise(F.lit(None).cast("string")).alias("project_id"),
+        F.when(n >= 3, F.element_at(toks, 3)).otherwise(F.lit(None).cast("string")).alias("collection_id"),
+        kind.alias("kind"),
+        F.when(n >= 5, F.element_at(toks, 5)).otherwise(F.lit(None).cast("string")).alias("shared_id"),
+        F.when(n >= 6, F.element_at(toks, 6)).otherwise(F.lit(None).cast("string")).alias("leaf_id"),
+    )

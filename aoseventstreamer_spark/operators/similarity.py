@@ -147,6 +147,92 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a KMeans coarse quantizer partitions
+    the candidates into n_clusters lists; each query scores only the
+    n_probe nearest lists.
+
+    Scale shape: KMeans training is distributed MLlib; the probe
+    assignment is a broadcast join against the (tiny) centroid table;
+    candidate scoring is an equi-join on cluster id. With
+    n_probe == n_clusters this is EXACTLY brute force (tested), so
+    recall degrades smoothly and measurably as n_probe shrinks.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
+    )
+    with_features = cand.withColumn("features", array_to_vector("cand_vec"))
+    model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(with_features)
+    assigned = (
+        model.transform(with_features)
+        .select("cand_id", "cand_vec", F.col("prediction").alias("cluster"))
+        .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
+    )
+
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
+    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+    # nearest n_probe centroids per query (centroid table is tiny)
+    q_cluster = (
+        qry.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("query_vec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("cluster"))
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "query_vec", "query_norm", "cluster")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(q_cluster), on="cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "sim",
+            dot(F.col("query_vec"), F.col("cand_vec"))
+            / (F.col("query_norm") * F.col("cand_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.round("sim", 4).alias("sim"),
+        )
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -215,6 +215,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
+@query("q_ann_ivf")  # rows-only: KMeans centroids are engine-specific
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, n_probe cluster lists)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4)
+
+
 @query("q_embed_near_dup")  # rows-only: hyperplanes derive from xxhash64
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets."""

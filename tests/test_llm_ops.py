@@ -132,6 +132,29 @@ def test_cosine_topk_against_numpy(spark, emb):
         assert mine == expect
 
 
+def test_ivf_with_full_probe_equals_brute_force(spark, emb):
+    """Probing every cluster makes IVF exact — it must reproduce the
+    brute-force top-k identically."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = {(r.query_id, r.neighbor_id) for r in SIM.brute_force_topk(emb, queries, k=3).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=8).collect()
+    }
+    assert ivf == bf
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in SIM.brute_force_topk(emb, queries, k=3).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_topk(emb, queries, k=3, n_clusters=8, n_probe=4).collect()
+    }
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.3  # random uniform vectors cluster weakly; sanity floor
+
+
 def test_lsh_ann_returns_plausible_neighbors(spark, emb):
     """ANN must return same-bucket items with valid cosine range and
     reasonable recall vs brute force on the small set."""
