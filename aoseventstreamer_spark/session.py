@@ -52,6 +52,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp semantics must be engine-portable even on a
+    # driver-owned session whose default timezone isn't UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):

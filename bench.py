@@ -19,6 +19,7 @@ from aoseventstreamer_spark import queries as Q
 from aoseventstreamer_spark.session import get_spark
 
 HEADLINE = [
+    "q_route_emits",
     "q_agg_events_by_type",
     "q_filter_subtree_prefix",
     "q_join_multiway",
