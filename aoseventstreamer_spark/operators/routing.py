@@ -67,7 +67,10 @@ def _entry(
 
 
 def subjects_for_relation(
-    event_resource: Column, resource_id: Column, relation: Column
+    event_resource: Column,
+    resource_id: Column,
+    relation: Column,
+    on_unknown: str = "drop",
 ) -> Column:
     """Array<struct> of routed subjects for one (event, relation) pair —
     the `match event_resource` dispatch of natsio.rs:78-129."""
@@ -123,10 +126,23 @@ def subjects_for_relation(
             F.concat(group_entries, F.array(object_entry)),
         )
         # Unspecified / All are todo!() panics in the reference
-        # (natsio.rs:79,128). In a distributed batch pipeline we drop
-        # them instead of killing the job; callers can pre-validate.
+        # (natsio.rs:79,128). Default: drop them (a panic inside a
+        # distributed pipeline is the wrong failure mode); strict mode
+        # reproduces the reference's loud failure at execution time.
         .otherwise(
-            F.array().cast(
+            F.array(
+                _entry(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("unsupported resource_type: "),
+                            event_resource.cast("string"),
+                        )
+                    ),
+                    _null_str(), _null_str(), _null_str(), _null_str(), _null_str(),
+                )
+            )
+            if on_unknown == "error"
+            else F.array().cast(
                 "array<struct<subject:string,project_id:string,collection_id:string,"
                 "kind:string,shared_id:string,leaf_id:string>>"
             )
@@ -134,7 +150,9 @@ def subjects_for_relation(
     )
 
 
-def route_emits(raw_emits: DataFrame, secret: str | None = None) -> DataFrame:
+def route_emits(
+    raw_emits: DataFrame, secret: str | None = None, on_unknown: str = "drop"
+) -> DataFrame:
     """Full write path: raw emit requests → routed event-log rows.
 
     Output schema matches FIXTURES.md §2 (subject + hierarchy
@@ -165,7 +183,10 @@ def route_emits(raw_emits: DataFrame, secret: str | None = None) -> DataFrame:
         "ts",
         F.inline(
             subjects_for_relation(
-                F.col("event_resource"), F.col("resource_id"), F.col("relation")
+                F.col("event_resource"),
+                F.col("resource_id"),
+                F.col("relation"),
+                on_unknown=on_unknown,
             )
         ),
     )

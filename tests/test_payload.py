@@ -82,3 +82,62 @@ def test_roundtrip_bulk_on_routed_log(spark):
         | (F.col("m.resource_id") != F.col("resource_id"))
     ).count()
     assert bad == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _py_encode(resource: int, updated: int, rid: str) -> bytes:
+    def varint(v: int) -> bytes:
+        out = b""
+        while True:
+            if v < 128:
+                return out + bytes([v])
+            out += bytes([(v % 128) + 128])
+            v //= 128
+
+    out = b""
+    if resource:
+        out += b"\x08" + varint(resource)
+    if updated:
+        out += b"\x10" + varint(updated)
+    if rid:
+        rb = rid.encode()
+        out += b"\x1a" + varint(len(rb)) + rb
+    return out
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=16383),
+            st.integers(min_value=0, max_value=16383),
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                max_size=300,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_codec_fuzz_matches_python_proto3(spark, data):
+    df = spark.createDataFrame(data, "resource int, updated_type int, resource_id string")
+    rows = df.select(
+        "resource", "updated_type", "resource_id",
+        P.encode_notification("resource", "updated_type", "resource_id").alias("p"),
+    ).collect()
+    for r in rows:
+        assert bytes(r.p) == _py_encode(r.resource, r.updated_type, r.resource_id)
+    back = df.select(
+        "resource", "updated_type", "resource_id",
+        P.decode_notification(
+            P.encode_notification("resource", "updated_type", "resource_id")
+        ).alias("m"),
+    ).collect()
+    for r in back:
+        assert (r.m.resource, r.m.updated_type, r.m.resource_id) == (
+            r.resource, r.updated_type, r.resource_id,
+        )

@@ -111,3 +111,16 @@ def test_subtree_query_catches_descendants(routed):
     base = S.base_subject(["p1"], False)
     got = routed.filter(S.subtree_predicate("subject", base)).count()
     assert got == 9  # every p1-rooted subject: seqs 1-5 (1+1+1+4+2)
+
+
+def test_strict_mode_raises_on_unknown_resource(spark):
+    rows = [{"emit_id": 1, "token": "t", "event_resource": schemas.RESOURCE_ALL,
+             "resource_id": "x", "event_type": 6,
+             "relations": [{"project": "p", "collection": None,
+                            "shared_object": None, "object_groups": []}]}]
+    df = spark.createDataFrame(rows, schemas.RAW_EMITS_SCHEMA)
+    # default: dropped silently
+    assert route_emits(df, secret="t").count() == 0
+    # strict: reproduces the reference's todo!() loud failure
+    with pytest.raises(Exception, match="unsupported resource_type"):
+        route_emits(df, secret="t", on_unknown="error").count()

@@ -132,3 +132,30 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     # last update reflects BOTH batches: 2 events, 375 cents
     assert rows[0].n_events == 2
     assert rows[0].sum_cents == 375
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Sessions merge within the gap and close via the watermark:
+    events at 10:00/10:10 form one session; 12:00 starts another;
+    advancing event time far enough emits the finished sessions."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [_row(1, "2024-01-01 10:00:00"), _row(2, "2024-01-01 10:10:00")], 1)
+    _write_batch(spark, src, [_row(3, "2024-01-01 12:00:00")], 2)
+    _write_batch(spark, src, [_row(4, "2024-01-01 18:00:00")], 3)  # closes everything older
+
+    sessions = W.session_counts(_stream(spark, src), gap="30 minutes", watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    # one merged session 10:00-10:40 (2 events), one 12:00-12:30
+    assert out.get(("2024-01-01 10:00:00", "2024-01-01 10:40:00")) == 2
+    assert out.get(("2024-01-01 12:00:00", "2024-01-01 12:30:00")) == 1
