@@ -133,3 +133,50 @@ def test_subject_filter_modes(spark):
     )
     assert df.filter(subject_filter("UPDATES.STORAGE._.p1.>")).count() == 2
     assert df.filter(subject_filter("UPDATES.STORAGE._.p1._")).count() == 1
+
+
+def test_demux_one_scan_many_groups(spark, tmp_path, log_dir):
+    """DemuxRunner: a single scan delivers per-group filtered chunks
+    identical to what per-group queries would deliver."""
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+
+    _route_and_write(
+        spark,
+        _emit_rows(0, "p1", 4) + _emit_rows(100, "p2", 3) + _emit_rows(200, "p3", 2),
+        log_dir,
+    )
+    runner = DemuxRunner(spark, log_dir, str(tmp_path / "demux_ckpt"))
+    got: dict[str, int] = {"g1": 0, "g2": 0, "g3": 0}
+    runner.register("g1", "UPDATES.STORAGE._.p1.>", lambda cid, df: got.__setitem__("g1", got["g1"] + df.count()))
+    runner.register("g2", "UPDATES.STORAGE._.p2.>", lambda cid, df: got.__setitem__("g2", got["g2"] + df.count()))
+    # exact-level group: matches nothing (all events are collection-level)
+    runner.register("g3", "UPDATES.STORAGE._.p3._", lambda cid, df: got.__setitem__("g3", got["g3"] + df.count()))
+
+    q = runner.start(trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert got == {"g1": 4, "g2": 3, "g3": 0}
+
+
+def test_demux_failed_group_replays_batch(spark, tmp_path, log_dir):
+    """If any group's deliver fails, the shared checkpoint does not
+    commit and the whole batch replays (coarsened at-least-once)."""
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+
+    _route_and_write(spark, _emit_rows(0, "p1", 3), log_dir)
+    ck = str(tmp_path / "ck2")
+
+    r1 = DemuxRunner(spark, log_dir, ck)
+    r1.register("ok", "UPDATES.STORAGE._.p1.>", lambda cid, df: df.count())
+    def boom(cid, df):
+        raise RuntimeError("subscriber crashed")
+    r1.register("bad", "UPDATES.STORAGE._.p1.>", boom)
+    q1 = r1.start(trigger={"availableNow": True})
+    with pytest.raises(Exception):
+        q1.awaitTermination(120)
+
+    r2 = DemuxRunner(spark, log_dir, ck)
+    counts = []
+    r2.register("ok", "UPDATES.STORAGE._.p1.>", lambda cid, df: counts.append(df.count()))
+    q2 = r2.start(trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    assert sum(counts) == 3  # full batch redelivered after the failure
