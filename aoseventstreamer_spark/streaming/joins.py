@@ -1,0 +1,62 @@
+"""Stream-stream joins and the exactly-once sink pattern.
+
+Stream-stream joins are the streaming capability the reference's
+model (single log, filter-only consumers) never reaches for; with
+watermarks on both sides Spark bounds the join state, making windowed
+attribution (click → purchase within N minutes) run indefinitely.
+
+The idempotent sink upgrades the engine's at-least-once chunk
+delivery to exactly-once *effects*: a replayed micro-batch overwrites
+its own batch directory instead of appending a duplicate — the
+standard deterministic-batch-id pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_attribution(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    state_watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner join: each left event matched to right events of the same
+    key occurring in (left.ts, left.ts + within]. Watermarks on both
+    sides let Spark evict join state older than the horizon — without
+    them, stream-stream join state grows forever.
+    """
+    l = left.withWatermark(ts_col, state_watermark).alias("l")
+    r = right.withWatermark(ts_col, state_watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") > F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        F.col("l.event_id").alias("left_id"),
+        F.col("r.event_id").alias("right_id"),
+    )
+
+
+def exactly_once_parquet_sink(stream: DataFrame, path: str, checkpoint: str, trigger: dict | None = None):
+    """At-least-once replay + idempotent (batch-id-keyed, overwrite)
+    writes = exactly-once table contents. A replayed batch rewrites
+    `batch=<id>/` instead of appending duplicates."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"processingTime": "250 milliseconds"}))
+        .start()
+    )

@@ -1,0 +1,74 @@
+"""Stream-stream join and exactly-once sink tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from aoseventstreamer_spark.streaming.joins import (
+    exactly_once_parquet_sink,
+    windowed_attribution,
+)
+from tests.test_streaming_windows import EVENTS_SCHEMA, _row, _stream, _write_batch
+
+
+def test_windowed_attribution(spark, tmp_path):
+    clicks = str(tmp_path / "clicks")
+    buys = str(tmp_path / "buys")
+    # user 1: click 10:00, purchase 10:10  -> attributed (within 30m)
+    # user 1: purchase 12:00               -> NOT attributed (outside)
+    # user 2: purchase 10:05 w/o click     -> not attributed (inner join)
+    _write_batch(spark, clicks, [_row(1, "2024-01-01 10:00:00", uid=1)], 1)
+    _write_batch(
+        spark, buys,
+        [_row(10, "2024-01-01 10:10:00", uid=1, et="purchase"),
+         _row(11, "2024-01-01 12:00:00", uid=1, et="purchase"),
+         _row(12, "2024-01-01 10:05:00", uid=2, et="purchase")],
+        1,
+    )
+    joined = windowed_attribution(
+        _stream(spark, clicks), _stream(spark, buys), within="30 minutes"
+    )
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [(r.user_id, r.left_id, r.right_id) for r in out] == [(1, 1, 10)]
+
+
+def test_exactly_once_sink_no_duplicates_after_replay(spark, tmp_path):
+    """Crash after the write but before the checkpoint commit: the
+    replayed batch must overwrite, not duplicate."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_batch(spark, src, [_row(i, "2024-01-01 10:00:00") for i in range(5)], 1)
+
+    # first attempt: write succeeds, then the epoch "fails" before commit
+    attempt = {"n": 0}
+
+    def write_then_crash(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(f"{dst}/batch={batch_id}")
+        attempt["n"] += 1
+        raise RuntimeError("crash after write, before checkpoint commit")
+
+    q1 = (
+        _stream(spark, src).writeStream.foreachBatch(write_then_crash)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q1.awaitTermination(120)
+    assert attempt["n"] == 1
+    assert spark.read.parquet(dst).count() == 5  # written once
+
+    # restart: the batch replays into the SAME directory (overwrite)
+    q2 = exactly_once_parquet_sink(
+        _stream(spark, src), dst, ck, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dst).count() == 5  # still 5 — no duplicates
