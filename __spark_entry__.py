@@ -13,7 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Python WORKERS (mapInPandas etc.) don't inherit the driver's sys.path
+# mutations — only PYTHONPATH. Export it so closures that reference
+# package modules unpickle on workers regardless of the launch cwd.
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from aoseventstreamer_spark import queries as Q  # noqa: E402
 from aoseventstreamer_spark.functions import subjects as S  # noqa: E402

@@ -68,14 +68,11 @@ class EventStreamerEngine:
         (storage_endpoint_mock.rs:104-110)."""
         if self.grants is None:
             return
-        ok = (
-            self.grants.filter(
-                (F.col("token") == token)
-                & (F.col("resource_type") == resource_type)
-                & (F.col("resource_id") == resource_id)
-            ).count()
-            > 0
-        )
+        ok = not self.grants.filter(
+            (F.col("token") == token)
+            & (F.col("resource_type") == resource_type)
+            & (F.col("resource_id") == resource_id)
+        ).isEmpty()
         if not ok:
             raise AuthorizationError(f"token not granted on {resource_type}:{resource_id}")
 

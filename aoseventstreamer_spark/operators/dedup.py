@@ -38,13 +38,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles of a document (array<string>)."""
+    """Distinct k-word shingles of a document (array<string>).
+    Documents with fewer than k tokens have zero shingles (guarded:
+    F.sequence would otherwise descend and slice(pos=0) would throw)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.trim(c), r"\s+")
     n = F.size(tokens)
-    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -143,6 +148,10 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate pipeline."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k)
     return lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
@@ -182,10 +191,18 @@ def simhash_docs(
 
 
 def ngram_set(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct character n-grams (array<string>) for Jaccard."""
+    """Distinct character n-grams (array<string>) for Jaccard.
+    Strings shorter than n have zero n-grams (guarded: substring at
+    the descending-sequence position 0 would silently return the whole
+    text as a fake gram)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(starts, lambda i: F.substring(c, i, n)))
+    ln = F.length(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)), lambda i: F.substring(c, i, n)
+    )
+    return F.when(ln >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def ngram_jaccard_pairs(

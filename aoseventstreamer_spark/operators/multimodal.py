@@ -85,19 +85,39 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batches)."""
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    The closure is deliberately self-contained (no references to this
+    module's globals): Python workers unpickle it without needing the
+    package importable on their own sys.path, so the operator works no
+    matter what directory the driver process was launched from.
+    """
     import hashlib
+
+    def safe_feat(p):
+        # one undecodable row must not kill a distributed job: null
+        # feature instead (the curation filter downstream drops it).
+        # STUB decode inlined — swap for PIL/torchvision in production.
+        if p is None or len(p) == 0:
+            return None
+        buckets = [0] * 8
+        for b in p:
+            buckets[b >> 5] += 1
+        return [c / len(p) for c in buckets]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = pdf["payload"]
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "checksum": pdf["payload"].map(
-                        lambda p: hashlib.md5(p).hexdigest()
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else 0
+                    ).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest() if p else None
                     ),
-                    "feat": pdf["payload"].map(_stub_decode_image),
+                    "feat": payloads.map(safe_feat),
                 }
             )
             yield out
@@ -114,6 +134,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue  # nothing to sample; don't kill the task
                 n = min(max_frames, max(1, len(payload) // every_n_bytes))
                 for i in range(n):
                     ids.append(mid)

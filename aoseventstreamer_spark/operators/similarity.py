@@ -81,20 +81,23 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component i of plane p is
-    a hash-derived value in [-1, 1). No model state to ship."""
+def _hyperplane(plane: int, vec: Column) -> Column:
+    """Deterministic pseudo-random hyperplane sized to the actual
+    vector (component i of plane p is hash-derived in [-1, 1)). Sizing
+    from the data — not a dim parameter — means a mismatched dim can
+    never null out the dot products and silently collapse every row
+    into one bucket."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
+        F.sequence(F.lit(0), F.size(vec) - 1),
         lambda i: (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(20001)) - 10000) / 10000.0,
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+def lsh_bucket(vec: Column, n_planes: int) -> Column:
     """Random-hyperplane signature: one sign bit per plane,
     concatenated into a string bucket key."""
     bits = [
-        F.when(dot(vec, _hyperplane(p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(dot(vec, _hyperplane(p, vec)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
     return F.concat(*bits)
@@ -105,7 +108,6 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int = 3,
     n_planes: int = 8,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -116,14 +118,14 @@ def lsh_ann_topk(
         embeddings.select(
             F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
         )
-        .withColumn("bucket", lsh_bucket(F.col("cand_vec"), n_planes, dim))
+        .withColumn("bucket", lsh_bucket(F.col("cand_vec"), n_planes))
         .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
     )
     qry = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
         )
-        .withColumn("bucket", lsh_bucket(F.col("query_vec"), n_planes, dim))
+        .withColumn("bucket", lsh_bucket(F.col("query_vec"), n_planes))
         .withColumn("query_norm", l2_norm(F.col("query_vec")))
     )
     scored = (
@@ -237,7 +239,6 @@ def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
-    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -245,7 +246,7 @@ def cosine_near_dup_pairs(
     same-bucket pairs are scored."""
     side = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes, dim)).withColumn(
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes)).withColumn(
         "norm", l2_norm(F.col("vec"))
     )
     a, b = side.alias("a"), side.alias("b")

@@ -31,7 +31,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``large ⋈ small`` on column ``on`` with the hot-key
     shuffle spread over n_salts partitions per key. Result is identical
-    to ``large.join(small, on, how)``."""
+    to ``large.join(small, on, how)``.
+
+    Only inner and left joins are supported: for right/full outer the
+    exploded small side would surface each unmatched small row once
+    per salt value (n_salts duplicates), so those modes are rejected
+    rather than silently wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
     salted_large = large.withColumn(_SALT, _salt_col(large, n_salts))
     salted_small = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -56,7 +63,10 @@ def two_phase_agg(
         fn, _, col = spec.rstrip(")").partition("(")
         fn = fn.lower()
         if fn == "count":
-            partial_exprs.append(F.count("*").alias(out_name))
+            # count(*) counts rows; count(col) must skip nulls
+            partial_exprs.append(
+                (F.count("*") if col in ("*", "") else F.count(col)).alias(out_name)
+            )
             final_exprs.append(F.sum(out_name).alias(out_name))
         elif fn in ("sum", "min", "max"):
             partial_exprs.append(getattr(F, fn)(col).alias(out_name))

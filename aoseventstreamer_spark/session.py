@@ -17,6 +17,11 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "aoseventstreamer-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # make the package importable on Python workers regardless of cwd
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + os.pathsep + current if current else pkg_root
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -1,0 +1,89 @@
+"""Regression tests for defects found in the package-wide review:
+short-document guards, salted-join mode safety, count(col) semantics,
+null-payload tolerance, LSH dimension independence, band divisibility."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import dedup as D
+from aoseventstreamer_spark.operators import multimodal as MM
+from aoseventstreamer_spark.operators import similarity as SIM
+from aoseventstreamer_spark.operators.skew import salted_join, two_phase_agg
+
+
+def test_minhash_survives_short_and_empty_docs(spark):
+    rows = [(1, ""), (2, "one"), (3, "only two"),
+            (4, "a full length document body here"),
+            (5, "a full length document body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.sig for r in D.minhash_docs(df).collect()}
+    assert set(sigs) == {4, 5}  # short docs yield no shingles, no crash
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_dedup_pairs(df).collect()}
+    assert pairs == {(4, 5)}
+
+
+def test_ngram_set_empty_for_short_strings(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "abc")], "doc_id long, text string")
+    got = {r.doc_id: r.g for r in df.select("doc_id", D.ngram_set("text", 3).alias("g")).collect()}
+    assert got[1] == []  # previously returned ['ab'] — a fake 3-gram
+    assert got[2] == ["abc"]
+
+
+def test_minhash_band_divisibility_enforced(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_dedup_pairs(df, num_hashes=18, bands=4)
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="right")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_two_phase_count_col_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (2, 3.0)], "k long, v double"
+    )
+    out = {r.k: (r.n_rows, r.n_vals) for r in two_phase_agg(
+        df, "k", {"n_rows": "count(*)", "n_vals": "count(v)"}
+    ).collect()}
+    assert out[1] == (2, 1)  # count(*) counts the null row; count(v) doesn't
+    assert out[2] == (1, 1)
+
+
+def test_multimodal_tolerates_null_and_empty_payloads(spark):
+    rows = [(1, "real content here"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = MM.attach_binary_payload(df)
+    feats = {r.media_id: r for r in MM.extract_image_features(media).collect()}
+    assert len(feats) == 3  # no task death
+    assert feats[1].feat is not None and feats[2].feat is None and feats[3].feat is None
+    assert feats[3].n_bytes == 0 and feats[3].checksum is None
+    # frame sampling skips unsampleable rows instead of crashing
+    frames = MM.sample_frames(media, every_n_bytes=8).collect()
+    assert {r.media_id for r in frames} == {1}
+
+
+def test_lsh_bucket_independent_of_dimension(spark):
+    """Hyperplanes size themselves from the data: 32-dim vectors must
+    spread across buckets (previously a wrong dim param nulled every
+    dot product and collapsed all rows into one bucket)."""
+    import random
+
+    random.seed(1)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(32)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = {
+        r.b
+        for r in df.select(
+            SIM.lsh_bucket(SIM.as_double_vec("embedding"), 8).alias("b")
+        ).collect()
+    }
+    assert len(buckets) > 4  # spread, not collapsed
+    ann = SIM.lsh_ann_topk(df, df.filter(F.col("vec_id") < 3), k=2)
+    assert ann.count() <= 6
