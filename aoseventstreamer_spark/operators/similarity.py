@@ -93,14 +93,25 @@ def _hyperplane(plane: int, vec: Column) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int) -> Column:
+def lsh_bucket(vec: Column, n_planes: int, table: int = 0) -> Column:
     """Random-hyperplane signature: one sign bit per plane,
-    concatenated into a string bucket key."""
+    concatenated into a string bucket key (prefixed by the table index
+    so different tables never collide)."""
     bits = [
-        F.when(dot(vec, _hyperplane(p, vec)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(dot(vec, _hyperplane(table * n_planes + p, vec)) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
         for p in range(n_planes)
     ]
-    return F.concat(*bits)
+    return F.concat(F.lit(f"{table}:"), *bits)
+
+
+def lsh_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
+    """Multi-table LSH (the textbook AND/OR construction): n_planes
+    sign bits ANDed within a table, n_tables tables ORed by taking the
+    union of candidates. Raises recall P(match) = 1-(1-p^planes)^tables
+    without scoring more than the bucket slices."""
+    return F.array(*[lsh_bucket(vec, n_planes, t) for t in range(n_tables)])
 
 
 def lsh_ann_topk(
@@ -108,29 +119,32 @@ def lsh_ann_topk(
     queries: DataFrame,
     k: int = 3,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: score only candidates sharing the query's
-    hyperplane-sign bucket. The join is an equi-join on the bucket
-    key — the scale path when the candidate set no longer broadcasts."""
+    """Approximate NN: score only candidates sharing one of the query's
+    hyperplane-sign buckets (multi-table OR for recall). The join is an
+    equi-join on the bucket key — the scale path when the candidate set
+    no longer broadcasts."""
     cand = (
         embeddings.select(
             F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
         )
-        .withColumn("bucket", lsh_bucket(F.col("cand_vec"), n_planes))
+        .withColumn("bucket", F.explode(lsh_buckets(F.col("cand_vec"), n_planes, n_tables)))
         .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
     )
     qry = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
         )
-        .withColumn("bucket", lsh_bucket(F.col("query_vec"), n_planes))
+        .withColumn("bucket", F.explode(lsh_buckets(F.col("query_vec"), n_planes, n_tables)))
         .withColumn("query_norm", l2_norm(F.col("query_vec")))
     )
     scored = (
         cand.join(F.broadcast(qry), on="bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
+        .dropDuplicates(["query_id", "cand_id"])
         .withColumn(
             "sim",
             dot(F.col("query_vec"), F.col("cand_vec"))
@@ -238,28 +252,29 @@ def ivf_topk(
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
-    same-bucket pairs are scored."""
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    bucketing: only same-bucket pairs are scored; pairs matching in
+    several tables are deduped before scoring."""
     side = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), n_planes)).withColumn(
-        "norm", l2_norm(F.col("vec"))
-    )
+    ).withColumn(
+        "bucket", F.explode(lsh_buckets(F.col("vec"), n_planes, n_tables))
+    ).withColumn("norm", l2_norm(F.col("vec")))
     a, b = side.alias("a"), side.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn(
-            "sim",
-            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")),
-        )
-        .filter(F.col("sim") >= threshold)
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round("sim", 4).alias("sim"),
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
+            F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )

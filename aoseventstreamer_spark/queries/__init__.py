@@ -39,6 +39,8 @@ def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle=None`` → rows-only driver check."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -63,12 +65,22 @@ def sum_value_2dp(col: Column | str, alias: str) -> Column:
 
 
 SQL_SUM_2DP = "ROUND(SUM(CAST(ROUND({c}*100) AS BIGINT))/100.0, 2)"
-SQL_AVG_4DP = "ROUND(SUM(CAST(ROUND({c}*100) AS BIGINT))/(100.0*COUNT({c})), 4)"
+# avg at 4dp via integer rounding: scale-0 ties are exactly
+# representable doubles, so Spark's HALF_UP (decimal-string based) and
+# DuckDB's half-away-from-zero (binary based) agree — unlike
+# ROUND(x, 4) whose x.xxxx5 ties usually aren't representable and the
+# two engines then round from different sides.
+SQL_AVG_4DP = (
+    "CAST(ROUND(SUM(CAST(ROUND({c}*100) AS BIGINT))*100.0/COUNT({c})) AS BIGINT)"
+    "/10000.0"
+)
 
 
 def avg_value_4dp(col: Column | str, alias: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(cents(c)) / (100.0 * F.count(c)), 4).alias(alias)
+    return (
+        F.round(F.sum(cents(c)) * 100.0 / F.count(c)).cast("long") / 10000.0
+    ).alias(alias)
 
 
 # Populate the registries.

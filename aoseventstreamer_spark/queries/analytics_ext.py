@@ -62,20 +62,23 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value
     FROM events
-    WHERE value > (SELECT ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))
-                                / (100.0*COUNT(*)), 2) FROM events)
+    WHERE value > (SELECT SUM(CAST(ROUND(value*100) AS BIGINT))
+                          / (100.0*COUNT(*)) FROM events)
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter vs a scalar subquery; the threshold is the cents-exact
-    rounded mean so both engines compare against the identical double."""
+    """Filter vs a scalar subquery. The threshold is left UNROUNDED:
+    exact integer cents divided by 100.0*n is the same IEEE double in
+    both engines, whereas ROUND(x, 2) can diverge on decimal ties
+    (Spark rounds the decimal string HALF_UP, DuckDB rounds the binary
+    value)."""
     t(spark, sf_dir, "events").createOrReplaceTempView("ssq_events")
     return spark.sql(
         """
         SELECT event_id, user_id, value
         FROM ssq_events
-        WHERE value > (SELECT ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))
-                                    / (100.0*COUNT(*)), 2) FROM ssq_events)
+        WHERE value > (SELECT SUM(CAST(ROUND(value*100) AS BIGINT))
+                              / (100.0*COUNT(*)) FROM ssq_events)
         """
     )
 

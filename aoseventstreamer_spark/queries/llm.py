@@ -224,8 +224,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_embed_near_dup")  # rows-only: hyperplanes derive from xxhash64
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets."""
-    return SIM.cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9)
+    """Embedding-cosine near-duplicate pairs via multi-table LSH.
+    Threshold 0.4 fires on the fixture vectors (max pairwise cosine is
+    ~0.51 there; the old 0.9 made the check vacuous)."""
+    return SIM.cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @query("q_multimodal_features")  # rows-only: mapInPandas, not SQL-expressible

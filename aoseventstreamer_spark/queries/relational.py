@@ -142,18 +142,12 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("orderdate"),
         )
         .agg(
-            # per-row cents before the sum: the scalar double product is
-            # bit-identical across engines, so the aggregate is exact
-            # integer math and can't drift with aggregation order
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                    ).cast("long")
-                )
-                / 100.0,
-                2,
-            ).alias("revenue")
+            # per-row cents before the sum (sum_value_2dp): the scalar
+            # double product is bit-identical across engines, so the
+            # aggregate is exact integer math
+            sum_value_2dp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
         )
     )
 
@@ -416,15 +410,22 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events WHERE event_type = 'error'
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, day) pairs with views but no errors — daily granularity
+    keeps the difference non-empty at every SF, so the EXCEPT surface
+    is actually exercised (user-level difference is vacuously empty in
+    these fixtures: every user has every event type)."""
     ev = t(spark, sf_dir, "events")
-    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
-    erroring = ev.filter(F.col("event_type") == "error").select("user_id")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id", day)
     return viewers.subtract(erroring)
 
 
@@ -502,7 +503,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            value * 2 AS dbl,
            value / 4 AS quarter,
-           ROUND(sqrt(value), 6) AS sq,
+           ROUND(sqrt(GREATEST(value, 0)), 6) AS sq,
            abs(value - 100.0) AS dev,
            CAST(FLOOR(value) AS BIGINT) AS fl,
            CAST(CEIL(value) AS BIGINT) AS ce,
@@ -517,7 +518,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (v * 2).alias("dbl"),
         (v / 4).alias("quarter"),
-        F.round(F.sqrt(v), 6).alias("sq"),
+        F.round(F.sqrt(F.greatest(v, F.lit(0.0))), 6).alias("sq"),
         F.abs(v - 100.0).alias("dev"),
         F.floor(v).alias("fl"),
         F.ceil(v).alias("ce"),
@@ -557,7 +558,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
     FROM events
     """,
 )
@@ -624,7 +625,7 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL '30 minutes'
+                       > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ), s AS (
@@ -641,9 +642,12 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window, 30-min gap per user. Spark merges event windows
-    [ts, ts+gap) that overlap, so a new session starts when the time
-    since the previous event is >= gap; session end = last ts + gap.
-    The oracle is the classic gaps-and-islands formulation."""
+    [ts, ts+gap) that overlap OR TOUCH: an event exactly gap after the
+    previous one still extends the session, so a new session starts
+    only when the inter-event time is strictly greater than the gap
+    (verified against session_window on boundary fixtures); session
+    end = last ts + gap. The oracle is the classic gaps-and-islands
+    formulation with the matching strict break."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
