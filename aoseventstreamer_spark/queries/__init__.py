@@ -84,6 +84,6 @@ def avg_value_4dp(col: Column | str, alias: str) -> Column:
 
 
 # Populate the registries.
-from aoseventstreamer_spark.queries import analytics_ext, coverage_ext, llm, relational, routing_queries  # noqa: E402,F401
+from aoseventstreamer_spark.queries import analytics_ext, coverage_ext, llm, relational, routing_queries, temporal_ext  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLE_SQL", "query", "t", "cents", "sum_value_2dp", "avg_value_4dp"]

@@ -68,3 +68,66 @@ def test_stream_source_to_sink(spark, tmp_path, routed):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(dst).count() == routed.count()
+
+
+def test_compaction_consolidates_small_files(spark, tmp_path, routed):
+    """Many appends -> many small files; compaction rewrites to ~1 file
+    per partition dir with identical contents."""
+    import glob
+
+    from aoseventstreamer_spark.operators.maintenance import compact_event_log
+
+    src = str(tmp_path / "frag")
+    for _ in range(6):  # six appends -> many files per partition
+        sources.write_batch(routed, src, partition_by=("project_id",))
+    files_before = glob.glob(f"{src}/project_id=p0/*.parquet")
+    assert len(files_before) >= 6
+
+    dst = str(tmp_path / "compact")
+    rows, parts = compact_event_log(spark, src, dst)
+    assert rows == routed.count() * 6 and parts == 2
+    files_after = glob.glob(f"{dst}/project_id=p0/*.parquet")
+    assert len(files_after) <= 2
+    assert spark.read.parquet(dst).count() == rows
+
+
+def test_rate_source_continuous_routing(spark, tmp_path):
+    """Continuous pipeline: rate source -> synthesized emits -> full
+    routing -> delivery; proves the write path runs as a stream."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.operators.routing import subjects_for_relation
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+    )
+    raw = rate.select(
+        F.col("value").alias("emit_id"),
+        F.lit(1).cast("int").alias("event_resource"),
+        F.concat(F.lit("p"), F.col("value") % 5).alias("resource_id"),
+        F.struct(
+            F.concat(F.lit("p"), F.col("value") % 5).cast("string").alias("project"),
+            F.lit(None).cast("string").alias("collection"),
+            F.lit(None).cast("string").alias("shared_object"),
+            F.array().cast("array<struct<shared_object_group_id:string>>").alias("object_groups"),
+        ).alias("relation"),
+    )
+    routed_stream = raw.select(
+        "emit_id",
+        F.inline(
+            subjects_for_relation(
+                F.col("event_resource"), F.col("resource_id"), F.col("relation")
+            )
+        ),
+    )
+    got = []
+    q = (
+        routed_stream.writeStream.foreachBatch(lambda df, bid: got.append(df.count()))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    time.sleep(8)
+    q.stop()
+    assert sum(got) > 100  # events flowed continuously
