@@ -149,6 +149,28 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_docs(t(spark, sf_dir, "documents"))
 
 
+@query("q_near_dup_verified")  # rows-only: candidates come from xxhash64 LSH
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline: cheap LSH candidate
+    generation (minhash bands) followed by exact n-gram-Jaccard
+    verification of ONLY the candidates — precision without ever
+    scoring all O(n²) pairs."""
+    docs = t(spark, sf_dir, "documents")
+    candidates = D.minhash_dedup_pairs(docs)
+    grams = docs.select("doc_id", D.ngram_set("text", 3).alias("grams"))
+    a = grams.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grams", "grams_a")
+    b = grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grams", "grams_b")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4))
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 @query(
     "q_ngram_jaccard",
     oracle="""

@@ -31,8 +31,13 @@ HEADLINE = [
     "q_doc_exact_dedup",
     "q_doc_minhash_band",
     "q_doc_simhash",
+    "q_near_dup_verified",
     "q_text_stats",
     "q_cosine_topk",
+    "q_asof_join",
+    "q_range_join",
+    "q_percentiles",
+    "q_ann_lsh",
 ]
 
 
