@@ -122,3 +122,22 @@ def test_events_scan_prunes_partitions_when_partitioned(spark, tmp_path):
     plan = formatted_plan(df)
     scan = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "project_id" in scan
+
+
+def test_every_query_plans_jvm_side(spark, sf_dir):
+    """Full-surface structural check: all 72 queries must analyze
+    successfully, and none may fall back to row-at-a-time Python
+    execution — the only Python-executing plans allowed are the
+    multimodal mapInPandas queries (Arrow-batched by design)."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+    from aoseventstreamer_spark.queries import QUERIES
+
+    python_ok = {"q_multimodal_features", "q_multimodal_frames"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython (row-at-a-time UDF)"
+        elif "MapInPandas" in plan and name not in python_ok:
+            offenders[name] = "unexpected MapInPandas"
+    assert not offenders, offenders
