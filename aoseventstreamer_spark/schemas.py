@@ -93,6 +93,10 @@ STREAM_GROUPS_SCHEMA = T.StructType(
         T.StructField("resource_type", T.IntegerType()),
         T.StructField("resource_id", T.StringType()),
         T.StructField("notify_on_sub_resource", T.BooleanType()),
+        # engine extension beyond the mock's 5 fields: the compiled
+        # query subject is persisted with the group so attach never
+        # needs to re-derive it
+        T.StructField("filter_subject", T.StringType()),
     ]
 )
 

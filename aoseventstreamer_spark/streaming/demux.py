@@ -16,6 +16,8 @@ per-group offsets. Groups that need isolated progress stay on
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -38,16 +40,54 @@ class DemuxRunner:
         self.events_path = events_path
         self.checkpoint = checkpoint
         self._groups: list[DemuxGroup] = []
+        self._started = False
 
     def register(
         self, group_id: str, filter_subject: str, deliver: Callable[[int, DataFrame], None]
     ) -> None:
+        if self._started:
+            # the running foreachBatch closes over the group snapshot
+            # taken at start(); accepting a late registration would be
+            # silent total data loss for that subscriber
+            raise RuntimeError(
+                "DemuxRunner already started; stop it and start a new "
+                "runner to change the group set"
+            )
         self._groups.append(DemuxGroup(group_id, filter_subject, deliver))
 
-    def start(self, trigger: dict | None = None, max_files_per_trigger: int = 64):
+    def _check_group_set(self, group_ids: list[str], allow_missed_history: bool) -> None:
+        """A shared checkpoint means a group added on restart starts at
+        the committed offsets — it silently misses all prior history
+        (unlike per-group StreamGroupManager queries, which replay from
+        the start). Detect that and make it explicit."""
+        manifest = os.path.join(self.checkpoint, "demux_groups.json")
+        previous: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                previous = json.load(f)
+        new_groups = sorted(set(group_ids) - set(previous))
+        if previous and new_groups and not allow_missed_history:
+            raise ValueError(
+                f"groups {new_groups} were added to an existing demux "
+                "checkpoint and would miss all previously committed "
+                "history; replay them via StreamGroupManager first, or "
+                "pass allow_missed_history=True to accept the gap"
+            )
+        os.makedirs(self.checkpoint, exist_ok=True)
+        with open(manifest, "w") as f:
+            json.dump(sorted(set(group_ids) | set(previous)), f)
+
+    def start(
+        self,
+        trigger: dict | None = None,
+        max_files_per_trigger: int = 64,
+        allow_missed_history: bool = False,
+    ):
         groups = list(self._groups)
         if not groups:
             raise ValueError("no groups registered")
+        self._check_group_set([g.id for g in groups], allow_missed_history)
+        self._started = True
 
         def fan_out(batch_df: DataFrame, batch_id: int) -> None:
             batch_df.persist()

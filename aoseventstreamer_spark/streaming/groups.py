@@ -75,10 +75,14 @@ def compile_query_subject(
 
 
 def subject_filter(filter_subject: str) -> F.Column:
-    """Predicate equivalent of the broker-side filter_subject."""
+    """Predicate equivalent of the broker-side filter_subject —
+    delegates to the grammar's own predicate builders so the encoding
+    lives in exactly one place (subjects.py)."""
     if filter_subject.endswith(S.SUBTREE_TERMINATOR):
-        return F.col("subject").startswith(filter_subject[:-1])
-    return F.col("subject") == F.lit(filter_subject)
+        base = filter_subject[: -len(S.SUBTREE_TERMINATOR)]
+        return S.query_predicate("subject", base, include_subresources=True)
+    base = filter_subject[: -len(S.PUBLISH_TERMINATOR)]
+    return S.query_predicate("subject", base, include_subresources=False)
 
 
 class StreamGroupManager:
@@ -119,20 +123,24 @@ class StreamGroupManager:
                     group.resource_type,
                     group.resource_id,
                     group.notify_on_sub_resource,
+                    group.filter_subject,
                 )
             ],
             schemas.STREAM_GROUPS_SCHEMA,
-        ).withColumn("filter_subject", F.lit(group.filter_subject))
+        )
         record.write.mode("append").parquet(self.groups_path)
         return group
 
     def get_stream_group(self, group_id: str) -> StreamGroup:
-        """Lookup (operator #18)."""
-        row = (
-            self.spark.read.parquet(self.groups_path)
-            .filter(F.col("id") == group_id)
-            .first()
-        )
+        """Lookup (operator #18); unknown ids raise KeyError — even
+        before any group was ever created (no registry table yet)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            registry = self.spark.read.parquet(self.groups_path)
+        except AnalysisException as e:
+            raise KeyError(f"unknown stream group {group_id}") from e
+        row = registry.filter(F.col("id") == group_id).first()
         if row is None:
             raise KeyError(f"unknown stream group {group_id}")
         return StreamGroup(
@@ -152,7 +160,13 @@ class StreamGroupManager:
             .option("maxFilesPerTrigger", "64")
             .parquet(self.events_path)
         )
-        return stream.filter(subject_filter(group.filter_subject))
+        filtered = stream.filter(subject_filter(group.filter_subject))
+        # the reference persists event_type but never filters on it
+        # (natsio.rs consumer filter is subject-only); we honor it —
+        # Unspecified (0) and All match everything
+        if group.event_type not in (0, schemas.EVENT_TYPE_ALL):
+            filtered = filtered.filter(F.col("updated_type") == group.event_type)
+        return filtered
 
     def read_stream_group(
         self,

@@ -22,6 +22,7 @@ def windowed_attribution(
     right: DataFrame,
     key: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
     within: str = "30 minutes",
     state_watermark: str = "1 hour",
 ) -> DataFrame:
@@ -41,8 +42,8 @@ def windowed_attribution(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{ts_col}").alias("left_ts"),
         F.col(f"r.{ts_col}").alias("right_ts"),
-        F.col("l.event_id").alias("left_id"),
-        F.col("r.event_id").alias("right_id"),
+        F.col(f"l.{id_col}").alias("left_id"),
+        F.col(f"r.{id_col}").alias("right_id"),
     )
 
 

@@ -74,7 +74,10 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # null values count as 0 cents — a NaN->int64 cast would
+            # poison the batch forever (checkpoint replays it on every
+            # restart)
+            cents += int((pdf["value"].fillna(0.0) * 100).round().astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}

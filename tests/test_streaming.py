@@ -180,3 +180,58 @@ def test_demux_failed_group_replays_batch(spark, tmp_path, log_dir):
     q2 = r2.start(trigger={"availableNow": True})
     q2.awaitTermination(120)
     assert sum(counts) == 3  # full batch redelivered after the failure
+
+
+def test_event_type_filters_delivery(spark, tmp_path, log_dir):
+    """A group created with a specific event_type must receive only
+    matching events (the reference persists but ignores it — lifted)."""
+    rows = []
+    for i, et in enumerate([1, 2, 1]):
+        rows.append({
+            "emit_id": i, "token": "t",
+            "event_resource": schemas.RESOURCE_COLLECTION,
+            "resource_id": f"c{i}", "event_type": et,
+            "relations": [{"project": "p1", "collection": None,
+                           "shared_object": None, "object_groups": []}],
+        })
+    _route_and_write(spark, rows, log_dir)
+    mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "state"))
+    g = mgr.create_stream_group(
+        schemas.RESOURCE_PROJECT, "p1", include_subresources=True, event_type=1
+    )
+    got = []
+    q = mgr.read_available(g.id, lambda cid, df: got.extend(r.updated_type for r in df.collect()))
+    q.awaitTermination(120)
+    assert got == [1, 1]  # event_type 2 excluded
+
+
+def test_unknown_group_before_any_created(spark, tmp_path, log_dir):
+    mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "fresh_state"))
+    with pytest.raises(KeyError):  # not AnalysisException/PATH_NOT_FOUND
+        mgr.get_stream_group("nope")
+
+
+def test_demux_rejects_late_registration_and_history_gap(spark, tmp_path, log_dir):
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+
+    _route_and_write(spark, _emit_rows(0, "p1", 2), log_dir)
+    ck = str(tmp_path / "ckg")
+    r1 = DemuxRunner(spark, log_dir, ck)
+    r1.register("a", "UPDATES.STORAGE._.p1.>", lambda cid, df: df.count())
+    q = r1.start(trigger={"availableNow": True})
+    with pytest.raises(RuntimeError, match="already started"):
+        r1.register("late", "UPDATES.STORAGE._.p1.>", lambda cid, df: None)
+    q.awaitTermination(120)
+
+    # restart with a NEW group on the same checkpoint: loud, not silent
+    r2 = DemuxRunner(spark, log_dir, ck)
+    r2.register("a", "UPDATES.STORAGE._.p1.>", lambda cid, df: None)
+    r2.register("b", "UPDATES.STORAGE._.p1.>", lambda cid, df: None)
+    with pytest.raises(ValueError, match="miss all previously committed"):
+        r2.start(trigger={"availableNow": True})
+    # explicit opt-in works
+    r3 = DemuxRunner(spark, log_dir, ck)
+    r3.register("a", "UPDATES.STORAGE._.p1.>", lambda cid, df: None)
+    r3.register("b", "UPDATES.STORAGE._.p1.>", lambda cid, df: None)
+    q3 = r3.start(trigger={"availableNow": True}, allow_missed_history=True)
+    q3.awaitTermination(120)

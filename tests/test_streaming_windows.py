@@ -159,3 +159,21 @@ def test_streaming_session_window(spark, tmp_path):
     # one merged session 10:00-10:40 (2 events), one 12:00-12:30
     assert out.get(("2024-01-01 10:00:00", "2024-01-01 10:40:00")) == 2
     assert out.get(("2024-01-01 12:00:00", "2024-01-01 12:30:00")) == 1
+
+
+def test_stateful_stats_survive_null_values(spark, tmp_path):
+    """A null value must not poison the stateful batch (NaN→int64
+    raises; checkpoint replay would kill the stream forever)."""
+    src = str(tmp_path / "src")
+    _write_batch(spark, src, [_row(1, "2024-01-01 10:00:00", uid=7, v=1.50),
+                              (2, __import__("datetime").datetime(2024, 1, 1, 10, 1), 7, "click", None)], 1)
+    got = []
+    q = (
+        W.running_user_stats(_stream(spark, src))
+        .writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got[0].n_events == 2 and got[0].sum_cents == 150  # null counted as 0
