@@ -54,17 +54,19 @@ def word_shingles(text_col: Column | str, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """num_hashes independent minhashes (array<long>): permutation j is
-    xxhash64 seeded with j. One aggregate pass over the shingles with
-    an elementwise-min fold — the shingle array is evaluated once, not
-    num_hashes times."""
+    """num_hashes independent minhashes (array<long>): the shingle
+    string is hashed ONCE (xxhash64), then permutation j re-hashes the
+    resulting 8-byte long with j mixed in — variable-length string
+    hashing happens once per shingle, not num_hashes times. One
+    aggregate pass with an elementwise-min fold."""
     MAX_LONG = (1 << 63) - 1
+    pre = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.aggregate(
-        shingles,
+        pre,
         F.array_repeat(F.lit(MAX_LONG), num_hashes),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(F.lit(j), s) for j in range(num_hashes)]),
+            F.array(*[F.xxhash64(F.lit(j), h) for j in range(num_hashes)]),
             lambda a, b: F.least(a, b),
         ),
     )
@@ -82,15 +84,18 @@ def minhash_docs(
     Preferred over the array-fold version at scale: partial (map-side)
     aggregation means the shuffle carries only num_hashes longs per
     (doc, mapper), and duplicate shingles need no dedup pass (the min
-    is invariant under multiplicity)."""
-    exploded = df.select(
+    is invariant under multiplicity). Each shingle string is hashed
+    once; the num_hashes permutations re-hash the fixed-width long."""
+    from ..session import ensure_parallelism
+
+    exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
     )
-    agg = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"_m{j}")
-            for j in range(num_hashes)
-        ]
+    # materialized projection => exactly one string hash per shingle,
+    # independent of subexpression elimination
+    hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h"))
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(j), "h")).alias(f"_m{j}") for j in range(num_hashes)]
     )
     return agg.select(
         F.col(id_col),
@@ -167,6 +172,9 @@ def simhash_docs(
     columns (map-side partial aggregation; the shuffle carries 64
     longs per (doc, mapper)). Token multiplicity is part of SimHash's
     definition and is naturally preserved by explode."""
+    from ..session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),

@@ -9,12 +9,26 @@ Two paths, as a 100 TB design requires:
 - LSH-bucketed ANN: random-hyperplane signatures bucket both sides;
   candidates come from an equi-join on the bucket key, so cost is
   O(n · bucket_size), not O(n · q). Recall is tunable via n_planes /
-  n_tables. Hyperplanes are derived deterministically from xxhash64
-  so both sides agree without shipping a model.
+  n_tables.
+
+Hyperplanes have two derivation paths:
+
+- **literal planes (the scale path, used by the bulk operators)**: the
+  plane matrix is generated driver-side from a fixed seed and embedded
+  as array literals — the per-row cost is a pure multiply-add fold,
+  with no per-row hash evaluation. This is the Spark analogue of
+  broadcasting a projection matrix.
+- **per-row derivation (fallback)**: when the vector dimension is not
+  known at plan-build time, plane components are hash-derived
+  (xxhash64) per row, sized from the data itself so a wrong dim can
+  never silently collapse every row into one bucket.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,6 +65,9 @@ def brute_force_topk(
     Pre-computes norms once per side, broadcasts the query side, and
     keeps the entire scoring loop in codegen'd array expressions.
     """
+    from ..session import ensure_parallelism
+
+    embeddings = ensure_parallelism(embeddings)
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"),
         as_double_vec(vec_col).alias("cand_vec"),
@@ -81,37 +98,113 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane: int, vec: Column) -> Column:
-    """Deterministic pseudo-random hyperplane sized to the actual
-    vector (component i of plane p is hash-derived in [-1, 1)). Sizing
-    from the data — not a dim parameter — means a mismatched dim can
-    never null out the dot products and silently collapse every row
-    into one bucket."""
+@lru_cache(maxsize=None)
+def _plane_values(plane: int, dim: int) -> tuple[float, ...]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1),
+    generated driver-side (numpy's legacy RandomState is bit-stable
+    across platforms and versions by contract)."""
+    import numpy as np
+
+    rs = np.random.RandomState(0xA05 + plane)
+    return tuple(float(x) for x in rs.uniform(-1.0, 1.0, size=dim))
+
+
+def _hyperplane(plane: int, vec: Column, dim: int | None = None) -> Column:
+    """Hyperplane column. With ``dim`` (the scale path) the plane is an
+    array LITERAL — evaluated once at plan build, broadcast with the
+    plan, per-row cost zero. Without ``dim``, components are
+    hash-derived per row, sized from the data itself, so a mismatched
+    dim can never null out the dot products and silently collapse
+    every row into one bucket."""
+    if dim is not None:
+        return F.array(*[F.lit(v) for v in _plane_values(plane, dim)])
     return F.transform(
         F.sequence(F.lit(0), F.size(vec) - 1),
         lambda i: (F.pmod(F.xxhash64(F.lit(plane), i), F.lit(20001)) - 10000) / 10000.0,
     )
 
 
-def lsh_bucket(vec: Column, n_planes: int, table: int = 0) -> Column:
+def lsh_bucket(vec: Column, n_planes: int, table: int = 0, dim: int | None = None) -> Column:
     """Random-hyperplane signature: one sign bit per plane,
     concatenated into a string bucket key (prefixed by the table index
     so different tables never collide)."""
     bits = [
-        F.when(dot(vec, _hyperplane(table * n_planes + p, vec)) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
+        F.when(
+            dot(vec, _hyperplane(table * n_planes + p, vec, dim)) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
     return F.concat(F.lit(f"{table}:"), *bits)
 
 
-def lsh_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
+def lsh_buckets(vec: Column, n_planes: int, n_tables: int, dim: int | None = None) -> Column:
     """Multi-table LSH (the textbook AND/OR construction): n_planes
     sign bits ANDed within a table, n_tables tables ORed by taking the
     union of candidates. Raises recall P(match) = 1-(1-p^planes)^tables
     without scoring more than the bucket slices."""
-    return F.array(*[lsh_bucket(vec, n_planes, t) for t in range(n_tables)])
+    return F.array(*[lsh_bucket(vec, n_planes, t, dim) for t in range(n_tables)])
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimension from one row (cheap driver-side probe); None on
+    an empty input — callers then fall back to per-row derivation."""
+    row = df.select(F.size(as_double_vec(vec_col)).alias("d")).first()
+    return None if row is None or row["d"] is None else int(row["d"])
+
+
+def _packed_buckets_udf(n_planes: int, n_tables: int, dim: int):
+    """Arrow-vectorized bucket kernel: one BLAS matmul per batch
+    computes every sign bit of every table, packed into longs
+    (table << n_planes | bits) — integer join keys, no string
+    concatenation. This is the one place the engine uses Python
+    (embedding similarity, per the design stance): per-element
+    higher-order-function folds are interpreted expression-tree walks,
+    ~10-100x slower than one Arrow-batched matmul, and the plane
+    matrix rides inside the serialized closure exactly like a
+    broadcast variable."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_plane_values(t * n_planes + p, dim) for t in range(n_tables) for p in range(n_planes)]
+    )  # (n_tables*n_planes, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        if len(v) == 0:
+            return _pd.Series([], dtype=object)
+        m = _np.vstack(v.to_numpy())  # (n, dim)
+        signs = (m @ planes.T) >= 0  # (n, n_tables*n_planes)
+        cols = [
+            (signs[:, t * n_planes : (t + 1) * n_planes] @ weights) | (t << n_planes)
+            for t in range(n_tables)
+        ]
+        return _pd.Series(list(_np.stack(cols, axis=1)))
+
+    return buckets
+
+
+def _cosine_udf():
+    """Arrow-vectorized cosine between two array<double> columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        if len(a) == 0:
+            return _pd.Series([], dtype=float)
+        ma, mb = _np.vstack(a.to_numpy()), _np.vstack(b.to_numpy())
+        num = _np.einsum("ij,ij->i", ma, mb)
+        den = _np.linalg.norm(ma, axis=1) * _np.linalg.norm(mb, axis=1)
+        return _pd.Series(num / den)
+
+    return cos
 
 
 def lsh_ann_topk(
@@ -126,30 +219,40 @@ def lsh_ann_topk(
     """Approximate NN: score only candidates sharing one of the query's
     hyperplane-sign buckets (multi-table OR for recall). The join is an
     equi-join on the bucket key — the scale path when the candidate set
-    no longer broadcasts."""
+    no longer broadcasts.
+
+    Bucket signatures come from the Arrow-vectorized kernel (packed
+    long keys, one matmul per batch); the candidate join is an
+    equi-join on the integer bucket. Rows whose vector length differs
+    from the probed dimension are excluded — with a fixed-size plane
+    matrix they would all collapse into one bucket and cross-match
+    each other (and would break the batch matmul)."""
+    from ..session import ensure_parallelism
+
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:  # empty input
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], "query_id long, neighbor_id long, sim double")
+    buckets = _packed_buckets_udf(n_planes, n_tables, dim)
     cand = (
-        embeddings.select(
-            F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
-        )
-        .withColumn("bucket", F.explode(lsh_buckets(F.col("cand_vec"), n_planes, n_tables)))
-        .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
+        ensure_parallelism(embeddings)
+        .select(F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec"))
+        .filter(F.size("cand_vec") == F.lit(dim))
+        .withColumn("bucket", F.explode(buckets(F.col("cand_vec"))))
     )
     qry = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
         )
-        .withColumn("bucket", F.explode(lsh_buckets(F.col("query_vec"), n_planes, n_tables)))
-        .withColumn("query_norm", l2_norm(F.col("query_vec")))
+        .filter(F.size("query_vec") == F.lit(dim))
+        .withColumn("bucket", F.explode(buckets(F.col("query_vec"))))
     )
+    cos = _cosine_udf()
     scored = (
         cand.join(F.broadcast(qry), on="bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
         .dropDuplicates(["query_id", "cand_id"])
-        .withColumn(
-            "sim",
-            dot(F.col("query_vec"), F.col("cand_vec"))
-            / (F.col("query_norm") * F.col("cand_norm")),
-        )
+        .withColumn("sim", cos(F.col("query_vec"), F.col("cand_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
@@ -259,22 +362,32 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     bucketing: only same-bucket pairs are scored; pairs matching in
-    several tables are deduped before scoring."""
-    side = embeddings.select(
-        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec")
-    ).withColumn(
-        "bucket", F.explode(lsh_buckets(F.col("vec"), n_planes, n_tables))
-    ).withColumn("norm", l2_norm(F.col("vec")))
+    several tables are deduped before scoring. Arrow-vectorized bucket
+    and cosine kernels; rows with a mismatched vector length are
+    excluded (see lsh_ann_topk)."""
+    from ..session import ensure_parallelism
+
+    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:  # empty input
+        spark = embeddings.sparkSession
+        return spark.createDataFrame([], "id_a long, id_b long, sim double")
+    buckets = _packed_buckets_udf(n_planes, n_tables, dim)
+    side = (
+        ensure_parallelism(embeddings)
+        .select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec"))
+        .filter(F.size("vec") == F.lit(dim))
+        .withColumn("bucket", F.explode(buckets(F.col("vec"))))
+    )
+    cos = _cosine_udf()
     a, b = side.alias("a"), side.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
-            F.col("a.norm").alias("na"), F.col("b.norm").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("sim", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("sim", cos(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )

@@ -65,3 +65,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Spread per-row compute across the cluster when the scan under-splits.
+
+    A single small parquet file (often one row-group) arrives as ONE
+    input partition, so a compute-heavy pipeline (shingling, hashing,
+    vector math) runs on one core no matter how wide the cluster is.
+    At real scale this never triggers — 100 TB of parquet yields ~10^5
+    splits, ``getNumPartitions() >= min_partitions`` and the DataFrame
+    is returned untouched, so there is no shuffle on the scale path.
+    Streaming DataFrames are returned as-is (no RDD introspection).
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df

@@ -13,6 +13,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from aoseventstreamer_spark import queries as Q
@@ -53,6 +55,18 @@ def main() -> None:
     Q.QUERIES["q_agg_events_by_type"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Arrow worker pool (fork + pandas/numpy import, one worker
+    # per core) so the embedding-similarity queries measure the kernel,
+    # not the one-time daemon spawn
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _arrow_warmup(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, cpus, 1, cpus).select(_arrow_warmup("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

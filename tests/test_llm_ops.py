@@ -67,7 +67,7 @@ def test_minhash_matches_python_oracle(spark):
     shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
     sh_df = spark.createDataFrame([(s,) for s in shingles], "s string")
     expected = [
-        sh_df.select(F.min(F.xxhash64(F.lit(j), F.col("s")))).first()[0]
+        sh_df.select(F.min(F.xxhash64(F.lit(j), F.xxhash64(F.col("s"))))).first()[0]
         for j in range(4)
     ]
     assert list(sig) == expected

@@ -133,6 +133,9 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
     from aoseventstreamer_spark.queries import QUERIES
 
     python_ok = {"q_multimodal_features", "q_multimodal_frames"}
+    # embedding similarity is the one surface allowed to use
+    # Arrow-vectorized pandas_udf kernels (design stance, SURVEY §7.0)
+    arrow_ok = {"q_ann_lsh", "q_embed_near_dup"}
     offenders = {}
     for name, fn in QUERIES.items():
         plan = formatted_plan(fn(spark, sf_dir))
@@ -140,4 +143,6 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
             offenders[name] = "BatchEvalPython (row-at-a-time UDF)"
         elif "MapInPandas" in plan and name not in python_ok:
             offenders[name] = "unexpected MapInPandas"
+        elif "ArrowEvalPython" in plan and name not in arrow_ok:
+            offenders[name] = "unexpected ArrowEvalPython (pandas_udf)"
     assert not offenders, offenders
