@@ -168,27 +168,46 @@ def simhash_docs(
     """SimHash: per-token 64-bit hash, sign-vote per bit position,
     rendered as a 16-char hex string column ``simhash``.
 
-    Explode tokens → one vectorized hash-agg with 64 conditional-sum
-    columns (map-side partial aggregation; the shuffle carries 64
-    longs per (doc, mapper)). Token multiplicity is part of SimHash's
-    definition and is naturally preserved by explode."""
+    Explode tokens → one vectorized hash-agg of PACKED bit counts:
+    ``(h >> g) & 0x0000000100000001`` isolates bits g and g+32 into
+    two 32-bit fields of one long, so 32 plain sums count all 64 bit
+    positions (map-side partial aggregation; the shuffle carries 33
+    longs per (doc, mapper)). Fields cannot interfere below 2^31
+    tokens per document. The sign vote ``popcount*2 > n_tokens`` is
+    exactly the ±1-sum > 0 rule, ties included. Local runtime is
+    unchanged (A/B-measured ~equal) — the point is the shuffle: each
+    partial-aggregation row carries 33 longs instead of 64, halving
+    the agg-shuffle volume at cluster scale. Token multiplicity is
+    part of SimHash's definition and is naturally preserved by
+    explode."""
     from ..session import ensure_parallelism
 
+    if n_bits != 64:
+        raise ValueError("packed simhash supports n_bits=64 only")
     df = ensure_parallelism(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
     h = F.xxhash64(F.col("tok"))
+    PAIR_MASK = 0x0000000100000001
     votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_v{i}")
-            for i in range(n_bits)
-        ]
+            F.sum(F.shiftright(h, g).bitwiseAND(F.lit(PAIR_MASK))).alias(f"_p{g}")
+            for g in range(32)
+        ],
     )
-    bits = [F.when(F.col(f"_v{i}") > 0, 1).otherwise(0) for i in range(n_bits)]
+    LOW32 = (1 << 32) - 1
+
+    def _cnt(i: int) -> Column:
+        if i < 32:
+            return F.col(f"_p{i}").bitwiseAND(F.lit(LOW32))
+        return F.shiftright(F.col(f"_p{i - 32}"), 32)
+
+    bits = [
+        F.when(_cnt(i) * 2 > F.col("_n"), 1).otherwise(0) for i in range(n_bits)
+    ]
     nibbles = [
         F.lower(
             F.hex(bits[n * 4] * 8 + bits[n * 4 + 1] * 4 + bits[n * 4 + 2] * 2 + bits[n * 4 + 3])
