@@ -39,7 +39,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return as_of_join(
         clicks, purchases, key="user_id", right_vals=["value"], how="inner"
-    ).withColumnRenamed("asof_value", "asof_value")
+    )
 
 
 @query(
