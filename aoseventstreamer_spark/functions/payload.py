@@ -13,15 +13,29 @@ this message is simple enough to codec directly:
     field 3 bytes   -> 0x1A <len> <utf-8 resource_id>
 
 Proto3 semantics are honored: zero-valued ints and empty strings are
-omitted entirely. Varints are supported to 2 bytes (values < 16384 —
-the enum ranges in the reference are < 10; id lengths < 16384 cover
-any realistic resource id). Everything is concat/unhex/conv column
-expressions — no UDF, so encode/decode stay in codegen.
+omitted entirely. Varints are supported to 5 bytes (the full u32
+range — enum values and string lengths are both u32-bounded).
+Everything is concat/unhex/conv column expressions — no UDF, so
+encode/decode stay in codegen.
+
+Two decoders are provided:
+
+- ``decode_notification`` — fast positional walk assuming fields in
+  tag order with no unknown fields (true for anything this encoder or
+  the reference's encoder produced, natsio.rs:67-74); enum fields
+  capped at 2-byte varints to bound the nested expression tree (see
+  its docstring), resource_id length full-width.
+- ``with_decoded_notification`` — tolerant mode matching prost's
+  decode loop (public_event_server.rs:424-431): fields in any order,
+  unknown fields of any wire type skipped, last occurrence wins. It
+  is a DataFrame transform (one projection per parse step) so the
+  iterated position arithmetic stays as named columns instead of an
+  exponentially nested expression tree.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -31,12 +45,16 @@ def _byte(val: Column) -> Column:
 
 
 def _varint(val: Column) -> Column:
-    """Protobuf varint (binary), 1-2 bytes: values < 16384."""
-    v = val.cast("int")
-    lo = F.pmod(v, 128)
-    hi = (v / 128).cast("int")
-    return F.when(v < 128, _byte(v)).otherwise(
-        F.concat(_byte(lo + 128), _byte(hi))
+    """Protobuf varint (binary), 1-5 bytes: values in the u32 range."""
+    v = val.cast("long")
+    g = [F.shiftright(v, 7 * i).bitwiseAND(F.lit(127)) for i in range(5)]
+    cont = [_byte(x + 128) for x in g]  # continuation bit set
+    return (
+        F.when(v < 1 << 7, _byte(g[0]))
+        .when(v < 1 << 14, F.concat(cont[0], _byte(g[1])))
+        .when(v < 1 << 21, F.concat(cont[0], cont[1], _byte(g[2])))
+        .when(v < 1 << 28, F.concat(cont[0], cont[1], cont[2], _byte(g[3])))
+        .otherwise(F.concat(cont[0], cont[1], cont[2], cont[3], _byte(g[4])))
     )
 
 
@@ -71,6 +89,29 @@ def _byte_at(payload: Column, pos: Column) -> Column:
     return F.conv(F.hex(F.substring(payload, pos, 1)), 16, 10).cast("int")
 
 
+def _varint_at(p: Column, pos: Column) -> tuple[Column, Column]:
+    """(value, byte-width) of the varint starting at 1-based pos.
+
+    Reads up to 5 bytes (u32 range); the value accumulates in a long
+    so no intermediate overflows.
+    """
+    b = [_byte_at(p, pos + i) for i in range(5)]
+    v = [x.bitwiseAND(F.lit(127)).cast("long") for x in b]
+    acc = v[0]
+    value = F.when(b[0] < 128, acc)
+    for i in range(1, 5):
+        acc = acc + v[i] * (1 << (7 * i))
+        if i < 4:
+            value = value.when(b[i] < 128, acc)
+        else:
+            value = value.otherwise(acc)
+    width = F.when(b[0] < 128, 1)
+    for i in range(1, 4):
+        width = width.when(b[i] < 128, i + 1)
+    width = width.otherwise(5)
+    return value, width
+
+
 def decode_notification(payload: Column | str) -> Column:
     """Decode the wire bytes back to a struct
     ``(resource int, updated_type int, resource_id string)`` —
@@ -78,11 +119,21 @@ def decode_notification(payload: Column | str) -> Column:
 
     Walks the three optional fields positionally (they are written in
     tag order by both this encoder and prost). Missing fields decode
-    to proto3 defaults (0 / '').
+    to proto3 defaults (0 / ''). The enum fields read 1-2-byte varints
+    (values < 16384; the reference's enums are < 10): every candidate
+    byte in an upstream varint multiplies the *downstream* position
+    expressions, and a full-width read on fields 1/2 blew the nested
+    plan tree up enough to OOM the driver on decode(encode(...))
+    pipelines. The resource_id *length* varint — the realistic
+    overflow risk, and the last one in the walk with nothing nesting
+    after it — is read full-width (5 bytes, whole u32 range). For
+    foreign payloads (unknown/reordered fields, oversized enum
+    varints) use ``with_decoded_notification``: its fold-based walk
+    has constant plan size and full-width everything.
     """
     p = F.col(payload) if isinstance(payload, str) else payload
 
-    def varint_at(pos: Column) -> tuple[Column, Column]:
+    def varint2_at(pos: Column) -> tuple[Column, Column]:
         b0 = _byte_at(p, pos)
         b1 = _byte_at(p, pos + 1)
         value = F.when(b0 < 128, b0).otherwise((b0 - 128) + b1 * 128)
@@ -92,17 +143,17 @@ def decode_notification(payload: Column | str) -> Column:
     one = F.lit(1)
     # field 1 (tag 0x08)
     has1 = (F.length(p) >= 2) & (_byte_at(p, one) == 0x08)
-    v1, w1 = varint_at(one + 1)
+    v1, w1 = varint2_at(one + 1)
     resource = F.when(has1, v1).otherwise(0)
     after1 = F.when(has1, one + 1 + w1).otherwise(one)
     # field 2 (tag 0x10)
     has2 = (F.length(p) >= after1 + 1) & (_byte_at(p, after1) == 0x10)
-    v2, w2 = varint_at(after1 + 1)
+    v2, w2 = varint2_at(after1 + 1)
     updated = F.when(has2, v2).otherwise(0)
     after2 = F.when(has2, after1 + 1 + w2).otherwise(after1)
     # field 3 (tag 0x1A, length-delimited)
     has3 = (F.length(p) >= after2 + 1) & (_byte_at(p, after2) == 0x1A)
-    ln, lw = varint_at(after2 + 1)
+    ln, lw = _varint_at(p, after2 + 1)
     rid = F.when(
         has3, F.decode(F.substring(p, after2 + 1 + lw, ln), "UTF-8")
     ).otherwise(F.lit(""))
@@ -112,3 +163,119 @@ def decode_notification(payload: Column | str) -> Column:
         updated.cast("int").alias("updated_type"),
         rid.alias("resource_id"),
     )
+
+
+def decode_notification_tolerant(payload: Column | str) -> Column:
+    """Tolerant decode matching prost's merge loop
+    (public_event_server.rs:424-431):
+
+    - fields may appear in any order;
+    - unknown fields are skipped by wire type (varint / fixed64 /
+      length-delimited / fixed32), including multi-byte tag varints
+      (field numbers > 15);
+    - repeated occurrences of a scalar field: last one wins;
+    - a deprecated group tag (wire type 3/4), an unknown wire type, or
+      a truncated varint stops the walk — remaining bytes are ignored,
+      fields seen so far are kept (prost errors out; we degrade
+      gracefully);
+    - full-width varints (values accumulate in a long).
+
+    The parse loop is a runtime fold (``F.aggregate`` over one step
+    per potential field entry — a field entry is at least 2 bytes, so
+    ``len/2`` steps always suffice) with a
+    ``(pos, res, upd, rid_off, rid_len)`` struct accumulator. The
+    lambda appears ONCE in the plan and executes per step at runtime,
+    so plan size is constant regardless of payload length — a
+    plan-time unrolled version of this decoder collapsed into an
+    exponentially duplicated expression tree. Still no Python: the
+    fold is a Catalyst higher-order function, evaluated JVM-side.
+    """
+    p = F.col(payload) if isinstance(payload, str) else payload
+    n = F.length(p).cast("long")
+    # byte values as array<int> (1-based positions via F.get's 0-base)
+    hexstr = F.hex(p)
+    bytes_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n.cast("int")),
+            lambda i: F.conv(F.substring(hexstr, i * 2 - 1, 2), 16, 10).cast("int"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+    def varint(arr: Column, pos: Column) -> tuple[Column, Column]:
+        """(value, width) of the varint at 1-based pos; width is null
+        when the varint is truncated or longer than the proto maximum
+        of 10 bytes. The value keeps the low 63 bits — enough for
+        every known field (u32 enums, string lengths); an unknown
+        u64's top bit is only ever *skipped over*, so its loss is
+        irrelevant."""
+        b = [F.get(arr, (pos + i - 1).cast("int")) for i in range(10)]
+        v = [x.bitwiseAND(F.lit(127)).cast("long") for x in b]
+        acc = v[0]
+        value = F.when(b[0] < 128, acc)
+        for i in range(1, 10):
+            if 7 * i < 63:
+                acc = acc + v[i] * (1 << (7 * i))
+            value = value.when(b[i] < 128, acc)
+        width = F.when(b[0] < 128, F.lit(1).cast("long"))
+        for i in range(1, 10):
+            width = width.when(b[i] < 128, F.lit(i + 1).cast("long"))
+        return value, width  # both null if no terminator in 10 bytes
+
+    def step(acc: Column, _step_no: Column) -> Column:
+        pos = acc["pos"]
+        active = pos.isNotNull() & (pos <= n)
+        tag_val, tag_w = varint(bytes_arr, pos)
+        field_no = F.shiftright(tag_val, 3)
+        wire = tag_val.bitwiseAND(F.lit(7))
+        vpos = pos + tag_w
+        vval, vw = varint(bytes_arr, vpos)
+        new_pos = (
+            F.when(wire == 0, vpos + vw)
+            .when(wire == 1, vpos + 8)
+            .when(wire == 5, vpos + 4)
+            .when(wire == 2, vpos + vw + vval)
+            .otherwise(F.lit(None).cast("long"))  # group/invalid: stop
+        )
+        is_res = (wire == 0) & (field_no == 1) & vval.isNotNull()
+        is_upd = (wire == 0) & (field_no == 2) & vval.isNotNull()
+        is_rid = (wire == 2) & (field_no == 3) & vval.isNotNull()
+        advanced = F.struct(
+            new_pos.alias("pos"),
+            F.when(is_res, vval).otherwise(acc["res"]).alias("res"),
+            F.when(is_upd, vval).otherwise(acc["upd"]).alias("upd"),
+            F.when(is_rid, vpos + vw).otherwise(acc["rid_off"]).alias("rid_off"),
+            F.when(is_rid, vval).otherwise(acc["rid_len"]).alias("rid_len"),
+        )
+        return F.when(active, advanced).otherwise(acc)
+
+    init = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("res"),
+        F.lit(0).cast("long").alias("upd"),
+        F.lit(None).cast("long").alias("rid_off"),
+        F.lit(None).cast("long").alias("rid_len"),
+    )
+    # one fold step per potential field entry (each consumes >= 2 bytes)
+    steps = F.sequence(F.lit(1), F.greatest(F.lit(1), (n / 2).cast("int") + 1))
+    state = F.aggregate(steps, init, step)
+    rid = F.when(
+        state["rid_off"].isNotNull() & (state["rid_len"] > 0),
+        F.decode(
+            F.substring(p, state["rid_off"].cast("int"), state["rid_len"].cast("int")),
+            "UTF-8",
+        ),
+    ).otherwise("")
+    return F.struct(
+        F.coalesce(state["res"], F.lit(0)).cast("int").alias("resource"),
+        F.coalesce(state["upd"], F.lit(0)).cast("int").alias("updated_type"),
+        F.coalesce(rid, F.lit("")).alias("resource_id"),
+    )
+
+
+def with_decoded_notification(
+    df: DataFrame, payload: str = "payload", out: str = "msg"
+) -> DataFrame:
+    """DataFrame convenience wrapper over
+    ``decode_notification_tolerant``."""
+    return df.withColumn(out, decode_notification_tolerant(payload))

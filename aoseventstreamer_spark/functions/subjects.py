@@ -194,6 +194,101 @@ def query_predicate(subject_col: Column | str, base: str, include_subresources: 
     return exact_level_predicate(subject_col, base)
 
 
+def project_of_query_subject(filter_subject: str) -> str | None:
+    """Project id a compiled query subject is scoped to, or None.
+
+    Every query subject at any level fixes the project (the first id
+    token, utils.rs:16-32), so a consumer of that subject can never
+    see an event from another project — which makes
+    ``project_id == <p>`` a safe extra predicate that prunes whole
+    partitions of a project-partitioned event log before listing.
+    """
+    if filter_subject.endswith(SUBTREE_TERMINATOR):
+        base = filter_subject[: -len(SUBTREE_TERMINATOR)]
+    elif filter_subject.endswith(PUBLISH_TERMINATOR):
+        base = filter_subject[: -len(PUBLISH_TERMINATOR)]
+    else:
+        base = filter_subject
+    parts = base.split(SEP)
+    if len(parts) < 2 or parts[0] != COMMON_PREFIX or not parts[1]:
+        return None
+    return parts[1]
+
+
+def is_canonical_query_subject(filter_subject: str) -> bool:
+    """True iff ``filter_subject`` is one the grammar's query builders
+    (utils.rs:35-147) can produce: a project / collection / object /
+    object-group base plus the ``._`` (exact) or ``.>`` (subtree)
+    terminator, with non-empty ids. Matching by candidate-key
+    enumeration (:func:`candidate_query_subjects`) is exact for these
+    and only these.
+    """
+    if filter_subject.endswith(SUBTREE_TERMINATOR):
+        base = filter_subject[: -len(SUBTREE_TERMINATOR)]
+    elif filter_subject.endswith(PUBLISH_TERMINATOR):
+        base = filter_subject[: -len(PUBLISH_TERMINATOR)]
+    else:
+        return False
+    parts = base.split(SEP)
+    if not parts or parts[0] != COMMON_PREFIX:
+        return False
+    ids = parts[1:]
+    if len(ids) in (1, 2):  # project / collection level
+        return all(ids) and not any(i in (OBJECT_NAME, OBJECT_GROUP_NAME) for i in ids)
+    if len(ids) == 5:  # [p, c, KIND, shared, leaf]
+        return (
+            all(ids)
+            and ids[2] in (OBJECT_NAME, OBJECT_GROUP_NAME)
+            and not any(
+                i in (OBJECT_NAME, OBJECT_GROUP_NAME) for i in (ids[0], ids[1], ids[3], ids[4])
+            )
+        )
+    return False
+
+
+def candidate_query_subjects(
+    subject: Column | str = "subject",
+    project_id: Column | str = "project_id",
+    collection_id: Column | str = "collection_id",
+    kind: Column | str = "kind",
+    shared_id: Column | str = "shared_id",
+    leaf_id: Column | str = "leaf_id",
+) -> Column:
+    """Every canonical query subject that matches this publish subject,
+    as an ``array<string>`` of at most 4 keys.
+
+    Subjects have bounded depth, so pub/sub matching inverts cleanly:
+    instead of evaluating N group predicates per event (N scans, or a
+    non-equi join), enumerate the event's possible matches — its own
+    subject (= the exact-level query at its node, utils.rs:39) plus
+    ``<ancestor base>.>`` for each grammar ancestor base (project,
+    collection, and the full leaf base; utils.rs:37) — and hash-join
+    that against the subscriptions' ``filter_subject`` keys. This is
+    the scale path for fleets of stream groups: one equi-join per
+    micro-batch, broadcast on the (tiny) group dimension, instead of
+    one filtered scan per group.
+    """
+    subj = F.col(subject) if isinstance(subject, str) else subject
+    p = F.col(project_id) if isinstance(project_id, str) else project_id
+    c = F.col(collection_id) if isinstance(collection_id, str) else collection_id
+    k = F.col(kind) if isinstance(kind, str) else kind
+    s = F.col(shared_id) if isinstance(shared_id, str) else shared_id
+    leaf = F.col(leaf_id) if isinstance(leaf_id, str) else leaf_id
+
+    proj_base = F.concat(F.lit(COMMON_PREFIX + SEP), p)
+    coll_base = F.concat(proj_base, F.lit(SEP), c)
+    leaf_base = F.concat(coll_base, F.lit(SEP), k, F.lit(SEP), s, F.lit(SEP), leaf)
+    sub = F.lit(SUBTREE_TERMINATOR)
+    return F.array_compact(
+        F.array(
+            subj,  # exact-level query == the publish subject itself
+            F.when(p.isNotNull(), F.concat(proj_base, sub)),
+            F.when(c.isNotNull(), F.concat(coll_base, sub)),
+            F.when(k.isNotNull(), F.concat(leaf_base, sub)),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Inverse: parse a publish subject back into hierarchy components
 # ---------------------------------------------------------------------------

@@ -3,11 +3,18 @@
 Per-group streaming queries (streaming/groups.py) are the faithful
 reference shape, but at thousands of groups the N-scans cost dominates.
 The demux job amortizes: a single ``readStream`` over the event log;
-each micro-batch is cached once and fanned out to every registered
-group's filter + deliver callback. Chunk ids stay per-group
-(batch_id), the checkpoint is shared — commit happens only after ALL
-groups accepted the batch, preserving (coarsening) the at-least-once
-contract: a failed deliver for any group replays the batch for all.
+each micro-batch is matched against ALL registered groups in ONE pass
+— every event enumerates its candidate query subjects (bounded-depth
+grammar ⇒ ≤ 4 keys, subjects.candidate_query_subjects) which
+equi-join, broadcast, against the group dimension. Each group then
+receives only its slice of the (persisted, already-matched) frame;
+groups with no matches this batch get a driver-local empty frame, so
+per-batch work is one join job plus one cheap job per *matching*
+group — flat in the number of registered groups. Chunk ids stay
+per-group (batch_id), the checkpoint is shared — commit happens only
+after ALL groups accepted the batch, preserving (coarsening) the
+at-least-once contract: a failed deliver for any group replays the
+batch for all.
 
 That coarsening is the deliberate trade: one scan + one checkpoint vs
 per-group offsets. Groups that need isolated progress stay on
@@ -22,9 +29,10 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aoseventstreamer_spark import schemas
-from aoseventstreamer_spark.streaming.groups import subject_filter
+from aoseventstreamer_spark.functions import subjects as S
 
 
 @dataclass
@@ -52,6 +60,14 @@ class DemuxRunner:
             raise RuntimeError(
                 "DemuxRunner already started; stop it and start a new "
                 "runner to change the group set"
+            )
+        if not S.is_canonical_query_subject(filter_subject):
+            # candidate-key matching is exact only for grammar-built
+            # query subjects; anything else would silently match nothing
+            raise ValueError(
+                f"filter_subject {filter_subject!r} is not a canonical "
+                "query subject (utils.rs:35-147); compile it with "
+                "compile_query_subject / the *_query builders"
             )
         self._groups.append(DemuxGroup(group_id, filter_subject, deliver))
 
@@ -89,14 +105,44 @@ class DemuxRunner:
         self._check_group_set([g.id for g in groups], allow_missed_history)
         self._started = True
 
+        # tiny group dimension, built once; broadcast into every batch's
+        # match join (group_key = the filter_subject verbatim — exact
+        # filters equal the publish subject, subtree filters equal
+        # `<ancestor base>.>`, which is exactly what
+        # candidate_query_subjects enumerates per event)
+        groups_dim = self.spark.createDataFrame(
+            [(g.id, g.filter_subject) for g in groups],
+            "__group_id string, __group_key string",
+        )
+        event_cols = [f.name for f in schemas.ROUTED_EVENTS_SCHEMA.fields]
+
         def fan_out(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.persist()
+            matched = (
+                batch_df.withColumn("__key", F.explode(S.candidate_query_subjects()))
+                .join(F.broadcast(groups_dim), F.col("__key") == F.col("__group_key"))
+                .select("__group_id", *event_cols)
+            )
+            matched.persist()
             try:
+                # ONE job finds which groups have data this batch
+                present = {
+                    r.__group_id
+                    for r in matched.select("__group_id").distinct().collect()
+                }
                 for g in groups:
-                    matched = batch_df.filter(subject_filter(g.filter_subject))
-                    g.deliver(batch_id, matched)
+                    if g.id in present:
+                        slice_df = matched.filter(
+                            F.col("__group_id") == g.id
+                        ).drop("__group_id")
+                    else:
+                        # driver-local empty frame: actions on it cost
+                        # ~nothing, so idle groups don't add jobs
+                        slice_df = self.spark.createDataFrame(
+                            [], schemas.ROUTED_EVENTS_SCHEMA
+                        )
+                    g.deliver(batch_id, slice_df)
             finally:
-                batch_df.unpersist()
+                matched.unpersist()
 
         stream = (
             self.spark.readStream.schema(schemas.ROUTED_EVENTS_SCHEMA)

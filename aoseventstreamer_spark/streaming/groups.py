@@ -161,6 +161,14 @@ class StreamGroupManager:
             .parquet(self.events_path)
         )
         filtered = stream.filter(subject_filter(group.filter_subject))
+        # every query subject fixes the project (first id token), so the
+        # equivalent project_id predicate is redundant with the subject
+        # filter but prunes whole partitions of a project-partitioned
+        # log before listing — without it every group's stream lists the
+        # entire log each micro-batch (mirrors engine.query_events)
+        project = S.project_of_query_subject(group.filter_subject)
+        if project is not None:
+            filtered = filtered.filter(F.col("project_id") == project)
         # the reference persists event_type but never filters on it
         # (natsio.rs consumer filter is subject-only); we honor it —
         # Unspecified (0) and All match everything

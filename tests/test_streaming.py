@@ -182,6 +182,69 @@ def test_demux_failed_group_replays_batch(spark, tmp_path, log_dir):
     assert sum(counts) == 3  # full batch redelivered after the failure
 
 
+def test_demux_single_pass_matches_per_group_filters(spark, tmp_path, log_dir):
+    """The one-pass candidate-key join must deliver exactly what N
+    per-group predicate filters would, across levels and filter modes
+    (VERDICT r1 #2) — and idle groups must get a driver-local empty
+    frame (no per-group job)."""
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+    from aoseventstreamer_spark.operators.routing import route_emits
+
+    # events across 10 projects, collection-level + project-level mix
+    rows = []
+    for i in range(10):
+        rows += _emit_rows(i * 100, f"p{i}", 3)
+        rows.append({
+            "emit_id": i * 100 + 50, "token": "t",
+            "event_resource": schemas.RESOURCE_PROJECT,
+            "resource_id": f"p{i}", "event_type": schemas.EVENT_TYPE_ALL,
+            "relations": [{"project": f"p{i}", "collection": None,
+                           "shared_object": None, "object_groups": []}],
+        })
+    _route_and_write(spark, rows, log_dir)
+
+    # 100 groups: subtree + exact at project level, exact at collection
+    # level, plus many groups matching nothing
+    specs = []
+    for i in range(10):
+        specs.append((f"sub{i}", f"UPDATES.STORAGE._.p{i}.>"))
+        specs.append((f"ex{i}", f"UPDATES.STORAGE._.p{i}._"))
+        specs.append((f"col{i}", f"UPDATES.STORAGE._.p{i}._.c0._"))
+    for i in range(70):
+        specs.append((f"idle{i}", f"UPDATES.STORAGE._.absent{i}.>"))
+
+    got: dict[str, list[str]] = {gid: [] for gid, _ in specs}
+    local_empties: list[bool] = []
+    runner = DemuxRunner(spark, log_dir, str(tmp_path / "ck_sp"))
+    for gid, fs in specs:
+        def deliver(cid, df, gid=gid):
+            if gid.startswith("idle"):
+                local_empties.append(df.isLocal())
+            got[gid].extend(r.subject for r in df.select("subject").collect())
+        runner.register(gid, fs, deliver)
+    q = runner.start(trigger={"availableNow": True})
+    q.awaitTermination(240)
+
+    log = spark.read.schema(schemas.ROUTED_EVENTS_SCHEMA).parquet(log_dir)
+    from aoseventstreamer_spark.streaming.groups import subject_filter
+    for gid, fs in specs:
+        expected = sorted(
+            r.subject for r in log.filter(subject_filter(fs)).select("subject").collect()
+        )
+        assert sorted(got[gid]) == expected, (gid, fs)
+    assert local_empties and all(local_empties)
+
+
+def test_demux_rejects_non_canonical_filter(spark, tmp_path, log_dir):
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+
+    runner = DemuxRunner(spark, log_dir, str(tmp_path / "ck_nc"))
+    for bad in ["UPDATES.STORAGE._.p1", "garbage.>", "UPDATES.STORAGE._..>",
+                "UPDATES.STORAGE._.p._.c._.WRONG._.s._.o.>"]:
+        with pytest.raises(ValueError, match="canonical"):
+            runner.register("g", bad, lambda cid, df: None)
+
+
 def test_event_type_filters_delivery(spark, tmp_path, log_dir):
     """A group created with a specific event_type must receive only
     matching events (the reference persists but ignores it — lifted)."""
@@ -209,6 +272,59 @@ def test_unknown_group_before_any_created(spark, tmp_path, log_dir):
     mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "fresh_state"))
     with pytest.raises(KeyError):  # not AnalysisException/PATH_NOT_FOUND
         mgr.get_stream_group("nope")
+
+
+def test_project_of_query_subject():
+    """Every query subject fixes the project (first id token,
+    utils.rs:16-32) — the extractor must recover it at every level and
+    refuse malformed subjects."""
+    assert S.project_of_query_subject("UPDATES.STORAGE._.p1.>") == "p1"
+    assert S.project_of_query_subject("UPDATES.STORAGE._.p1._") == "p1"
+    assert S.project_of_query_subject("UPDATES.STORAGE._.p1._.c1._") == "p1"
+    assert S.project_of_query_subject("UPDATES.STORAGE._.p1._.c1.>") == "p1"
+    assert (
+        S.project_of_query_subject(
+            "UPDATES.STORAGE._.p._.c._.OBJECT._.s._.o._"
+        )
+        == "p"
+    )
+    assert (
+        S.project_of_query_subject(
+            "UPDATES.STORAGE._.p._.c._.OBJECTGROUP._.s._.og.>"
+        )
+        == "p"
+    )
+    assert S.project_of_query_subject("garbage") is None
+    assert S.project_of_query_subject("UPDATES.STORAGE._") is None
+    assert S.project_of_query_subject("WRONG.PREFIX._.p1.>") is None
+
+
+def test_group_stream_partition_pruned(spark, tmp_path, log_dir):
+    """A project-scoped group over a project-partitioned log must scan
+    only its project's partition (VERDICT r1 #3): the per-batch plan
+    shows the derived project_id predicate under PartitionFilters."""
+    rows = _emit_rows(0, "p1", 3) + _emit_rows(100, "p2", 4)
+    raw = spark.createDataFrame(rows, schemas.RAW_EMITS_SCHEMA)
+    write_event_log(route_emits(raw, secret="t"), log_dir)  # partitioned by project_id
+
+    mgr = StreamGroupManager(spark, log_dir, str(tmp_path / "state"))
+    g = mgr.create_stream_group(
+        schemas.RESOURCE_PROJECT, "p1", include_subresources=True
+    )
+    plans, counts = [], []
+
+    def deliver(cid, df):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        counts.append(df.count())
+
+    q = mgr.read_available(g.id, deliver)
+    q.awaitTermination(120)
+    assert sum(counts) == 3
+    scan_lines = [
+        l for p in plans for l in p.splitlines() if "PartitionFilters" in l
+    ]
+    assert scan_lines, "no file scan with partition filters in batch plans"
+    assert any("p1" in l for l in scan_lines), scan_lines
 
 
 def test_demux_rejects_late_registration_and_history_gap(spark, tmp_path, log_dir):
