@@ -16,7 +16,7 @@ near-uniform hashes → no skew) and the final pair dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,12 +103,11 @@ def minhash_docs(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4, id_col: str = "doc_id"
+def _banded(
+    sigs: DataFrame, bands: int, rows_per_band: int, id_col: str
 ) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_hash):
-    documents agreeing on any full band become a candidate pair."""
-    banded = sigs.select(
+    """(id, band_id, band_hash) rows: one per document per band."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -128,6 +127,36 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
 
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash):
+    documents agreeing on any full band become a candidate pair.
+
+    ``max_bucket_size`` hardens the join against pathological buckets
+    (mass-duplicated boilerplate makes every copy agree on every band,
+    and pair count inside one bucket is O(b²)): buckets larger than the
+    cap keep only their ``max_bucket_size`` lowest ids (deterministic),
+    bounding any bucket's contribution to C(cap, 2) pairs. The
+    truncation is NOT silent — run ``lsh_bucket_overflow`` with the
+    same arguments to get every capped bucket with its true size and
+    member count dropped; on the scale path, check it (or route capped
+    buckets through exact_dedup, which a giant identical cluster is
+    by definition better served by)."""
+    banded = _banded(sigs, bands, rows_per_band, id_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -144,6 +173,31 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_bucket_overflow(
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The audit side of ``lsh_candidate_pairs(max_bucket_size=...)``:
+    every bucket the cap would truncate, with its true size and how
+    many members were dropped. Empty result == the cap changed
+    nothing."""
+    return (
+        _banded(sigs, bands, rows_per_band, id_col)
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+        .select(
+            "band_id",
+            "band_hash",
+            "bucket_size",
+            (F.col("bucket_size") - max_bucket_size).alias("n_dropped"),
+        )
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -151,6 +205,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate pipeline."""
     if num_hashes % bands != 0:
@@ -159,7 +214,7 @@ def minhash_dedup_pairs(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k)
-    return lsh_candidate_pairs(sigs, bands, rows_per_band, id_col)
+    return lsh_candidate_pairs(sigs, bands, rows_per_band, id_col, max_bucket_size)
 
 
 def simhash_docs(

@@ -215,6 +215,7 @@ def lsh_ann_topk(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate NN: score only candidates sharing one of the query's
     hyperplane-sign buckets (multi-table OR for recall). The join is an
@@ -224,12 +225,17 @@ def lsh_ann_topk(
     Bucket signatures come from the Arrow-vectorized kernel (packed
     long keys, one matmul per batch); the candidate join is an
     equi-join on the integer bucket. Rows whose vector length differs
-    from the probed dimension are excluded — with a fixed-size plane
-    matrix they would all collapse into one bucket and cross-match
-    each other (and would break the batch matmul)."""
+    from the (declared or probed) dimension are excluded — with a
+    fixed-size plane matrix they would all collapse into one bucket and
+    cross-match each other (and would break the batch matmul).
+
+    Pass ``dim`` (the declared vector dimension) on the scale path: it
+    skips the driver-side one-row probe job entirely, so building the
+    query submits no Spark jobs at all."""
     from ..session import ensure_parallelism
 
-    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
     if dim is None:  # empty input
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "query_id long, neighbor_id long, sim double")
@@ -359,15 +365,18 @@ def cosine_near_dup_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     bucketing: only same-bucket pairs are scored; pairs matching in
     several tables are deduped before scoring. Arrow-vectorized bucket
     and cosine kernels; rows with a mismatched vector length are
-    excluded (see lsh_ann_topk)."""
+    excluded (see lsh_ann_topk). Pass ``dim`` to skip the driver-side
+    probe job (see lsh_ann_topk)."""
     from ..session import ensure_parallelism
 
-    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
     if dim is None:  # empty input
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, sim double")

@@ -1,0 +1,517 @@
+"""Event-analytics + training-data-pipeline pack (round 3).
+
+Event analytics (the engine's identity — the reference IS an event
+streamer): funnel steps, retention cohorts, gap-based sessionization,
+date-spine gap filling, deterministic stratified sampling, null
+semantics, skew-safe two-phase aggregation.
+
+Training-data ops: Gopher-style quality filtering, fixed-window
+document chunking, per-source hash dedup, per-label embedding
+centroids, map/struct/posexplode scalar coverage.
+
+All hash-exact vs DuckDB. Cross-engine exactness: ratios that feed a
+ROUND go through the scale-0 integer-tie trick (see
+queries/__init__.py SQL_AVG_4DP note); boolean quality flags compare
+integers, never rounded doubles; time arithmetic is integer epoch
+microseconds on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.queries import cents, query, sum_value_2dp, t
+
+# ------------------------------------------------------------------ funnel
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS v_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s.s_ts
+          GROUP BY e.user_id),
+    p AS (SELECT DISTINCT e.user_id
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.v_ts)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_view_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel (signup → later view → later purchase).
+    Each step is a groupBy + broadcastable join on user_id — the same
+    shuffle key throughout, so AQE reuses one partitioning; no window
+    over the full event stream is needed."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH firsts AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+                    FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN active a ON f.user_id = a.user_id
+    WHERE date_diff('day', f.cohort_day, a.day) <= 7
+    GROUP BY f.cohort_day, day_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted at
+    each day offset ≤ 7. Both aggregations shuffle on user_id, then one
+    shuffle on (cohort_day, offset) whose cardinality is tiny."""
+    ev = t(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.select("user_id", "day").distinct()
+    return (
+        active.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_sessionize_gap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > 1800000000
+                  OR LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    sessed AS (
+      SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us
+    FROM sessed GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the window-function counterpart of q_session_window's
+    session_window operator. One shuffle on user_id serves both
+    windows (same partitioning)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts is TIMESTAMP_NTZ; the session tz is pinned to UTC so the
+        # cast is the identity mapping and unix_micros matches
+        # DuckDB's epoch_us on the same naive value
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull() | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessed = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessed.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@query(
+    "q_date_spine_gapfill",
+    oracle="""
+    WITH b AS (SELECT MIN(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS t0,
+                      MAX(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS t1
+               FROM events WHERE event_type = 'purchase' AND value > 150),
+    spine AS (SELECT g AS hour FROM b, UNNEST(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) t(g)),
+    hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, COUNT(*) AS n
+               FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1)
+    SELECT spine.hour, COALESCE(hourly.n, 0) AS n_events
+    FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+    """,
+)
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: an hourly spine generated from the
+    data's own bounds (sequence + explode, no driver action), left
+    join, zero-fill. The spine side is a single-row aggregate exploded
+    — trivially broadcastable."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150)
+    )
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hour"))
+    bounds = hours.agg(F.min("hour").alias("t0"), F.max("hour").alias("t1"))
+    spine = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    hourly = hours.groupBy("hour").agg(F.count("*").alias("n"))
+    return spine.join(hourly, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+# ------------------------------------------------- sampling / skew / nulls
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_sampled,
+           ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS sum_value
+    FROM events
+    WHERE (event_id * 2654435761) % 1000 <
+          CASE event_type WHEN 'click' THEN 500 WHEN 'view' THEN 250
+                          WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 100
+                          ELSE 50 END
+    GROUP BY event_type
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates applied via
+    a multiplicative-hash mod on the row key — reproducible across
+    engines and runs (unlike rand()-based sampleBy), no shuffle to
+    sample (the filter is embarrassingly parallel), one tiny agg
+    exchange after."""
+    ev = t(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "click", 500)
+        .when(F.col("event_type") == "view", 250)
+        .when(F.col("event_type") == "purchase", 1000)
+        .when(F.col("event_type") == "signup", 100)
+        .otherwise(50)
+    )
+    return (
+        ev.filter(F.pmod(F.col("event_id") * 2654435761, F.lit(1000)) < rate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"), sum_value_2dp("value", "sum_value"))
+    )
+
+
+@query(
+    "q_skewed_agg_two_phase",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS sum_value,
+           ROUND(MAX(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skewed_agg_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): partial agg
+    on (key, salt) then final on key — result provably identical to the
+    direct groupBy, which is exactly what the oracle checks. The shape
+    that survives one key owning double-digit percent of 100 TB."""
+    from aoseventstreamer_spark.operators.skew import two_phase_agg
+
+    ev = t(spark, sf_dir, "events").withColumn("vc", cents("value"))
+    out = two_phase_agg(
+        ev, "event_type", {"n": "count(*)", "_sum_vc": "sum(vc)", "_max_vc": "max(vc)"}
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("_sum_vc") / 100.0, 2).alias("sum_value"),
+        F.round(F.col("_max_vc") / 100.0, 2).alias("max_value"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT event_id,
+           NULLIF(event_type, 'error') AS maybe_type,
+           NULLIF(event_type, 'error') IS NOT DISTINCT FROM 'click' AS nullsafe_click,
+           NULLIF(event_type, 'error') IS DISTINCT FROM 'click' AS distinct_click,
+           NULLIF(event_type, 'error') IS NULL AS was_error,
+           COALESCE(NULLIF(event_type, 'error'), 'redacted') AS filled
+    FROM events
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: null-safe equality (<=>), IS
+    DISTINCT FROM, IS NULL, COALESCE over an induced-null column."""
+    ev = t(spark, sf_dir, "events")
+    x = F.nullif("event_type", F.lit("error"))
+    return ev.select(
+        "event_id",
+        x.alias("maybe_type"),
+        x.eqNullSafe(F.lit("click")).alias("nullsafe_click"),
+        (~x.eqNullSafe(F.lit("click"))).alias("distinct_click"),
+        x.isNull().alias("was_error"),
+        F.coalesce(x, F.lit("redacted")).alias("filled"),
+    )
+
+
+# ----------------------------------------------------- scalar coverage
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+           CAST(len(json_keys(props)) + 1 AS INTEGER) AS merged_n_keys
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: parse props into map<string,int>, then
+    map_keys / size / element_at / map_concat — all built-in
+    expressions (the oracle computes the same facts via JSON)."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    merged = F.map_concat(m, F.create_map(F.lit("__src"), F.lit(0)))
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(merged)).alias("merged_n_keys"),
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT event_id, user_id AS uid, value * 2 AS v2, 'tagged' AS tag,
+           user_id % 5 = 0 AS vip
+    FROM events
+    """,
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + nested field access: the values flow
+    through two levels of struct before being flattened, which is what
+    the oracle verifies arrives unchanged."""
+    ev = t(spark, sf_dir, "events")
+    inner = F.struct(F.col("user_id"), F.col("value"))
+    nested = F.struct(
+        inner.alias("inner"), F.lit("tagged").alias("tag"),
+        (F.col("user_id") % 5 == 0).alias("vip"),
+    )
+    return ev.select("event_id", nested.alias("n")).select(
+        "event_id",
+        F.col("n.inner.user_id").alias("uid"),
+        (F.col("n.inner.value") * 2).alias("v2"),
+        F.col("n.tag").alias("tag"),
+        F.col("n.vip").alias("vip"),
+    )
+
+
+@query(
+    "q_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 20),
+         UNNEST(generate_series(1, len(toks))) AS t(i)
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UNNEST WITH ORDINALITY): token stream with
+    positions — the primitive under n-gram/windowed text ops."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+# -------------------------------------------------- training-data ops
+
+
+@query(
+    "q_quality_filter_suite",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             list_sum(list_transform(string_split(text, ' '),
+                      x -> CAST(len(x) AS BIGINT))) AS sum_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           CAST(ROUND(sum_len * 10000.0 / n_words) AS BIGINT) / 10000.0 AS mean_word_len,
+           CAST(ROUND(n_stop * 10000.0 / n_words) AS BIGINT) / 10000.0 AS stop_frac,
+           n_words BETWEEN 40 AND 10000 AS len_ok,
+           (sum_len >= 3 * n_words AND sum_len <= 8 * n_words) AS word_len_ok,
+           n_stop * 20 >= n_words AS stop_ok,
+           (n_words BETWEEN 40 AND 10000 AND sum_len >= 3 * n_words
+            AND sum_len <= 8 * n_words AND n_stop * 20 >= n_words) AS passes
+    FROM m
+    """,
+)
+def q_quality_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (word count bounds, mean
+    word length band, stopword fraction floor). All flags compare
+    INTEGERS (sum_len vs 3n/8n, 20·stops vs n) so no float rounding
+    can flip a boolean; the reported ratios use the scale-0 integer
+    rounding trick. Pure codegen'd expressions — the 100 TB cost is
+    the scan."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "to", "and"))
+    ).cast("long")
+    n_words = F.size(toks).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_len"),
+        n_stop.alias("n_stop"),
+    )
+    len_ok = F.col("n_words").between(40, 10000)
+    wl_ok = (F.col("sum_len") >= 3 * F.col("n_words")) & (
+        F.col("sum_len") <= 8 * F.col("n_words")
+    )
+    stop_ok = F.col("n_stop") * 20 >= F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        (F.round(F.col("sum_len") * 10000.0 / F.col("n_words")).cast("long") / 10000.0).alias(
+            "mean_word_len"
+        ),
+        (F.round(F.col("n_stop") * 10000.0 / F.col("n_words")).cast("long") / 10000.0).alias(
+            "stop_frac"
+        ),
+        len_ok.alias("len_ok"),
+        wl_ok.alias("word_len_ok"),
+        stop_ok.alias("stop_ok"),
+        (len_ok & wl_ok & stop_ok).alias("passes"),
+    )
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    SELECT doc_id, CAST((i - 1) / 12 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, i, i + 15), ' ') AS chunk
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 100),
+         UNNEST(generate_series(1, len(toks) - 15, 12)) AS t(i)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window training chunks: 16-token windows, stride 12
+    (overlap 4), full windows only. sequence + slice built-ins — the
+    1→N fan-out is an explode, so chunking 100 TB is scan + narrow
+    explode, no shuffle at all."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 16
+    )
+    starts = F.sequence(F.lit(1), F.size("toks") - 15, F.lit(12))
+    return (
+        with_toks.select("doc_id", F.explode(starts).alias("i"), "toks")
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) / 12).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice("toks", F.col("i"), F.lit(16))).alias("chunk"),
+        )
+    )
+
+
+@query(
+    "q_doc_source_dedup",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+    FROM documents GROUP BY source
+    """,
+)
+def q_doc_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dup audit on a cross-engine-stable hash (md5
+    over UTF-8 bytes): the shape of a per-shard dedup report at crawl
+    scale — one shuffle on source, distinct-count of fixed-width
+    hashes instead of full texts."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("h").alias("n_unique"),
+            (F.count("*") - F.count_distinct("h")).alias("n_dupes"),
+        )
+    )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT label, i - 1 AS pos,
+           ROUND(AVG(embedding[i]), 4) AS centroid
+    FROM (SELECT label, embedding FROM embeddings),
+         UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, pos
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the building block of IVF
+    training, cluster summaries, and class prototypes): posexplode to
+    (label, dim) and average. Shuffle carries (label × dim) partial
+    sums — map-side combined, independent of row count."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).alias("centroid"))
+    )

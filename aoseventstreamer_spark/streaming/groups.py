@@ -204,7 +204,73 @@ class StreamGroupManager:
             .start()
         )
 
+    def read_stream_group_shared(
+        self,
+        group_id: str,
+        delivers: list[Callable[[int, DataFrame], None]],
+        trigger: dict | None = None,
+    ):
+        """One stream group, N client consumers sharing ONE message set
+        (handler.rs:21-33: a JetStream durable consumer load-balances
+        its messages across every client that attaches to it; no client
+        sees a message another client already consumed).
+
+        Spark mapping: still ONE streaming query with ONE checkpoint
+        (the durable consumer), but each micro-batch is split by a
+        deterministic hash of the event identity — every event lands
+        with exactly one consumer, and together the consumers see the
+        message set exactly once per delivery. The chunk stays the ack
+        unit: if ANY consumer's deliver raises, the offset is not
+        committed and the whole chunk is redelivered to all (the same
+        coarsening the reference has — acks are whole-chunk,
+        public_event_server.rs:363-384).
+        """
+        if not delivers:
+            raise ValueError("at least one consumer required")
+        group = self.get_stream_group(group_id)
+        if trigger is None:
+            trigger = {"processingTime": "250 milliseconds"}
+        n = len(delivers)
+
+        def _handle(batch_df: DataFrame, batch_id: int) -> None:
+            if n == 1:
+                delivers[0](batch_id, batch_df)
+                return
+            # (subject, seq) is the event identity: seq is unique per
+            # routed event and subject disambiguates fan-out copies
+            routed = batch_df.withColumn(
+                "__consumer", F.pmod(F.xxhash64("subject", "seq"), F.lit(n))
+            )
+            routed.persist()
+            try:
+                for i, deliver in enumerate(delivers):
+                    deliver(
+                        batch_id,
+                        routed.filter(F.col("__consumer") == i).drop("__consumer"),
+                    )
+            finally:
+                routed.unpersist()
+
+        return (
+            self._filtered_stream(group)
+            .writeStream.foreachBatch(_handle)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoints_root, group.id),
+            )
+            .trigger(**trigger)
+            .start()
+        )
+
     def read_available(self, group_id: str, deliver: Callable[[int, DataFrame], None]):
         """Catch-up mode: drain everything currently retained, then stop
         (Trigger.AvailableNow) — used by tests and batch replays."""
         return self.read_stream_group(group_id, deliver, trigger={"availableNow": True})
+
+    def read_available_shared(
+        self, group_id: str, delivers: list[Callable[[int, DataFrame], None]]
+    ):
+        """Shared-consumer catch-up mode (see read_stream_group_shared)."""
+        return self.read_stream_group_shared(
+            group_id, delivers, trigger={"availableNow": True}
+        )
