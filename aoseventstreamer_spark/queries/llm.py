@@ -232,9 +232,12 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ann_lsh")  # rows-only: hyperplanes derive from xxhash64
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN — the scale path for q_cosine_topk."""
+    """LSH-bucketed approximate NN — the scale path for q_cosine_topk.
+    dim is declared (the testdata embeddings are 64-wide at every sf),
+    so query construction submits zero probe jobs; the in-operator
+    size guard still excludes any mismatched row."""
     emb = t(spark, sf_dir, "embeddings")
-    return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+    return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, dim=64)
 
 
 @query("q_ann_ivf")  # rows-only: KMeans centroids are engine-specific
@@ -249,7 +252,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH.
     Threshold 0.4 fires on the fixture vectors (max pairwise cosine is
     ~0.51 there; the old 0.9 made the check vacuous)."""
-    return SIM.cosine_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return SIM.cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
 
 
 @query("q_multimodal_features")  # rows-only: mapInPandas, not SQL-expressible

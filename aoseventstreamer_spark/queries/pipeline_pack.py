@@ -489,6 +489,61 @@ def q_doc_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_components",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 2),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 200
+    ), e AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) * 20 >=
+            13 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+    ), sym AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM e
+      UNION SELECT doc_b, doc_a FROM e
+    ), reach(node, r) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+      UNION
+      SELECT s.node, r.r FROM sym s JOIN reach r ON s.nbr = r.node
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_keeper
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: char-3-gram Jaccard ≥ 0.65
+    edges (integer-compared, engine-portable) resolved to connected
+    components by iterative min-label propagation
+    (operators/components.py), then keep-one-per-cluster. The oracle
+    computes the same transitive closure with a recursive CTE. The
+    all-pairs edge build is bounded to the doc_id < 200 verify set —
+    at scale the edges come from LSH (q_near_dup_verified), and only
+    the component resolution runs on the full pair list."""
+    from aoseventstreamer_spark.operators.components import dedup_components
+    from aoseventstreamer_spark.operators.dedup import ngram_set
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = docs.select("doc_id", ngram_set("text", 3).alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    edges = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("i"),
+        union.alias("u"),
+    ).filter(F.col("i") * 20 >= 13 * F.col("u")).select("doc_a", "doc_b")
+    return dedup_components(docs, edges)
+
+
+@query(
     "q_embed_centroids",
     oracle="""
     SELECT label, i - 1 AS pos,

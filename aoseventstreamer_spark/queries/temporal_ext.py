@@ -87,9 +87,14 @@ def q_running_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines order by the same epoch-second integers so frame
     membership is identical; cents keep the sum exact."""
     ev = t(spark, sf_dir, "events")
+    # ts arrives as TIMESTAMP_NTZ (current testdata) or TIMESTAMP
+    # (nanos-era testdata via load_table); NTZ has no direct cast to
+    # long, so go through TIMESTAMP — an identity mapping under the
+    # pinned UTC session timezone
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_s)
         .rangeBetween(-1800, Window.currentRow)
     )
     return ev.select(

@@ -1,0 +1,66 @@
+"""Connected components (operators/components.py): correctness on
+known graph shapes, determinism, and the corpus canonicalization
+wrapper."""
+
+from __future__ import annotations
+
+from aoseventstreamer_spark.operators.components import (
+    connected_components,
+    dedup_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _comp_map(df):
+    return {r.node: r.component for r in df.collect()}
+
+
+def test_chain_resolves_to_min(spark):
+    # 1-2-3-4-5 chain: diameter > 1 forces multiple propagation rounds
+    comp = _comp_map(connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_cliques_and_direction_independence(spark):
+    # edge direction must not matter (the graph is undirected)
+    comp = _comp_map(
+        connected_components(
+            _edges(spark, [(10, 11), (12, 11), (20, 21), (22, 21), (21, 23)])
+        )
+    )
+    assert comp == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_long_chain_within_max_iter(spark):
+    # 40-node path: worst-case diameter; still converges (min label
+    # travels > 1 hop/round from the min side of every join)
+    n = 40
+    comp = _comp_map(connected_components(_edges(spark, [(i, i + 1) for i in range(n)])))
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
+def test_dedup_components_keeps_isolated_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = dedup_components(docs, _edges(spark, [(1, 2), (5, 6)]))
+    rows = {r.doc_id: (r.component, r.is_keeper) for r in out.collect()}
+    assert rows == {
+        0: (0, True),
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),
+        4: (4, True),
+        5: (5, True),
+        6: (5, False),
+        7: (7, True),
+    }
+
+
+def test_deterministic_across_runs(spark):
+    edges = _edges(spark, [(3, 7), (7, 9), (2, 4), (9, 11), (4, 8)])
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges).collect()))
+    assert a == b
