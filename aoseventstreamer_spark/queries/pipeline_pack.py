@@ -489,6 +489,119 @@ def q_doc_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_repetition_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS big
+      FROM base, UNNEST(generate_series(1, n - 1)) t(i)
+      WHERE n >= 2
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_n
+      FROM (SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big)
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id, n AS n_tokens, nd AS n_distinct,
+           CAST(ROUND((n - nd) * 10000.0 / n) AS BIGINT) / 10000.0 AS dup_token_frac,
+           COALESCE(top_n, 0) AS top_bigram_n,
+           COALESCE(top_n, 0) * 5 <= GREATEST(n - 1, 1) AS repetition_ok
+    FROM base LEFT JOIN top USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules: within-document duplicate-token
+    fraction and top-bigram dominance (boilerplate/spam both spike
+    them). The bigram multiplicity goes explode → count → max — two
+    shuffles both keyed by doc_id, so the exchange is reused; the flag
+    compares integers (5·top ≤ n-1 ⇔ top ≤ 20%)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+    )
+    bigrams = (
+        base.filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("n") - 1).cast("int")),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i.cast("int")),
+                        F.element_at("toks", (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("big"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "big")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.col("nd").alias("n_distinct"),
+        (F.round((F.col("n") - F.col("nd")) * 10000.0 / F.col("n")).cast("long") / 10000.0)
+        .alias("dup_token_frac"),
+        F.coalesce("top_n", F.lit(0)).alias("top_bigram_n"),
+        (F.coalesce("top_n", F.lit(0)) * 5 <= F.greatest(F.col("n") - 1, F.lit(1)))
+        .alias("repetition_ok"),
+    )
+
+
+@query(
+    "q_common_token_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(toks) AS t(tok)
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS cf FROM tok GROUP BY tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(ROUND(SUM(cf) * 10000.0 / COUNT(*)) AS BIGINT) / 10000.0
+             AS mean_corpus_freq,
+           MIN(cf) AS rarest_freq
+    FROM tok JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics join-back (the shape under TF-IDF / unigram
+    LM quality scoring): build the vocabulary frequency table from the
+    corpus itself, broadcast it back onto the token stream, and score
+    each document by mean corpus frequency + rarest token. Vocab
+    tables are tiny relative to the corpus (Heaps' law), so the join
+    back is a broadcast, never a shuffle of the token stream."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cf"))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.round(F.sum("cf") * 10000.0 / F.count("*")).cast("long") / 10000.0)
+            .alias("mean_corpus_freq"),
+            F.min("cf").alias("rarest_freq"),
+        )
+    )
+
+
+@query(
     "q_dedup_components",
     oracle="""
     WITH RECURSIVE g AS (
