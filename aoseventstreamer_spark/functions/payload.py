@@ -130,9 +130,19 @@ def decode_notification(payload: Column | str) -> Column:
     foreign payloads (unknown/reordered fields, oversized enum
     varints) use ``with_decoded_notification``: its fold-based walk
     has constant plan size and full-width everything.
-    """
-    p = F.col(payload) if isinstance(payload, str) else payload
 
+    The payload expression is BOUND ONCE via a single-element
+    ``transform`` lambda: the decode tree references the lambda
+    variable (a leaf), not the caller's expression, so
+    ``decode(encode(x))`` costs size(encode) + size(decode) instead of
+    size(encode) × references — the composition that previously took
+    ~35 s of analysis per projection builds in milliseconds.
+    """
+    p0 = F.col(payload) if isinstance(payload, str) else payload
+    return F.get(F.transform(F.array(p0), _decode_positional), 0)
+
+
+def _decode_positional(p: Column) -> Column:
     def varint2_at(pos: Column) -> tuple[Column, Column]:
         b0 = _byte_at(p, pos)
         b1 = _byte_at(p, pos + 1)
@@ -180,87 +190,172 @@ def decode_notification_tolerant(payload: Column | str) -> Column:
       gracefully);
     - full-width varints (values accumulate in a long).
 
-    The parse loop is a runtime fold (``F.aggregate`` over one step
-    per potential field entry — a field entry is at least 2 bytes, so
-    ``len/2`` steps always suffice) with a
-    ``(pos, res, upd, rid_off, rid_len)`` struct accumulator. The
-    lambda appears ONCE in the plan and executes per step at runtime,
-    so plan size is constant regardless of payload length — a
-    plan-time unrolled version of this decoder collapsed into an
-    exponentially duplicated expression tree. Still no Python: the
-    fold is a Catalyst higher-order function, evaluated JVM-side.
+    The parse loop is a PER-BYTE finite-state machine run as a single
+    ``F.aggregate`` fold over the byte array: the state struct carries
+    ``(mode, shift, acc, field, pos, skip, res, upd, rid_off,
+    rid_len)`` and each byte advances it — accumulating a tag varint,
+    accumulating a value/length varint, or skipping a counted body.
+    One small lambda, the byte array referenced exactly once as the
+    fold input, so BOTH plan size and analysis time are constant and
+    tiny. (Two earlier shapes failed here: a plan-time unrolled walk
+    duplicated the position arithmetic exponentially, and a
+    per-field-entry fold with 10-byte lookahead re-embedded the
+    byte-array subtree ~40× inside nested lambdas — Spark 4's
+    analyzer took ~90 s on THAT expression before a single row
+    moved.) Still no Python: the fold is a Catalyst higher-order
+    function, evaluated JVM-side.
+
+    Varint values accumulate into a long, keeping contributions up to
+    shift 56 (low 63 bits) — every known field is u32-bounded; an
+    unknown u64's top bits are only ever *skipped over*, so their
+    loss is irrelevant. A varint running past the proto maximum of 10
+    bytes stops the walk (prost errors; we degrade gracefully).
+
+    As in ``decode_notification``, the payload expression is bound
+    once through a single-element ``transform`` lambda so composing
+    over a complex payload expression cannot multiply the plan.
     """
-    p = F.col(payload) if isinstance(payload, str) else payload
-    n = F.length(p).cast("long")
-    # byte values as array<int> (1-based positions via F.get's 0-base)
+    p0 = F.col(payload) if isinstance(payload, str) else payload
+    return F.get(F.transform(F.array(p0), _decode_tolerant), 0)
+
+
+# FSM modes
+_M_TAG, _M_VAL, _M_LEN, _M_SKIP, _M_STOP = 0, 1, 2, 3, 4
+
+
+def _decode_tolerant(p: Column) -> Column:
+    n = F.length(p).cast("int")
     hexstr = F.hex(p)
     bytes_arr = F.when(
         n > 0,
         F.transform(
-            F.sequence(F.lit(1), n.cast("int")),
+            F.sequence(F.lit(1), n),
             lambda i: F.conv(F.substring(hexstr, i * 2 - 1, 2), 16, 10).cast("int"),
         ),
     ).otherwise(F.array().cast("array<int>"))
 
-    def varint(arr: Column, pos: Column) -> tuple[Column, Column]:
-        """(value, width) of the varint at 1-based pos; width is null
-        when the varint is truncated or longer than the proto maximum
-        of 10 bytes. The value keeps the low 63 bits — enough for
-        every known field (u32 enums, string lengths); an unknown
-        u64's top bit is only ever *skipped over*, so its loss is
-        irrelevant."""
-        b = [F.get(arr, (pos + i - 1).cast("int")) for i in range(10)]
-        v = [x.bitwiseAND(F.lit(127)).cast("long") for x in b]
-        acc = v[0]
-        value = F.when(b[0] < 128, acc)
-        for i in range(1, 10):
-            if 7 * i < 63:
-                acc = acc + v[i] * (1 << (7 * i))
-            value = value.when(b[i] < 128, acc)
-        width = F.when(b[0] < 128, F.lit(1).cast("long"))
-        for i in range(1, 10):
-            width = width.when(b[i] < 128, F.lit(i + 1).cast("long"))
-        return value, width  # both null if no terminator in 10 bytes
+    def lng(x: int) -> Column:
+        return F.lit(x).cast("long")
 
-    def step(acc: Column, _step_no: Column) -> Column:
-        pos = acc["pos"]
-        active = pos.isNotNull() & (pos <= n)
-        tag_val, tag_w = varint(bytes_arr, pos)
-        field_no = F.shiftright(tag_val, 3)
-        wire = tag_val.bitwiseAND(F.lit(7))
-        vpos = pos + tag_w
-        vval, vw = varint(bytes_arr, vpos)
-        new_pos = (
-            F.when(wire == 0, vpos + vw)
-            .when(wire == 1, vpos + 8)
-            .when(wire == 5, vpos + 4)
-            .when(wire == 2, vpos + vw + vval)
-            .otherwise(F.lit(None).cast("long"))  # group/invalid: stop
+    def step(acc: Column, b: Column) -> Column:
+        mode = acc["mode"]
+        pos = acc["pos"] + 1  # 1-based position of the current byte
+        low = b.bitwiseAND(F.lit(127)).cast("long")
+        cont = b >= 128
+        shift = acc["shift"]
+        # 2^shift is exact in a double for shift <= 62; contributions
+        # above shift 56 are dropped (see docstring)
+        contrib = F.when(
+            shift <= 56, low * F.pow(F.lit(2.0), shift.cast("double")).cast("long")
+        ).otherwise(lng(0))
+        total = acc["acc"] + contrib
+        # the 10th byte of a legal u64 varint sits at shift 63; only an
+        # 11th byte (shift 70) is malformed
+        overlong = shift >= 70
+
+        # -- tag varint byte --------------------------------------------
+        field_no = F.floor(total / 8).cast("long")
+        wire = total.bitwiseAND(lng(7))
+        tag_done = F.struct(
+            F.when(wire == 0, F.lit(_M_VAL))
+            .when(wire == 2, F.lit(_M_LEN))
+            .when((wire == 1) | (wire == 5), F.lit(_M_SKIP))
+            .otherwise(F.lit(_M_STOP))
+            .alias("mode"),
+            lng(0).alias("shift"),
+            lng(0).alias("acc"),
+            field_no.alias("field"),
+            pos.alias("pos"),
+            F.when(wire == 1, lng(8)).when(wire == 5, lng(4)).otherwise(lng(0)).alias("skip"),
+            acc["res"].alias("res"),
+            acc["upd"].alias("upd"),
+            acc["rid_off"].alias("rid_off"),
+            acc["rid_len"].alias("rid_len"),
         )
-        is_res = (wire == 0) & (field_no == 1) & vval.isNotNull()
-        is_upd = (wire == 0) & (field_no == 2) & vval.isNotNull()
-        is_rid = (wire == 2) & (field_no == 3) & vval.isNotNull()
-        advanced = F.struct(
-            new_pos.alias("pos"),
-            F.when(is_res, vval).otherwise(acc["res"]).alias("res"),
-            F.when(is_upd, vval).otherwise(acc["upd"]).alias("upd"),
-            F.when(is_rid, vpos + vw).otherwise(acc["rid_off"]).alias("rid_off"),
-            F.when(is_rid, vval).otherwise(acc["rid_len"]).alias("rid_len"),
+        in_tag = F.when(
+            overlong,
+            _set(acc, pos, mode=F.lit(_M_STOP)),
+        ).otherwise(
+            F.when(cont, _set(acc, pos, shift=shift + 7, acc_val=total)).otherwise(
+                tag_done
+            )
         )
-        return F.when(active, advanced).otherwise(acc)
+
+        # -- value-varint byte (wire 0) ---------------------------------
+        val_done = F.struct(
+            F.lit(_M_TAG).alias("mode"),
+            lng(0).alias("shift"),
+            lng(0).alias("acc"),
+            acc["field"].alias("field"),
+            pos.alias("pos"),
+            lng(0).alias("skip"),
+            F.when(acc["field"] == 1, total).otherwise(acc["res"]).alias("res"),
+            F.when(acc["field"] == 2, total).otherwise(acc["upd"]).alias("upd"),
+            acc["rid_off"].alias("rid_off"),
+            acc["rid_len"].alias("rid_len"),
+        )
+        in_val = F.when(
+            overlong, _set(acc, pos, mode=F.lit(_M_STOP))
+        ).otherwise(
+            F.when(cont, _set(acc, pos, shift=shift + 7, acc_val=total)).otherwise(
+                val_done
+            )
+        )
+
+        # -- length-varint byte (wire 2) --------------------------------
+        is_rid = acc["field"] == 3
+        len_done = F.struct(
+            F.when(total > 0, F.lit(_M_SKIP)).otherwise(F.lit(_M_TAG)).alias("mode"),
+            lng(0).alias("shift"),
+            lng(0).alias("acc"),
+            acc["field"].alias("field"),
+            pos.alias("pos"),
+            total.alias("skip"),
+            acc["res"].alias("res"),
+            acc["upd"].alias("upd"),
+            F.when(is_rid, pos + 1).otherwise(acc["rid_off"]).alias("rid_off"),
+            F.when(is_rid, total).otherwise(acc["rid_len"]).alias("rid_len"),
+        )
+        in_len = F.when(
+            overlong, _set(acc, pos, mode=F.lit(_M_STOP))
+        ).otherwise(
+            F.when(cont, _set(acc, pos, shift=shift + 7, acc_val=total)).otherwise(
+                len_done
+            )
+        )
+
+        # -- counted skip byte ------------------------------------------
+        in_skip = F.when(
+            acc["skip"] <= 1, _set(acc, pos, mode=F.lit(_M_TAG), skip=lng(0))
+        ).otherwise(_set(acc, pos, skip=acc["skip"] - 1))
+
+        return (
+            F.when(mode == _M_TAG, in_tag)
+            .when(mode == _M_VAL, in_val)
+            .when(mode == _M_LEN, in_len)
+            .when(mode == _M_SKIP, in_skip)
+            .otherwise(_set(acc, pos))  # stopped: only advance pos
+        )
 
     init = F.struct(
-        F.lit(1).cast("long").alias("pos"),
+        F.lit(_M_TAG).alias("mode"),
+        F.lit(0).cast("long").alias("shift"),
+        F.lit(0).cast("long").alias("acc"),
+        F.lit(0).cast("long").alias("field"),
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("skip"),
         F.lit(0).cast("long").alias("res"),
         F.lit(0).cast("long").alias("upd"),
         F.lit(None).cast("long").alias("rid_off"),
         F.lit(None).cast("long").alias("rid_len"),
     )
-    # one fold step per potential field entry (each consumes >= 2 bytes)
-    steps = F.sequence(F.lit(1), F.greatest(F.lit(1), (n / 2).cast("int") + 1))
-    state = F.aggregate(steps, init, step)
+    state = F.aggregate(bytes_arr, init, step)
+    # a varint cut off mid-accumulation never fired its assignment —
+    # matching "truncated input: keep fields seen so far"
     rid = F.when(
-        state["rid_off"].isNotNull() & (state["rid_len"] > 0),
+        state["rid_off"].isNotNull()
+        & (state["rid_len"] > 0)
+        & (state["rid_off"] + state["rid_len"] - 1 <= F.length(p)),
         F.decode(
             F.substring(p, state["rid_off"].cast("int"), state["rid_len"].cast("int")),
             "UTF-8",
@@ -270,6 +365,24 @@ def decode_notification_tolerant(payload: Column | str) -> Column:
         F.coalesce(state["res"], F.lit(0)).cast("int").alias("resource"),
         F.coalesce(state["upd"], F.lit(0)).cast("int").alias("updated_type"),
         F.coalesce(rid, F.lit("")).alias("resource_id"),
+    )
+
+
+def _set(acc: Column, pos: Column, mode: Column | None = None,
+         shift: Column | None = None, acc_val: Column | None = None,
+         skip: Column | None = None) -> Column:
+    """State struct with selected fields replaced (pos always advances)."""
+    return F.struct(
+        (mode if mode is not None else acc["mode"]).alias("mode"),
+        (shift if shift is not None else acc["shift"]).alias("shift"),
+        (acc_val if acc_val is not None else acc["acc"]).alias("acc"),
+        acc["field"].alias("field"),
+        pos.alias("pos"),
+        (skip if skip is not None else acc["skip"]).alias("skip"),
+        acc["res"].alias("res"),
+        acc["upd"].alias("upd"),
+        acc["rid_off"].alias("rid_off"),
+        acc["rid_len"].alias("rid_len"),
     )
 
 

@@ -8,9 +8,10 @@ each micro-batch is matched against ALL registered groups in ONE pass
 grammar ⇒ ≤ 4 keys, subjects.candidate_query_subjects) which
 equi-join, broadcast, against the group dimension. Each group then
 receives only its slice of the (persisted, already-matched) frame;
-groups with no matches this batch get a driver-local empty frame, so
-per-batch work is one join job plus one cheap job per *matching*
-group — flat in the number of registered groups. Chunk ids stay
+groups with no matches this batch all receive ONE shared empty frame
+(``runner.empty_frame``, built once at start — no per-group plan
+work), so per-batch work is one join job plus one cheap job per
+*matching* group — flat in the number of registered groups. Chunk ids stay
 per-group (batch_id), the checkpoint is shared — commit happens only
 after ALL groups accepted the batch, preserving (coarsening) the
 at-least-once contract: a failed deliver for any group replays the
@@ -49,6 +50,9 @@ class DemuxRunner:
         self.checkpoint = checkpoint
         self._groups: list[DemuxGroup] = []
         self._started = False
+        # ONE empty frame shared by every idle group in every batch:
+        # zero per-group construction or planning cost
+        self.empty_frame = spark.createDataFrame([], schemas.ROUTED_EVENTS_SCHEMA)
 
     def register(
         self, group_id: str, filter_subject: str, deliver: Callable[[int, DataFrame], None]
@@ -125,8 +129,10 @@ class DemuxRunner:
             matched.persist()
             try:
                 # ONE job finds which groups have data this batch
+                # (indexed access: attribute access on a leading-__
+                # column would be name-mangled inside this class)
                 present = {
-                    r.__group_id
+                    r["__group_id"]
                     for r in matched.select("__group_id").distinct().collect()
                 }
                 for g in groups:
@@ -135,11 +141,9 @@ class DemuxRunner:
                             F.col("__group_id") == g.id
                         ).drop("__group_id")
                     else:
-                        # driver-local empty frame: actions on it cost
-                        # ~nothing, so idle groups don't add jobs
-                        slice_df = self.spark.createDataFrame(
-                            [], schemas.ROUTED_EVENTS_SCHEMA
-                        )
+                        # shared empty frame: actions on it cost
+                        # ~nothing, so idle groups add no real work
+                        slice_df = self.empty_frame
                     g.deliver(batch_id, slice_df)
             finally:
                 matched.unpersist()
