@@ -1,0 +1,101 @@
+"""MERGE-style upsert transforms (SCD type 1 and type 2).
+
+A mutable "current state" view over an append-only event log is the
+other half of the reference's data model: the log records changes
+(EmitEvent is literally a resource-change feed,
+internal_event_server.rs:18-66); consumers routinely need latest-wins
+state or full change history. Without a table format, MERGE INTO is
+expressed as pure DataFrame algebra producing the NEXT table state —
+write it with an overwrite/compaction-style rewrite
+(operators/maintenance.py) or feed it to foreachBatch for streaming
+upserts.
+
+Scale shape: one shuffle on the merge key for the anti-join/union
+(updates are deduped with a map-side-combinable max aggregation
+first); at 100 TB partition the state table by a stable key prefix so
+the rewrite touches only affected partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _latest_per_key(updates: DataFrame, keys: list[str], order_by: list[str]) -> DataFrame:
+    """Last update per key, deterministically (order_by then the full
+    tuple of remaining columns never ties for real change feeds; the
+    caller supplies a unique tiebreaker column in order_by)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str] | str,
+    order_by: list[str] | str,
+) -> DataFrame:
+    """SCD type 1 (latest wins): the next state of ``target`` after
+    applying ``updates`` — matched keys replaced by their latest
+    update, unmatched target rows kept, brand-new keys inserted.
+    Column sets must match (enforced)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"column mismatch: target {sorted(target.columns)} vs "
+            f"updates {sorted(updates.columns)}"
+        )
+    latest = _latest_per_key(updates, keys, order_by)
+    untouched = target.join(latest.select(*keys), on=keys, how="left_anti")
+    return untouched.unionByName(latest.select(*target.columns))
+
+
+def merge_scd2(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str] | str,
+    order_by: str,
+    current_flag: str = "is_current",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD type 2 (keep history): matched CURRENT rows are closed
+    (``valid_to`` = the update's ``order_by`` value, flag cleared) and
+    the latest update per key is appended as the new current row with
+    an open ``valid_to``. ``target`` must already carry the three
+    bookkeeping columns; ``updates`` carries the data columns +
+    ``order_by``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    latest = _latest_per_key(updates, keys, [order_by])
+
+    new_rows = (
+        latest.withColumn(valid_from, F.col(order_by))
+        .withColumn(valid_to, F.lit(None).cast(latest.schema[order_by].dataType))
+        .withColumn(current_flag, F.lit(True))
+        .select(*target.columns)
+    )
+    closing = latest.select(*keys, F.col(order_by).alias("__close_at"))
+    closed = (
+        target.join(F.broadcast(closing), on=keys, how="left")
+        .withColumn(
+            valid_to,
+            F.when(
+                F.col(current_flag) & F.col("__close_at").isNotNull(),
+                F.col("__close_at"),
+            ).otherwise(F.col(valid_to)),
+        )
+        .withColumn(
+            current_flag,
+            F.when(F.col("__close_at").isNotNull(), F.lit(False)).otherwise(
+                F.col(current_flag)
+            ),
+        )
+        .drop("__close_at")
+    )
+    return closed.unionByName(new_rows)

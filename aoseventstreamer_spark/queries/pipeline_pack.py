@@ -285,6 +285,58 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15'
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15'
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(u.user_id, t.user_id) AS user_id,
+           COALESCE(u.value, t.value) AS value,
+           COALESCE(u.ts, t.ts) AS ts
+    FROM tgt t FULL OUTER JOIN upd u ON t.user_id = u.user_id
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as DataFrame algebra (operators/merge.py SCD1): a
+    latest-per-user state table built from the first half of the log,
+    upserted with the second half — matched keys replaced, new keys
+    inserted, untouched keys kept. The oracle states the same
+    contract as a FULL OUTER JOIN + COALESCE."""
+    from aoseventstreamer_spark.operators.merge import merge_upsert
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "value", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value", "ts", "event_id")
+        )
+
+    target = latest(ev.filter(F.col("ts") < cut))
+    updates = ev.filter(F.col("ts") >= cut)
+    return merge_upsert(
+        target, updates, keys="user_id", order_by=["ts", "event_id"]
+    ).drop("event_id")
+
+
 # ----------------------------------------------------- scalar coverage
 
 

@@ -1,0 +1,68 @@
+"""MERGE-style upsert operators (operators/merge.py): SCD1 latest-wins
+semantics and SCD2 history tracking."""
+
+from __future__ import annotations
+
+import pytest
+
+from aoseventstreamer_spark.operators.merge import merge_scd2, merge_upsert
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ver long")
+
+
+def test_upsert_update_insert_keep(spark):
+    target = _state(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)])
+    updates = _state(spark, [(2, "B", 2), (4, "d", 2)])
+    out = {r.k: (r.v, r.ver) for r in merge_upsert(target, updates, "k", "ver").collect()}
+    assert out == {1: ("a", 1), 2: ("B", 2), 3: ("c", 1), 4: ("d", 2)}
+
+
+def test_upsert_latest_update_wins_within_batch(spark):
+    target = _state(spark, [(1, "a", 1)])
+    updates = _state(spark, [(1, "mid", 5), (1, "latest", 9), (1, "old", 2)])
+    out = merge_upsert(target, updates, "k", "ver").collect()
+    assert len(out) == 1 and out[0].v == "latest"
+
+
+def test_upsert_rejects_column_mismatch(spark):
+    target = _state(spark, [(1, "a", 1)])
+    bad = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="column mismatch"):
+        merge_upsert(target, bad, "k", "ver")
+
+
+def test_scd2_closes_and_appends(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10, None, True), (2, "b", 10, None, True),
+         (1, "a0", 5, 10, False)],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "A", 20)], "k long, v string, ver long")
+    out = merge_scd2(target, updates, "k", order_by="ver")
+    rows = sorted(
+        ((r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in out.collect())
+    )
+    assert rows == [
+        (1, "A", 20, None, True),    # new current version
+        (1, "a", 10, 20, False),     # closed at the update's version
+        (1, "a0", 5, 10, False),     # historic row untouched
+        (2, "b", 10, None, True),    # unmatched key untouched
+    ]
+
+
+def test_scd2_history_chain_is_contiguous(spark):
+    state = spark.createDataFrame(
+        [(1, "v1", 1, None, True)],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    for ver, val in [(2, "v2"), (3, "v3"), (4, "v4")]:
+        upd = spark.createDataFrame([(1, val, ver)], "k long, v string, ver long")
+        state = merge_scd2(state, upd, "k", order_by="ver")
+    rows = sorted((r.valid_from, r.valid_to, r.v, r.is_current) for r in state.collect())
+    assert rows == [
+        (1, 2, "v1", False), (2, 3, "v2", False),
+        (3, 4, "v3", False), (4, None, "v4", True),
+    ]
+    # each version's close equals the next version's open: no gaps

@@ -146,3 +146,37 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
         elif "ArrowEvalPython" in plan and name not in arrow_ok:
             offenders[name] = "unexpected ArrowEvalPython (pandas_udf)"
     assert not offenders, offenders
+
+
+def test_tpch_q3_plan_broadcasts_and_takeordered(spark, sf_dir):
+    """Q3's dimension sides broadcast (customer is filtered tiny) and
+    the ORDER BY ... LIMIT 10 is TakeOrderedAndProject, never a global
+    sort of the aggregate output."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q_tpch_q3"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert has_pushed_filter(df, r"EqualTo\(c_mktsegment,BUILDING\)")
+    assert has_pushed_filter(df, r"LessThan\(o_orderdate")
+
+
+def test_tpch_q1_q6_pushdown_and_partial_agg(spark, sf_dir):
+    """Q1/Q6: date predicates reach the parquet scan; aggregation is
+    partial (map-side combine) before the exchange."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    q1 = QUERIES["q_tpch_q1"](spark, sf_dir)
+    assert has_pushed_filter(q1, r"LessThanOrEqual\(l_shipdate")
+    assert "partial_" in formatted_plan(q1)
+    q6 = QUERIES["q_tpch_q6"](spark, sf_dir)
+    assert has_pushed_filter(q6, r"GreaterThanOrEqual\(l_shipdate")
+    assert "partial_" in formatted_plan(q6)
+
+
+def test_corpus_score_vocab_broadcasts(spark, sf_dir):
+    """The vocabulary join-back must broadcast the (tiny) vocab side,
+    never shuffle the token stream for the join."""
+    df = QUERIES["q_common_token_score"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
