@@ -1,0 +1,75 @@
+"""User-defined extension points: Python UDTF + grouped pandas UDAF.
+
+The engine's design stance (SURVEY §7.0) is built-ins first — every
+hot-path operator is Catalyst-visible, and `tests/test_plans.py`
+enforces that no registered query falls back to row-at-a-time Python.
+These wrappers exist because a real deployment still needs an escape
+hatch for logic Spark genuinely cannot express, and the capability
+matrix (§2.B UDF/UDAF/UDTF row) should demonstrate the supported
+shapes rather than leave them implied:
+
+- **UDTF** (1 row → N rows with driver-visible schema): the Spark 4
+  Python UDTF surface. The example is deliberately one a production
+  pipeline would NOT use a UDTF for (tokenization is `posexplode` +
+  `split`, see q_posexplode_tokens) — tests assert the UDTF output
+  EQUALS the built-in plan's output, documenting both the mechanism
+  and the preferred alternative.
+- **UDAF** via ``applyInPandas`` (whole-group pandas function,
+  Arrow-batched): the shape for per-group logic that needs a real
+  dataframe library (sklearn-style fits, scipy stats) rather than an
+  aggregate expression.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize_udtf():
+    """Python UDTF splitting text into (pos, tok) rows — the
+    demonstration counterpart of the built-in posexplode path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield i, t
+
+    return Tokenize
+
+
+def tokenize_with_udtf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply the tokenize UDTF with a lateral join, keeping the id."""
+    Tokenize = tokenize_udtf()
+    return df.lateralJoin(
+        Tokenize(F.col(text_col).outer()).alias("t")
+    ).select(id_col, "t.pos", "t.tok")
+
+
+def grouped_weighted_stats(
+    df: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    weight_col: str = "user_id",
+) -> DataFrame:
+    """Per-group weighted mean + weighted variance via applyInPandas —
+    the grouped-UDAF shape (whole group arrives as one pandas frame,
+    Arrow-batched; output schema declared up front)."""
+    schema = f"{key_col} string, w_mean double, w_var double, n long"
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        w = pdf[weight_col].to_numpy(dtype=float) + 1.0  # strictly positive
+        v = pdf[value_col].to_numpy(dtype=float)
+        mean = float(np.average(v, weights=w))
+        var = float(np.average((v - mean) ** 2, weights=w))
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "w_mean": [round(mean, 6)],
+             "w_var": [round(var, 6)], "n": [len(pdf)]}
+        )
+
+    return df.groupBy(key_col).applyInPandas(stats, schema=schema)

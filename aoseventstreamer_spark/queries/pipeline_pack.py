@@ -412,6 +412,31 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos").cast("long"))
 
 
+@query(
+    "q_variant_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_fields,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse once into a
+    variant, then typed `variant_get` extraction — the
+    shredding-friendly representation for open JSON schemas (vs the
+    fixed map of q_map_funcs). Oracle states the same facts via JSON."""
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.size(F.map_keys(F.from_json("props", "map<string,string>"))).alias("n_fields"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    )
+
+
 # -------------------------------------------------- training-data ops
 
 
