@@ -66,3 +66,57 @@ def test_scd2_history_chain_is_contiguous(spark):
         (3, 4, "v3", False), (4, None, "v4", True),
     ]
     # each version's close equals the next version's open: no gaps
+
+
+def test_streaming_upsert_foreachbatch(spark, tmp_path):
+    """The streaming shape: each micro-batch upserts into a parquet
+    state table via merge_upsert — batch replay (at-least-once) is
+    idempotent because latest-wins merges are."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+         T.StructField("ver", T.LongType())]
+    )
+    # the file-stream source lists files directly under the path (no
+    # recursion): surface each batch's part files at the top level
+    import glob
+    import shutil
+
+    for i, rows in enumerate([[(1, "a", 1), (2, "b", 2)], [(2, "B", 3), (3, "c", 4)]]):
+        staged = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+        for j, part in enumerate(glob.glob(os.path.join(staged, "part-*.parquet"))):
+            shutil.move(part, os.path.join(src, f"batch{i}_{j}.parquet"))
+
+    def upsert(batch_df, batch_id):
+        try:
+            target = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            target = batch_df.limit(0)
+        new_state = merge_upsert(target, batch_df, "k", "ver")
+        # overwrite to a temp then swap would be production; direct
+        # overwrite is fine for the contract test (deterministic batch)
+        new_state.cache().count()
+        new_state.write.mode("overwrite").parquet(state_dir)
+        new_state.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {r.k: (r.v, r.ver) for r in spark.read.parquet(state_dir).collect()}
+    assert final == {1: ("a", 1), 2: ("B", 3), 3: ("c", 4)}
