@@ -64,3 +64,44 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, connected_components(edges).collect()))
     b = sorted(map(tuple, connected_components(edges).collect()))
     assert a == b
+
+
+def test_components_match_python_bfs_on_random_graphs(spark):
+    """Property check vs an independent BFS oracle: deterministic
+    pseudo-random graphs of varying density."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 30
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for _ in range(rng.randint(5, 60))
+                for a, b in [(rng.randrange(n), rng.randrange(n))]
+                if a != b
+            }
+        )
+        if not edges:
+            continue
+        # python BFS oracle
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = {}
+        for start in sorted(adj):
+            if start in expected:
+                continue
+            seen, todo = {start}, [start]
+            while todo:
+                cur = todo.pop()
+                for nxt in adj[cur]:
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        todo.append(nxt)
+            root = min(seen)
+            for node in seen:
+                expected[node] = root
+        got = _comp_map(connected_components(_edges(spark, edges)))
+        assert got == expected, (seed, edges)

@@ -120,3 +120,13 @@ def test_streaming_upsert_foreachbatch(spark, tmp_path):
     q.awaitTermination(180)
     final = {r.k: (r.v, r.ver) for r in spark.read.parquet(state_dir).collect()}
     assert final == {1: ("a", 1), 2: ("B", 3), 3: ("c", 4)}
+
+
+def test_upsert_idempotent_under_replay(spark):
+    """At-least-once safety: applying the same update batch twice
+    yields the same state as applying it once."""
+    target = _state(spark, [(1, "a", 1), (2, "b", 1)])
+    updates = _state(spark, [(2, "B", 5), (3, "c", 5)])
+    once = merge_upsert(target, updates, "k", "ver")
+    twice = merge_upsert(once, updates, "k", "ver")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
