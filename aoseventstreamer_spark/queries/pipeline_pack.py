@@ -737,7 +737,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_centroids",
     oracle="""
     SELECT label, i - 1 AS pos,
-           ROUND(AVG(embedding[i]), 4) AS centroid
+           CAST(ROUND(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+                      * 1.0 / COUNT(*)) AS BIGINT) AS centroid_micro
     FROM (SELECT label, embedding FROM embeddings),
          UNNEST(generate_series(1, len(embedding))) AS t(i)
     GROUP BY label, pos
@@ -747,7 +748,14 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (the building block of IVF
     training, cluster summaries, and class prototypes): posexplode to
     (label, dim) and average. Shuffle carries (label × dim) partial
-    sums — map-side combined, independent of row count."""
+    sums — map-side combined, independent of row count.
+
+    Cross-engine exactness: each element is quantized to integer
+    micro-units FIRST (identical doubles → identical integers on both
+    engines), summed exactly, and the mean is rounded at scale 0 —
+    float summation order can therefore never flip a digit, and
+    -0.0 cannot appear (sf0.001 exposed both failure modes of the
+    naive ROUND(AVG(float), 4))."""
     emb = t(spark, sf_dir, "embeddings")
     return (
         emb.select(
@@ -757,6 +765,9 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("pos", F.col("pos").cast("long"))
+        .withColumn("q", F.round(F.col("val") * 1000000).cast("long"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 4).alias("centroid"))
+        .agg(
+            F.round(F.sum("q") * 1.0 / F.count("*")).cast("long").alias("centroid_micro")
+        )
     )
