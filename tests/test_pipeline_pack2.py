@@ -1,0 +1,104 @@
+"""Training-pipeline pack 2: invariant and brute-force-oracle tests
+(value parity vs DuckDB is covered by tools/parity.py / the driver)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.plans import shuffle_count
+from aoseventstreamer_spark.queries import QUERIES
+from aoseventstreamer_spark.session import load_table
+
+
+def test_seq_packing_offsets_are_contiguous_per_shard(spark, sf_dir):
+    """Within each source shard, doc offsets must tile the token
+    stream exactly: start(doc_i) = start(doc_{i-1}) + n_tok(doc_{i-1});
+    window spans must be consistent with the 128-token cut."""
+    rows = QUERIES["q_seq_packing"](spark, sf_dir).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    assert by_src
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in docs:
+            assert r.start_offset == expect, (src, r.doc_id)
+            assert r.first_window == r.start_offset // 128
+            assert r.last_window == (r.start_offset + r.n_tok - 1) // 128
+            assert r.n_windows == r.last_window - r.first_window + 1
+            expect += r.n_tok
+
+
+def test_seq_packing_single_shuffle(spark, sf_dir):
+    assert shuffle_count(QUERIES["q_seq_packing"](spark, sf_dir)) == 1
+
+
+def test_contamination_matches_brute_force(spark, sf_dir):
+    """Python set-intersection oracle over word 5-grams."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def grams(text):
+        toks = text.split(" ")
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    bench = [(d.doc_id, grams(d.text)) for d in docs if d.source == "src0"]
+    want = {}
+    for d in docs:
+        if d.source == "src0":
+            continue
+        g = grams(d.text)
+        shared = set()
+        hit_docs = set()
+        for bid, bg in bench:
+            inter = g & bg
+            if inter:
+                shared |= inter
+                hit_docs.add(bid)
+        if shared:
+            want[d.doc_id] = (len(shared), len(hit_docs))
+    got = {
+        r.doc_id: (r.n_shared_shingles, r.n_bench_docs)
+        for r in QUERIES["q_contamination"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pii_scrub_removes_every_digit(spark, sf_dir):
+    rows = QUERIES["q_pii_scrub"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert not any(c.isdigit() for c in r.scrubbed)
+        # span accounting: masking replaced each span with one '#'
+        assert r.scrubbed.count("#") == r.n_spans
+        if r.n_spans == 0:
+            assert r.n_chars_removed == 0
+
+
+def test_resample_quality_copy_counts_match_weights(spark, sf_dir):
+    rows = QUERIES["q_resample_quality"](spark, sf_dir).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(per_doc) == n_docs  # weight >= 1 keeps every doc
+    for doc_id, copies in per_doc.items():
+        w = copies[0].weight
+        assert sorted(c.copy_idx for c in copies) == list(range(1, w + 1))
+        assert all(c.weight == w for c in copies)
+
+
+def test_domain_mix_shares_sum_to_one(spark, sf_dir):
+    rows = QUERIES["q_domain_mix"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    total_share = sum(r.actual_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-4  # rounding of 20 shares
+    # uniform_weight must be ~ (1/20) / actual_share
+    for r in rows:
+        if r.actual_share > 0:
+            approx = (1.0 / 20) / r.actual_share
+            assert abs(r.uniform_weight - approx) < 1e-3
