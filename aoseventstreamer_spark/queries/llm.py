@@ -247,6 +247,38 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4)
 
 
+@query("q_ann_pq")  # rows-only: codebooks are engine-specific (MLlib KMeans)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): the compressed-
+    corpus scale path — candidates carry 4 codebook ids instead of 64
+    floats; scoring is M table gathers per candidate, fully codegen'd.
+    Recall and ADC-vs-exact error are unit-tested in
+    tests/test_pq.py; here the full train→encode→ADC pipeline runs on
+    the fixture embeddings."""
+    from aoseventstreamer_spark.operators import pq as PQ
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    return PQ.pq_topk(emb, emb.filter(F.col("vec_id") < 10), books, dim=64, k=3)
+
+
+_PQ_BOOK_CACHE: dict[str, list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Codebooks per fixture dir, trained once per session: training
+    is a driver-side .fit() action, and without the cache every plan
+    BUILD of q_ann_pq (parity, plan audit, full-registry tests) would
+    re-run 16 KMeans jobs."""
+    if sf_dir not in _PQ_BOOK_CACHE:
+        from aoseventstreamer_spark.operators import pq as PQ
+
+        _PQ_BOOK_CACHE[sf_dir] = PQ.train_pq_codebooks(
+            t(spark, sf_dir, "embeddings"), dim=64, m=16, k=64
+        )
+    return _PQ_BOOK_CACHE[sf_dir]
+
+
 @query("q_embed_near_dup")  # rows-only: hyperplanes derive from xxhash64
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH.

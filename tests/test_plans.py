@@ -135,7 +135,7 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
     python_ok = {"q_multimodal_features", "q_multimodal_frames"}
     # embedding similarity is the one surface allowed to use
     # Arrow-vectorized pandas_udf kernels (design stance, SURVEY §7.0)
-    arrow_ok = {"q_ann_lsh", "q_embed_near_dup"}
+    arrow_ok = {"q_ann_lsh", "q_embed_near_dup", "q_ann_pq"}
     offenders = {}
     for name, fn in QUERIES.items():
         plan = formatted_plan(fn(spark, sf_dir))
