@@ -1,0 +1,178 @@
+"""Event-analytics extension 2: path/transition analysis, integer-
+exact anomaly detection, co-occurrence, and value deciles.
+
+The product-analytics queries a real event platform runs on top of the
+routed log (SURVEY.md §2.B "beyond the reference"). All oracles are
+hash-exact: probabilities/shares round through scale-0 integers, and
+the anomaly rule is cross-multiplied into pure integer arithmetic so
+no engine ever compares derived doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.queries import cents, query, t
+
+
+@query(
+    "q_path_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type
+      FROM ordered WHERE next_type IS NOT NULL
+    ), counted AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(ROUND(n * 1000000.0 / SUM(n) OVER (PARTITION BY from_type))
+                AS BIGINT) / 1000000.0 AS p
+    FROM counted
+    """,
+)
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event paths: LEAD within
+    (user, time) order, pair counts, and row-normalized transition
+    probabilities. One shuffle on user_id for the sequence step, one
+    tiny (|types|^2) aggregate after — the 100 TB shape for path
+    analysis. event_id breaks timestamp ties so both engines walk the
+    same sequence."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+    )
+    counted = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.round(F.col("n") * 1000000.0 / F.sum("n").over(wt)).cast("long")
+            / 1000000.0
+        ).alias("p"),
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, day
+    ), stats AS (
+      SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s, SUM(cnt * cnt) AS ss
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt,
+           (d.cnt * st.n - st.s) * (d.cnt * st.n - st.s)
+             > 4 * (st.n * st.ss - st.s * st.s) AS is_anomaly
+    FROM daily d JOIN stats st ON d.event_type = st.event_type
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly flags per event type: |cnt - mean| > 2*std
+    cross-multiplied into pure integers — (cnt*n - S)^2 > 4*(n*SS - S^2)
+    — so the z-score never exists as a float on either engine. The
+    per-type stats frame is |types| rows and broadcasts back onto the
+    daily counts; two shuffles total (daily agg, stats agg), both tiny
+    after the first map-side combine."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy(F.col("event_type").alias("st_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+    )
+    j = daily.join(
+        F.broadcast(stats), daily.event_type == stats.st_type
+    )
+    dev = F.col("cnt") * F.col("n") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return j.select(
+        "event_type",
+        "day",
+        "cnt",
+        (dev * dev > 4 * var_n2).alias("is_anomaly"),
+    )
+
+
+@query(
+    "q_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users did both. The distinct (user, type) frame is
+    at most |users| x |types| rows — orders of magnitude smaller than
+    the log — and self-joins on user_id: one dedup shuffle + one
+    equi-join on the same key."""
+    ev = t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("user_b"), F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, (a.user_id == b.user_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_user_value_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, SUM(CAST(ROUND(value*100) AS BIGINT)) AS total_c
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, total_c,
+             NTILE(10) OVER (ORDER BY total_c, user_id) AS decile
+      FROM per_user
+    )
+    SELECT decile, COUNT(*) AS n_users,
+           ROUND(SUM(total_c)/100.0, 2) AS total_value,
+           ROUND(MIN(total_c)/100.0, 2) AS min_value,
+           ROUND(MAX(total_c)/100.0, 2) AS max_value
+    FROM ranked GROUP BY decile
+    """,
+)
+def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value deciles: per-user totals (exact cents), NTILE
+    into 10 buckets (user_id tiebreak makes the split engine-
+    deterministic), per-decile stats. The global NTILE runs over the
+    AGGREGATED per-user frame — 4-5 orders of magnitude smaller than
+    the event log — which is why this plan survives scale even though
+    NTILE needs a single ordering."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(cents("value")).alias("total_c")
+    )
+    ranked = per_user.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("total_c", "user_id"))
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("total_c") / 100.0, 2).alias("total_value"),
+        F.round(F.min("total_c") / 100.0, 2).alias("min_value"),
+        F.round(F.max("total_c") / 100.0, 2).alias("max_value"),
+    )
