@@ -88,7 +88,12 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the z-score never exists as a float on either engine. The
     per-type stats frame is |types| rows and broadcasts back onto the
     daily counts; two shuffles total (daily agg, stats agg), both tiny
-    after the first map-side combine."""
+    after the first map-side combine.
+
+    Range note: the integer form needs S^2 and (cnt*n - S)^2 to fit in
+    int64 — safe while per-type totals stay under ~3e9 rows per stats
+    window. Beyond that, window the stats (per month) or drop to the
+    double z-score, which no longer needs cross-engine exactness."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -161,8 +166,10 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 10 buckets (user_id tiebreak makes the split engine-
     deterministic), per-decile stats. The global NTILE runs over the
     AGGREGATED per-user frame — 4-5 orders of magnitude smaller than
-    the event log — which is why this plan survives scale even though
-    NTILE needs a single ordering."""
+    the event log — so the single-ordering window is fine up to
+    ~10^8 users; past that, swap the exact NTILE for bucket bounds
+    from approx_percentile (a broadcastable 9-value table) and keep
+    the rest of the plan unchanged."""
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(cents("value")).alias("total_c")
