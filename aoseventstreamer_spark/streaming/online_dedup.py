@@ -1,0 +1,180 @@
+"""Online (ingestion-time) near-duplicate filtering.
+
+Batch dedup (operators/dedup.py) sweeps a corpus that already exists;
+a crawl pipeline wants the other mode: documents arrive continuously,
+and each new document must be admitted or rejected AGAINST EVERYTHING
+SEEN SO FAR without rescanning the corpus. The classic design (every
+production crawl dedup since Broder) is a persistent store of LSH band
+hashes: a newcomer is a duplicate iff one of its bands collides with a
+stored band.
+
+Spark mapping:
+
+- The signature store is a parquet table of (band_id, band_hash,
+  doc_id), appended per micro-batch and REPLACED per batch id — at-
+  least-once replay of a batch overwrites its own partition instead of
+  poisoning the store (idempotent, same trick as the exactly-once
+  parquet sink in streaming/joins.py).
+- Admission = left-anti equi-join of the newcomer's bands against the
+  store — the same join shape as the batch LSH path, so it scales the
+  same way (band hashes are uniform; the store carries a few longs per
+  admitted doc, not the text).
+- Intra-batch collisions resolve deterministically: within each band
+  bucket the smallest doc_id wins; a doc is dropped if ANY of its
+  bands has a smaller colliding doc in the same batch. (Banding
+  without verification trades a tunable false-positive rate for never
+  rescanning — exactly the LSH contract; tighten bands/rows for
+  precision.)
+
+At 100 TB the store is ~(bands x 16 bytes) per admitted doc — orders
+of magnitude smaller than the corpus — and can be bucketed by
+band_hash so the admission join is co-located.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators.dedup import _banded, minhash_docs
+
+_BANDS_SCHEMA = "band_id int, band_hash long, doc_id long"
+
+
+class OnlineDeduper:
+    """Persistent LSH-band store + per-batch admission filter.
+
+    ``process_batch(batch_df, batch_id)`` returns the admitted subset
+    of the batch and records the admitted docs' bands under the batch
+    id (replayed batches overwrite their own output — idempotent)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        num_hashes: int = 16,
+        bands: int = 8,
+        shingle_k: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError("num_hashes must divide into bands")
+        self.spark = spark
+        self.store = os.path.join(state_root, "band_store")
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.shingle_k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _bands_of(self, df: DataFrame) -> DataFrame:
+        sigs = minhash_docs(
+            df,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            num_hashes=self.num_hashes,
+            shingle_k=self.shingle_k,
+        )
+        return _banded(sigs, self.bands, self.rows_per_band, self.id_col).select(
+            "band_id", "band_hash", F.col(self.id_col).alias("doc_id")
+        )
+
+    def _store_df(self, exclude_batch: int) -> DataFrame:
+        """Band store EXCLUDING the given batch's own partition: under
+        at-least-once replay the batch must not collide with its own
+        earlier write (the partition filter prunes it at file-listing
+        level, and the rewrite below then overwrites it)."""
+        try:
+            # batch_id is a partition column of the stored layout
+            return (
+                self.spark.read.schema(_BANDS_SCHEMA + ", batch_id int")
+                .parquet(self.store)
+                .filter(F.col("batch_id") != exclude_batch)
+                .select("band_id", "band_hash", "doc_id")
+            )
+        except Exception:  # first batch: store does not exist yet
+            return self.spark.createDataFrame([], _BANDS_SCHEMA)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Admit the novel documents of one micro-batch.
+
+        Two-stage filter, both plain joins:
+        1. store collision  → drop (seen in an earlier batch);
+        2. intra-batch collision → smallest doc_id per band bucket
+           wins.
+        Admitted docs' bands land in ``band_store/batch_id=<n>/``
+        via dynamic partition overwrite (replay-safe)."""
+        bands = self._bands_of(batch_df).cache()
+        try:
+            store = self._store_df(exclude_batch=int(batch_id))
+            # stage 1: any band seen before disqualifies the doc
+            hit_store = (
+                bands.join(store, on=["band_id", "band_hash"], how="left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            fresh = bands.join(hit_store, on="doc_id", how="left_anti")
+            # stage 2: within the batch, smallest doc per bucket wins
+            bucket_min = fresh.groupBy("band_id", "band_hash").agg(
+                F.min("doc_id").alias("min_doc")
+            )
+            losers = (
+                fresh.join(bucket_min, on=["band_id", "band_hash"])
+                .filter(F.col("doc_id") > F.col("min_doc"))
+                .select("doc_id")
+                .distinct()
+            )
+            admitted_ids = (
+                fresh.select("doc_id")
+                .distinct()
+                .join(losers, on="doc_id", how="left_anti")
+            )
+            admitted = batch_df.join(
+                admitted_ids.withColumnRenamed("doc_id", self.id_col),
+                on=self.id_col,
+                how="left_semi",
+            )
+            # record admitted bands, keyed by batch for replay-idempotence
+            (
+                bands.join(admitted_ids, on="doc_id", how="left_semi")
+                .withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(self.store)
+            )
+            return admitted
+        finally:
+            bands.unpersist()
+
+    def run(
+        self,
+        stream: DataFrame,
+        checkpoint: str,
+        sink_path: str,
+        trigger: dict | None = None,
+    ):
+        """foreachBatch wrapper: admitted docs append to
+        ``sink_path`` (batch-id-keyed overwrite → idempotent under
+        replay, same contract as exactly_once_parquet_sink)."""
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            admitted = self.process_batch(batch_df, batch_id)
+            (
+                admitted.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("__batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(sink_path)
+            )
+
+        return (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"processingTime": "250 milliseconds"}))
+            .start()
+        )
