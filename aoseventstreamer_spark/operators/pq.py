@@ -137,26 +137,44 @@ def pq_encode(
     )
 
 
-def _query_lut(codebooks: list[list[list[float]]], query_vec: Column) -> Column:
-    """Per-query ADC lookup table as one flat array<double> literal
-    expression: LUT[sub*k + j] = ||q_sub - c_sub_j||^2 over the
-    normalized query. Pure JVM fold — evaluated once per query row."""
+def _lut_udf(codebooks: list[list[list[float]]], dim: int):
+    """Per-query ADC lookup table LUT[sub*k + j] = ||q_sub - c_sub_j||^2
+    over the normalized query, as an Arrow kernel (one matmul per
+    subspace per batch). A pure-expression version of this table is
+    m*k aggregate folds — a ~1000-node tree whose ANALYSIS cost alone
+    was measured at ~12 s flat (tools/ann_scale.py) — while the query
+    side is a handful of rows; the sanctioned Arrow surface is the
+    right tool. Scoring downstream remains JVM-side gathers."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     m = len(codebooks)
-    k = len(codebooks[0])
-    d_sub = len(codebooks[0][0])
-    q = _normalize(query_vec)
-    cells = []
-    for sub in range(m):
-        sub_slice = F.slice(q, sub * d_sub + 1, d_sub)
-        for j in range(k):
-            c = codebooks[sub][j]
-            diff = F.zip_with(
-                sub_slice,
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a - b) * (a - b),
+    d_sub = dim // m
+    books = [np.array(cb) for cb in codebooks]  # (k, d_sub) each
+    book_sq = [np.sum(b * b, axis=1) for b in books]
+
+    @pandas_udf("array<double>")
+    def lut(v: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        if len(v) == 0:
+            return _pd.Series([], dtype=object)
+        mat = _np.vstack(v.to_numpy())
+        mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+        parts = []
+        for sub in range(m):
+            s = mat[:, sub * d_sub : (sub + 1) * d_sub]
+            # ||s - c||^2 = ||s||^2 + ||c||^2 - 2 s.c, exact per cell
+            d2 = (
+                _np.sum(s * s, axis=1)[:, None]
+                + book_sq[sub][None, :]
+                - 2.0 * (s @ books[sub].T)
             )
-            cells.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-    return F.array(*cells)
+            parts.append(d2)
+        return _pd.Series(list(_np.hstack(parts)))
+
+    return lut
 
 
 def pq_topk(
@@ -188,12 +206,13 @@ def pq_topk(
     cand_codes = pq_encode(
         ensure_parallelism(embeddings), codebooks, dim, id_col, vec_col
     )
+    lut = _lut_udf(codebooks, dim)
     qry = (
         queries.select(
             F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qv")
         )
         .filter(F.size("qv") == F.lit(dim))
-        .select("query_id", _query_lut(codebooks, F.col("qv")).alias("lut"))
+        .select("query_id", lut(F.col("qv")).alias("lut"))
     )
 
     if n_clusters is not None:

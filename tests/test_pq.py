@@ -139,5 +139,8 @@ def test_scoring_stays_jvm_side(emb, books):
     )
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
-    # exactly one Arrow stage family: the encoder
-    assert plan.count("ArrowEvalPython") <= 2  # cand + (none on query side)
+    # the only Arrow stages are the candidate encoder and the per-query
+    # LUT kernel; the per-candidate ADC gather itself is JVM expressions
+    import re
+
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) <= 2
