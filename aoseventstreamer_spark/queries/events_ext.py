@@ -183,3 +183,79 @@ def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("total_c") / 100.0, 2).alias("min_value"),
         F.round(F.max("total_c") / 100.0, 2).alias("max_value"),
     )
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+           COUNT(event_id) AS n_nonnull,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(MIN(event_id) AS VARCHAR) AS min_val,
+           CAST(MAX(event_id) AS VARCHAR) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(user_id), COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(event_type), COUNT(DISTINCT event_type),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(value),
+           COUNT(DISTINCT CAST(ROUND(value*100) AS BIGINT)),
+           CAST(MIN(CAST(ROUND(value*100) AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(ROUND(value*100) AS BIGINT)) AS VARCHAR)
+    FROM events
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report (the ANALYZE TABLE / data-quality-check
+    shape): per-column row count, null count, exact distinct count,
+    and min/max, emitted as one tall frame. One pass over the scan —
+    all four column profiles aggregate in a single groupBy-less
+    aggregate, then pivot tall via explode of a struct array (no
+    second scan). Doubles profile via integer cents so both engines
+    count the same distincts; min/max stringified so heterogeneous
+    column types share one schema at 100 TB table widths."""
+    ev = t(spark, sf_dir, "events")
+    wide = ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("event_id").alias("nn_event_id"),
+        F.count_distinct("event_id").alias("nd_event_id"),
+        F.min("event_id").cast("string").alias("mn_event_id"),
+        F.max("event_id").cast("string").alias("mx_event_id"),
+        F.count("user_id").alias("nn_user_id"),
+        F.count_distinct("user_id").alias("nd_user_id"),
+        F.min("user_id").cast("string").alias("mn_user_id"),
+        F.max("user_id").cast("string").alias("mx_user_id"),
+        F.count("event_type").alias("nn_event_type"),
+        F.count_distinct("event_type").alias("nd_event_type"),
+        F.min("event_type").alias("mn_event_type"),
+        F.max("event_type").alias("mx_event_type"),
+        F.count("value").alias("nn_value"),
+        F.count_distinct(cents("value")).alias("nd_value"),
+        F.min(cents("value")).cast("string").alias("mn_value"),
+        F.max(cents("value")).cast("string").alias("mx_value"),
+    )
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in ["event_id", "user_id", "event_type", "value"]
+        ]
+    )
+    return wide.select("n_rows", F.explode(profile).alias("p")).select(
+        F.col("p.col").alias("col"),
+        "n_rows",
+        F.col("p.n_nonnull").alias("n_nonnull"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_val").alias("min_val"),
+        F.col("p.max_val").alias("max_val"),
+    )

@@ -180,3 +180,42 @@ def test_corpus_score_vocab_broadcasts(spark, sf_dir):
     never shuffle the token stream for the join."""
     df = QUERIES["q_common_token_score"](spark, sf_dir)
     assert broadcast_join_count(df) >= 1
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """Catalyst's runtime bloom-filter join: a selective filter on the
+    creation side injects a bloom_filter_agg that pre-prunes the big
+    probe side before the shuffle — the scale lever for fact-fact
+    joins where one side is filtered hard. Thresholds are lowered here
+    because the fixture is tiny; at 100 TB the defaults trigger it."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
