@@ -1,0 +1,87 @@
+"""Data-layout operators: multi-column clustering for scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the data:
+parquet row-group min/max statistics prune whole files when the file
+layout correlates with the filter columns. A single-column sort only
+helps filters on that column; interleaving the bits of several
+columns into one Z-order (Morton) key gives every interleaved column
+locality, so filters on ANY of them skip most files.
+
+This is the same layout trick Delta Lake / Iceberg expose as
+``OPTIMIZE ... ZORDER BY`` — here expressed as a pure-arithmetic
+Catalyst expression (zero shuffle to compute) plus one
+``repartitionByRange`` on the key at write time.
+
+The key expression is also registered as the oracle-checked query
+``q_zorder_key`` (queries/corpus_pack.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of each column into one long.
+
+    Columns must already be non-negative integers (callers map their
+    domain onto 0..2**bits-1, e.g. ``col % 256`` or a rank bucket).
+    Bit ``i`` of column ``j`` lands at position ``i*len(cols)+j`` —
+    pure shift/mask arithmetic, fully codegen'd, no UDF.
+    """
+    n = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        c = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            key = key + bit * F.lit(2 ** (i * n + j)).cast("long")
+    return key
+
+
+def cluster_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order key of
+    ``cols``: each column is first mapped MONOTONICALLY onto a
+    ``2**bits``-bucket grid (min/max-scaled, so bucket order = value
+    order and per-file footer min/max on the RAW column stays tight),
+    the bucket indices are bit-interleaved, and rows are
+    range-partitioned + sorted by the key (each output file owns a
+    contiguous key range). After this write a range filter on any
+    clustered column prunes most files via footer min/max stats —
+    verified against real footers in tests/test_layout.py.
+
+    Cost: one tiny min/max agg (scalar row to the driver at plan
+    time) + one range shuffle (with its sampling pass) — the same
+    profile as a global sort, which is what any clustering rewrite
+    costs; the payoff is every subsequent scan.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).first()
+    grid = 2**bits
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(grid - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) * grid / F.lit(span)),
+        ).cast("long")
+        buckets.append(b)
+    (
+        df.withColumn("__zkey", zorder_key(buckets, bits=bits))
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -400,3 +400,70 @@ def cosine_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float = 0.30,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into clusters, then within
+    each cluster drop every item whose cosine similarity to a
+    LOWER-id cluster member reaches ``tau`` (greedy keep-lowest-id —
+    idempotent: re-running on the survivors removes nothing).
+
+    ``cluster_col=None`` trains a distributed MLlib KMeans coarse
+    quantizer (the SemDeDup recipe; engine-specific, so rows-only in
+    the driver harness). Passing an existing column (e.g. ``label``)
+    makes the whole operator deterministic and SQL-expressible — that
+    variant is oracle-checked as ``q_semantic_dedup``.
+
+    The threshold compare goes through integer 1e-4 units
+    (``round(sim*10000) >= round(tau*10000)``) so engines that produce
+    the identical rounded double agree on every boundary pair.
+
+    Scale shape: pairwise work is quadratic ONLY within a cluster;
+    n_clusters grows with corpus size (the paper uses ~sqrt(N)) so
+    per-cluster population stays bounded, and the pair generation is
+    an equi-join on cluster id — never all-pairs across the corpus.
+    Returns the KEPT rows as (id, cluster).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec"),
+        *([F.col(cluster_col).alias("cluster")] if cluster_col else []),
+    )
+    if cluster_col is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = base.withColumn("features", array_to_vector("vec"))
+        model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(feat)
+        base = model.transform(feat).select(
+            "id", "vec", F.col("prediction").alias("cluster")
+        )
+    base = base.withColumn("norm", l2_norm(F.col("vec")))
+    a, b = base.alias("a"), base.alias("b")
+    tau_units = int(round(tau * 10000))
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "sim_units",
+            F.round(
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+                * 10000
+            ).cast("long"),
+        )
+        .filter(F.col("sim_units") >= F.lit(tau_units))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return base.join(dup_ids, "id", "left_anti").select("id", "cluster")

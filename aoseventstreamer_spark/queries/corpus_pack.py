@@ -1,0 +1,337 @@
+"""Corpus-curation pack: substring-level dup measurement, semantic
+dedup, deterministic weighted/reservoir sampling, BPE pair mining,
+URL canonicalization, and Z-order layout keys.
+
+These close out the dedup/sampling/layout corners of a pretraining
+pipeline: how much of each document is boilerplate already seen
+elsewhere, which near-semantic duplicates to drop, how to downsample
+with document-length-proportional probabilities WITHOUT an RNG (so
+the sample is reproducible and cross-engine checkable), which token
+pairs a BPE tokenizer would merge first, and how to lay files out so
+multi-column scans prune.
+
+Determinism convention: where a sampling step needs a uniform draw we
+use the Knuth multiplicative hash ``(id * 2654435761) % 2**32`` — a
+pure BIGINT expression both engines evaluate identically, standing in
+for rand() (which would be neither reproducible nor comparable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import similarity as SIM
+from aoseventstreamer_spark.queries import query, t
+
+_KNUTH = 2654435761
+_M32 = 2**32
+
+
+def _h(col):
+    """Deterministic uniform-ish draw in [0, 2**32) from a BIGINT id."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c * _KNUTH) % F.lit(_M32)
+
+
+_H_SQL = "(({c}) * 2654435761) % 4294967296"
+
+
+@query(
+    "q_substring_dup_fraction",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, sg.s FROM (
+        SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(string_split(text, ' ')) - 4),
+                 i -> array_to_string(list_slice(string_split(text, ' '), i, i+4), ' ')
+               )) AS grams
+        FROM documents), UNNEST(grams) AS sg(s)
+    ), own AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM g GROUP BY s
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN own.first_doc < g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_grams
+    FROM g JOIN own ON g.s = own.s
+    GROUP BY g.doc_id
+    """,
+)
+def q_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication measurement (the decision input for
+    ExactSubstr-style dedup): for every document, how many of its
+    distinct word-5-grams already occur in an EARLIER document (min
+    doc_id owns each gram). Counts are reported as exact BIGINTs;
+    callers derive the dup fraction.
+
+    Scale shape: one shuffle keyed on the gram string with map-side
+    partial min/agg; the join back is gram-keyed equi-join. Nothing is
+    all-pairs and nothing is global-sorted — this is how substring
+    contamination is measured over a 100 TB corpus (the gram space
+    shards evenly; skew would only come from a single gram repeated in
+    millions of docs, which the map-side distinct-per-doc already
+    caps at one row per (gram, doc))."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))),
+        )
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("s"))
+    own = g.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(own, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+
+
+@query(
+    "q_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))
+               AS norm
+      FROM embeddings
+    ), dup AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE CAST(ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm) * 10000)
+                 AS BIGINT) >= 3000
+    )
+    SELECT e.vec_id AS id, CAST(e.label AS INT) AS cluster
+    FROM e LEFT JOIN dup ON e.vec_id = dup.id
+    WHERE dup.id IS NULL
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a precomputed partition column (``label``) so the
+    whole operator is deterministic and oracle-checked: within each
+    cluster, drop every vector whose cosine similarity to a lower-id
+    member rounds to >= 0.3000 (threshold compared in integer 1e-4
+    units — see operators/similarity.semantic_dedup). The KMeans
+    variant of the same operator is q_semdedup_kmeans."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, tau=0.30, cluster_col="label").withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+
+
+@query("q_semdedup_kmeans")  # rows-only: KMeans centroids are engine-specific
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (arXiv:2303.09540): MLlib KMeans coarse
+    clusters + within-cluster greedy cosine prune. Rows-only in the
+    driver harness (centroids are engine-specific); the prune step is
+    unit-tested against a pandas brute-force oracle given the same
+    cluster assignment (tests/test_corpus_pack.py)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, tau=0.30, n_clusters=16)
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(n_chars) AS m FROM documents)
+    SELECT doc_id, n_chars,
+           CAST({_H_SQL.format(c='doc_id')} AS BIGINT) AS draw
+    FROM documents, mx
+    WHERE {_H_SQL.format(c='doc_id')} * mx.m < n_chars * 4294967296
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each document
+    with probability n_chars / max(n_chars), using the multiplicative
+    hash of doc_id as the uniform draw — reproducible (re-runs select
+    the identical sample; rand() would not) and exact (the accept test
+    ``draw * max < n_chars * 2**32`` is pure BIGINT arithmetic, no
+    float boundary).
+
+    Scale shape: the max aggregate is one map-side-combined pass
+    producing a 1-row frame that BROADCASTS into the filter — the scan
+    side is a narrow zero-shuffle map over the corpus. Length-
+    proportional sampling over 100 TB = 2 scans, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(_h("doc_id") * F.col("m") < F.col("n_chars") * F.lit(_M32))
+        .select("doc_id", "n_chars", _h("doc_id").alias("draw"))
+    )
+
+
+@query(
+    "q_reservoir_sample",
+    oracle=f"""
+    SELECT source, doc_id, CAST({_H_SQL.format(c='doc_id')} AS BIGINT) AS priority
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_H_SQL.format(c='doc_id')}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per stratum (reservoir-sampling
+    semantics, k=10 per source) via hash priority: the k docs with the
+    smallest deterministic draw win. Equivalent to a per-group
+    reservoir pass but expressible as a window top-k, so Spark runs it
+    as a rank-limited sort within each source partition — at scale
+    this is the standard 'sample k per shard' job: one shuffle on
+    source, no global sort, no RNG state."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_h("doc_id"), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id", _h("doc_id").alias("priority"))
+    )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    p AS (
+      SELECT pr.s FROM (
+        SELECT list_transform(generate_series(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i+1]) AS pairs
+        FROM tok), UNNEST(pairs) AS pr(s)
+    )
+    SELECT s AS pair, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM p GROUP BY s
+    ORDER BY cnt DESC, pair
+    LIMIT 50
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining: global counts of adjacent token
+    pairs, top-50 (count desc, pair asc — deterministic tie-break).
+    This is one iteration of the byte-pair-encoding training loop, the
+    shape a distributed tokenizer trainer runs repeatedly.
+
+    Scale shape: the pair fan-out is a narrow 1→(n-1) transform inside
+    the scan stage; counting is a map-side-combined hash aggregate on
+    the pair string; top-50 is TakeOrderedAndProject (per-partition
+    heaps + driver merge of 50-row heads — no global sort)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q_url_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || upper(source) || '.example.com/page/'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=x&sid=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS url
+      FROM documents
+    )
+    SELECT lower(split_part(url, '?', 1)) AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS keep_doc,
+           CAST(SUM(CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tracked
+    FROM u
+    GROUP BY canonical_url
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup (crawl-frontier hygiene): build
+    the document's URL (synthesized deterministically from source +
+    doc_id since the fixture has no URL column — same construction on
+    both engines), canonicalize by lower-casing and stripping the
+    query string (where the tracking params live), and collapse to one
+    row per canonical URL keeping the lowest doc_id.
+
+    Scale shape: canonicalization is a zero-shuffle codegen'd string
+    map; the collapse is one hash aggregate keyed on the canonical
+    URL. This is the first dedup pass every crawl pipeline runs —
+    cheaper than any content hash because it needs no document
+    bytes."""
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=x&sid="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .groupBy(F.lower(F.expr("split_part(url, '?', 1)")).alias("canonical_url"))
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+            F.sum(F.col("url").contains("?").cast("long")).alias("n_tracked"),
+        )
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """Interleaved-bit (Z-order) key as pure integer arithmetic —
+    identical in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) >> {i}) & 1) * {4**i}")
+        terms.append(f"((({y}) >> {i}) & 1) * {2 * 4**i}")
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_key",
+    oracle=f"""
+    SELECT event_id,
+           user_id % 256 AS x,
+           CAST(FLOOR(value) AS BIGINT) % 256 AS y,
+           CAST({_morton_sql('user_id % 256', 'CAST(FLOOR(value) AS BIGINT) % 256')}
+                AS BIGINT) AS zkey
+    FROM events
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: interleave the low 8 bits of two
+    scan dimensions into one sort key. Writing files ordered by zkey
+    gives BOTH columns locality, so parquet min/max row-group stats
+    prune scans filtered on either dimension — the standard multi-
+    column clustering trick (Delta/Iceberg Z-ORDER) expressed as a
+    pure-arithmetic codegen'd expression: zero shuffle to compute, and
+    usable directly as a repartitionByRange key at write time (see
+    operators/layout.cluster_write). Oracle-exact because bit
+    interleaving is integer arithmetic on both engines."""
+    ev = t(spark, sf_dir, "events")
+    # FLOOR (not a bare cast) on both sides: DuckDB's double→BIGINT
+    # cast rounds while Spark's truncates; floor makes them agree.
+    expr = _morton_sql("user_id % 256", "CAST(FLOOR(value) AS BIGINT) % 256")
+    return ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (F.floor("value").cast("long") % 256).alias("y"),
+        F.expr(expr).cast("long").alias("zkey"),
+    )

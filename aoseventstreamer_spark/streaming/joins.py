@@ -25,12 +25,22 @@ def windowed_attribution(
     id_col: str = "event_id",
     within: str = "30 minutes",
     state_watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: each left event matched to right events of the same
-    key occurring in (left.ts, left.ts + within]. Watermarks on both
+    """Each left event matched to right events of the same key
+    occurring in (left.ts, left.ts + within]. Watermarks on both
     sides let Spark evict join state older than the horizon — without
     them, stream-stream join state grows forever.
+
+    ``how='left_outer'`` additionally emits every UNMATCHED left event
+    (right columns null) once the watermark passes its join horizon —
+    the "clicks that never converted" stream, which an inner join can
+    never produce. Spark requires the time-interval condition for
+    outer stream-stream joins precisely so it can prove when an
+    unmatched row is final; state stays bounded exactly as for inner.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how}")
     l = left.withWatermark(ts_col, state_watermark).alias("l")
     r = right.withWatermark(ts_col, state_watermark).alias("r")
     cond = (
@@ -38,7 +48,7 @@ def windowed_attribution(
         & (F.col(f"r.{ts_col}") > F.col(f"l.{ts_col}"))
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{ts_col}").alias("left_ts"),
         F.col(f"r.{ts_col}").alias("right_ts"),

@@ -1,0 +1,208 @@
+"""Corpus-curation pack: brute-force Python oracles and plan-shape
+assertions (value parity vs DuckDB is covered by tools/parity.py /
+the driver)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import similarity as SIM
+from aoseventstreamer_spark.plans import (
+    broadcast_join_count,
+    formatted_plan,
+    shuffle_count,
+)
+from aoseventstreamer_spark.queries import QUERIES
+from aoseventstreamer_spark.session import load_table
+
+KNUTH, M32 = 2654435761, 2**32
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").collect()
+
+
+def test_substring_dup_fraction_matches_brute_force(spark, sf_dir):
+    docs = sorted(_docs(spark, sf_dir), key=lambda r: r.doc_id)
+    first = {}
+    expect = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        grams = {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        dup = sum(1 for g in grams if first.setdefault(g, r.doc_id) < r.doc_id)
+        if grams:
+            expect[r.doc_id] = (len(grams), dup)
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in QUERIES["q_substring_dup_fraction"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values()), "fixture has no dup grams"
+
+
+def test_substring_dup_fraction_plan_is_gram_keyed(spark, sf_dir):
+    df = QUERIES["q_substring_dup_fraction"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Python" not in plan  # built-ins only
+    # gram-min, join-back, final doc agg: bounded shuffle count
+    assert shuffle_count(df) <= 4
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_semantic_dedup_exact_matches_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = defaultdict(list)
+    for r in sorted(emb, key=lambda r: r.vec_id):
+        by_label[r.label].append(r)
+    expect = set()
+    for label, rows in by_label.items():
+        for i, b in enumerate(rows):
+            dup = any(
+                round(_cos(a.embedding, b.embedding) * 10000) >= 3000
+                for a in rows[:i]
+            )
+            if not dup:
+                expect.add((b.vec_id, label))
+    got = {
+        (r.id, r.cluster)
+        for r in QUERIES["q_semantic_dedup"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) < len(emb), "threshold pruned nothing"
+
+
+def test_semdedup_kmeans_prune_is_valid_and_idempotent(spark, sf_dir):
+    """Without pinning the (engine-specific) centroids: every kept
+    pair within a cluster must be below threshold, and re-running on
+    the survivors must keep everything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = QUERIES["q_semdedup_kmeans"](spark, sf_dir)
+    kept_rows = kept.join(
+        emb, kept.id == emb.vec_id
+    ).select("id", "cluster", "embedding").collect()
+    assert 0 < len(kept_rows) < emb.count()
+    by_cluster = defaultdict(list)
+    for r in kept_rows:
+        by_cluster[r.cluster].append(r)
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r.id)
+        for i, b in enumerate(rows):
+            for a in rows[:i]:
+                assert round(_cos(a.embedding, b.embedding) * 10000) < 3000
+    # idempotence on the exact (label-partition) variant: survivors
+    # of a semantic_dedup pass survive a second pass unchanged
+    once = SIM.semantic_dedup(emb, tau=0.30, cluster_col="label")
+    emb2 = emb.join(once.select(F.col("id").alias("vec_id")), "vec_id")
+    twice = SIM.semantic_dedup(emb2, tau=0.30, cluster_col="label")
+    assert sorted(r.id for r in twice.collect()) == sorted(
+        r.id for r in once.collect()
+    )
+
+
+def test_weighted_sample_matches_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    mx = max(r.n_chars for r in docs)
+    expect = {
+        r.doc_id
+        for r in docs
+        if (r.doc_id * KNUTH) % M32 * mx < r.n_chars * M32
+    }
+    got = {r.doc_id for r in QUERIES["q_weighted_sample"](spark, sf_dir).collect()}
+    assert got == expect
+    assert 0 < len(got) < len(docs)
+
+
+def test_weighted_sample_plan_broadcasts_scalar_no_extra_shuffle(spark, sf_dir):
+    df = QUERIES["q_weighted_sample"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    # the only exchange is the 1-row max aggregate's (plus its
+    # broadcast); the corpus side must not shuffle
+    assert shuffle_count(df) <= 1
+
+
+def test_reservoir_sample_matches_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r)
+    expect = set()
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: ((r.doc_id * KNUTH) % M32, r.doc_id))
+        expect |= {(src, r.doc_id) for r in rows[:10]}
+    got = {
+        (r.source, r.doc_id)
+        for r in QUERIES["q_reservoir_sample"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    n_src = len(by_src)
+    assert len(got) == sum(min(10, len(v)) for v in by_src.values()) >= n_src
+
+
+def test_bpe_pairs_matches_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cnt = Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 1):
+            cnt[toks[i] + " " + toks[i + 1]] += 1
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.pair, r.cnt)
+        for r in QUERIES["q_bpe_pairs"](spark, sf_dir)
+        .orderBy(F.col("cnt").desc(), "pair")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_pairs_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q_bpe_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_dedup_matches_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    agg = {}
+    for r in docs:
+        url = (
+            f"https://{r.source.upper()}.example.com/page/{r.doc_id % 50}"
+            + (f"?utm_source=x&sid={r.doc_id}" if r.doc_id % 3 == 0 else "")
+        )
+        canon = url.split("?")[0].lower()
+        n, keep, tracked = agg.get(canon, (0, None, 0))
+        agg[canon] = (
+            n + 1,
+            r.doc_id if keep is None else min(keep, r.doc_id),
+            tracked + ("?" in url),
+        )
+    got = {
+        r.canonical_url: (r.n_variants, r.keep_doc, r.n_tracked)
+        for r in QUERIES["q_url_dedup"](spark, sf_dir).collect()
+    }
+    assert got == agg
+    assert any(v[0] > 1 for v in agg.values()), "no URL collapsed"
+
+
+def test_zorder_key_matches_brute_force(spark, sf_dir):
+    rows = QUERIES["q_zorder_key"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        z = 0
+        for i in range(8):
+            z += ((r.x >> i) & 1) * 4**i + ((r.y >> i) & 1) * 2 * 4**i
+        assert r.zkey == z
+
+
+def test_zorder_key_zero_shuffle(spark, sf_dir):
+    df = QUERIES["q_zorder_key"](spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert "Python" not in formatted_plan(df)

@@ -1,0 +1,76 @@
+"""Z-order clustered writes: verify against REAL parquet footers that
+range filters on either clustered column prune most files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators.layout import cluster_write, zorder_key
+from aoseventstreamer_spark.session import load_table
+
+
+def _file_ranges(path, col):
+    """(min, max) of ``col`` per parquet file, from footer stats."""
+    out = {}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        mn, mx = None, None
+        idx = meta.schema.names.index(col)
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        out[f] = (mn, mx)
+    return out
+
+
+def test_cluster_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_int", F.col("value").cast("long")
+    )
+    path = str(tmp_path / "clustered")
+    cluster_write(ev, path, ["user_id", "value_int"], n_files=8)
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= 4  # range partitioner actually split the data
+
+    total = ev.count()
+    back = spark.read.parquet(path)
+    assert back.count() == total  # lossless rewrite
+
+    for col in ("user_id", "value_int"):
+        ranges = _file_ranges(path, col)
+        lo = min(mn for mn, _ in ranges.values())
+        hi = max(mx for _, mx in ranges.values())
+        span = (hi - lo) or 1
+        # a point/range filter in the middle of the domain must be
+        # skippable by footer stats in most files: count how many
+        # files overlap the middle 10% of the domain
+        q_lo, q_hi = lo + 0.45 * span, lo + 0.55 * span
+        overlapping = [
+            f for f, (mn, mx) in ranges.items() if mx >= q_lo and mn <= q_hi
+        ]
+        assert len(overlapping) <= len(files) // 2, (
+            col,
+            len(overlapping),
+            len(files),
+        )
+
+
+def test_zorder_key_is_monotone_per_axis(spark):
+    """Fixing one axis, the key must grow with the other — the
+    property that makes range partitions align with value ranges."""
+    df = spark.range(0, 256).select(
+        F.col("id").alias("x"), F.lit(7).alias("y")
+    )
+    rows = (
+        df.select("x", zorder_key(["x", "y"]).alias("z"))
+        .orderBy("x")
+        .collect()
+    )
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)

@@ -72,3 +72,38 @@ def test_exactly_once_sink_no_duplicates_after_replay(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(dst).count() == 5  # still 5 — no duplicates
+
+
+def test_windowed_attribution_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: the unconverted click appears
+    with null right columns, but only after the watermark passes its
+    join horizon (click.ts + within + watermark) — before that it is
+    held as pending state, not lost."""
+    clicks = str(tmp_path / "clicks")
+    buys = str(tmp_path / "buys")
+    # user 1 converts within 30m; user 2's click never converts
+    _write_batch(spark, clicks,
+                 [_row(1, "2024-01-01 10:00:00", uid=1),
+                  _row(2, "2024-01-01 10:00:00", uid=2)], 1)
+    _write_batch(spark, buys,
+                 [_row(10, "2024-01-01 10:10:00", uid=1, et="purchase")], 1)
+    # watermark pushers on BOTH streams, far past the horizon
+    _write_batch(spark, clicks, [_row(98, "2024-01-01 14:00:00", uid=9)], 2)
+    _write_batch(spark, buys, [_row(99, "2024-01-01 14:00:00", uid=9, et="purchase")], 2)
+
+    joined = windowed_attribution(
+        _stream(spark, clicks), _stream(spark, buys),
+        within="30 minutes", how="left_outer",
+    )
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.left_id, r.right_id) for r in out}
+    assert (1, 1, 10) in got            # matched pair, right cols populated
+    assert (2, 2, None) in got          # unmatched click flushed with nulls
+    assert (9, 98, 99) not in got       # r.ts must be STRICTLY after l.ts
