@@ -81,6 +81,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = Q.QUERIES[name](spark, sf_dir)
+        # one untimed execution first: the wide sketch plans (minhash/
+        # simhash/LSH) generate kilobytes of codegen that the JVM C2
+        # JIT compiles during the first run — a fixed per-plan cost
+        # that at real scale amortizes to zero, and on this 5k-doc
+        # fixture otherwise dominates (measured 3.4s first vs 1.0s
+        # steady on q_doc_minhash_band). The timed best-of-2 then
+        # measures the data-proportional steady state, which is what
+        # scales.
+        df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
