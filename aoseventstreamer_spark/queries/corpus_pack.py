@@ -335,3 +335,38 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("value").cast("long") % 256).alias("y"),
         F.expr(expr).cast("long").alias("zkey"),
     )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_H_SQL.format(c='doc_id')} % 16 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY {_H_SQL.format(c='doc_id')} % 16
+                  ORDER BY {_H_SQL.format(c='doc_id')} // 16, doc_id)
+                AS BIGINT) AS position
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the between-epochs reshuffle of a
+    pretraining corpus as a manifest (doc -> shard, position). The
+    hash draw picks the shard (mod 16) and the within-shard order
+    (quotient, so shard and order bits are independent); no RNG, so
+    epoch N's layout is reproducible from the seed alone — rerunning
+    a crashed epoch regenerates the identical order.
+
+    Scale shape: one shuffle on the shard key; within-shard ordering
+    sorts each shard independently (16-way parallel). No global sort:
+    a 100 TB corpus reshuffles at the speed of one keyed exchange."""
+    docs = t(spark, sf_dir, "documents")
+    h = _h("doc_id")
+    w = Window.partitionBy(h % 16).orderBy(
+        F.floor(h / 16).cast("long"), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        (h % 16).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )

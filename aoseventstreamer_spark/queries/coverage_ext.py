@@ -152,3 +152,65 @@ def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ts - F.expr("INTERVAL 1 day")).alias("day_before"),
         F.date_add(ts.cast("date"), 7).alias("next_week"),
     )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT n.n_name, top.c_custkey, top.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) AS top
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation) in SQL
+    form. Catalyst decorrelates the lateral ORDER BY ... LIMIT into a
+    rank-filtered window over one customer shuffle — same physical
+    plan a hand-written row_number() query gets, so the lateral form
+    is free at 100 TB: no per-nation re-scan of the fact table, unlike
+    a literal nested-loop interpretation."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("lt_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lt_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, top.c_custkey, top.c_acctbal
+        FROM lt_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM lt_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) AS top
+        """
+    )
+
+
+@query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE series(day_n, running) AS (
+      SELECT 1, 1
+      UNION ALL
+      SELECT day_n + 1, running + day_n + 1 FROM series WHERE day_n < 30
+    )
+    SELECT day_n, running FROM series
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (iterate-until-done inside one SQL statement —
+    Spark 4 executes it as an iterative union loop). The relational
+    form of the pointer-doubling loops operators/components.py builds
+    by hand; here the engine handles the fixpoint."""
+    return spark.sql(
+        """
+        WITH RECURSIVE series(day_n, running) AS (
+          SELECT 1, 1
+          UNION ALL
+          SELECT day_n + 1, running + day_n + 1 FROM series WHERE day_n < 30
+        )
+        SELECT day_n, running FROM series
+        """
+    )

@@ -206,3 +206,51 @@ def test_zorder_key_zero_shuffle(spark, sf_dir):
     df = QUERIES["q_zorder_key"](spark, sf_dir)
     assert shuffle_count(df) == 0
     assert "Python" not in formatted_plan(df)
+
+
+def test_epoch_shuffle_matches_brute_force(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    by_shard = defaultdict(list)
+    for r in docs:
+        h = (r.doc_id * KNUTH) % M32
+        by_shard[h % 16].append((h // 16, r.doc_id))
+    expect = {}
+    for shard, rows in by_shard.items():
+        rows.sort()
+        for pos, (_, doc_id) in enumerate(rows, start=1):
+            expect[doc_id] = (shard, pos)
+    got = {
+        r.doc_id: (r.shard, r.position)
+        for r in QUERIES["q_epoch_shuffle"](spark, sf_dir).collect()
+    }
+    assert got == expect
+    # every shard's positions are 1..len (a valid dense order)
+    assert len({v for v in got.values()}) == len(got)
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    """The lateral ORDER BY..LIMIT must NOT execute as a per-nation
+    nested-loop rescan: Catalyst decorrelates it into a rank window
+    (or equivalent join) — no CartesianProduct in the plan."""
+    df = QUERIES["q_lateral_topn"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    # top-2 per nation, acctbal descending
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r.n_name].append(r.c_acctbal)
+    assert all(len(v) <= 2 and v == sorted(v, reverse=True) for v in by_nation.values())
+
+
+def test_recursive_cte_fixpoint(spark, sf_dir):
+    rows = sorted(
+        (r.day_n, r.running)
+        for r in QUERIES["q_recursive_cte"](spark, sf_dir).collect()
+    )
+    expect = []
+    running = 0
+    for n in range(1, 31):
+        running += n
+        expect.append((n, running))
+    assert rows == expect
