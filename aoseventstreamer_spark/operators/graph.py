@@ -1,0 +1,137 @@
+"""Graph analytics: integer-exact PageRank over an edge list.
+
+Companion to operators/components.py (connected components): the
+other classic iterative-join graph algorithm, expressed as a bounded
+loop of DataFrame joins — no GraphX, no RDDs.
+
+Why integer arithmetic: float PageRank sums in shuffle order, so two
+runs (or two engines) disagree in the last bits and no exact oracle
+is possible. Here ranks live in integer micro-units of a 1e12 total
+mass and every step is BIGINT multiply/floor-divide — integer sums
+are exact in ANY order, so the result is bit-identical across Spark,
+DuckDB (the oracle unrolls the same iterations as chained CTEs), and
+a pure-Python fold. The floor divisions drop at most one micro-unit
+per edge per iteration (and dangling-node mass is dropped, the
+standard simplification) — a ~1e-9 relative perturbation, far below
+any ranking decision, in exchange for exactness and replayability.
+
+Scale shape per iteration: one equi-join ranks⋈edges on src (ranks is
+|V| rows — the SMALL side, broadcastable for most real graphs since
+edges >> nodes), one groupBy dst with map-side partial sums, one left
+join back onto the node list. State between iterations is O(|V|).
+``checkpoint_every`` truncates lineage with localCheckpoint exactly
+like components.py, keeping plan depth bounded for large iteration
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOTAL = 10**12  # total rank mass, in micro-units
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank over (src, dst[, weight]) edges; returns (node, rank)
+    with ranks in integer micro-units (sum <= 1e12; the deficit is
+    the floored + dangling mass).
+
+    rank_0(v)   = TOTAL div n
+    contrib_i(v)= SUM over in-edges (u,v,w): rank_{i-1}(u)*w div out(u)
+    rank_i(v)   = (TOTAL*(100-damping_pct)) div (100*n)
+                  + damping_pct*contrib_i(v) div 100
+
+    Every operation is BIGINT; div truncates (all quantities are
+    non-negative, so trunc == floor == DuckDB's ``//``).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # node count rides along as a broadcast 1-row frame — no driver
+    # action during plan construction
+    n_frame = nodes.agg(F.count("*").alias("n"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e_out = e.join(out_w, "src")
+
+    base = F.expr(f"({TOTAL} * (100 - {damping_pct})) div (100 * n)")
+    # static node frame reused every iteration — the new rank frame
+    # references the PREVIOUS ranks exactly once (inside contrib), so
+    # the unrolled plan grows linearly in iters; deriving the node
+    # list from the previous ranks instead would reference it twice
+    # and double the plan per iteration (measured 24s for 5 iters on
+    # the fixture vs <2s with this shape)
+    node_base = nodes.crossJoin(F.broadcast(n_frame))
+    ranks = node_base.select("node", F.expr(f"{TOTAL} div n").alias("rank"))
+    for i in range(iters):
+        contrib = (
+            ranks.join(e_out, ranks.node == e_out.src)
+            .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = node_base.join(
+            contrib, node_base.node == contrib.dst, "left"
+        ).select(
+            "node",
+            (
+                base
+                + F.expr(f"({damping_pct} * coalesce(contrib, 0)) div 100")
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iters: int = 5,
+    damping_pct: int = 85,
+) -> str:
+    """Build the equivalent unrolled-iteration ANSI SQL (DuckDB
+    dialect) for :func:`pagerank`: ``edges_cte`` must be a CTE body
+    producing (src, dst, w). Chained CTEs r0..r{iters} replay the
+    identical integer recurrence, so values hash-match exactly."""
+    d, TO = damping_pct, TOTAL
+    sql = [
+        f"WITH edges AS ({edges_cte}),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "ow AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),",
+        "eo AS (SELECT e.src, e.dst, e.w, ow.out_w FROM edges e"
+        " JOIN ow ON e.src = ow.src),",
+        f"r0 AS (SELECT node, {TO} // nn.n AS rank FROM nodes, nn),",
+    ]
+    for i in range(1, iters + 1):
+        sql.append(
+            f"c{i} AS (SELECT eo.dst, SUM((r.rank * eo.w) // eo.out_w) AS contrib"
+            f" FROM r{i-1} r JOIN eo ON r.node = eo.src GROUP BY eo.dst),"
+        )
+        sql.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" ({TO} * (100 - {d})) // (100 * nn.n)"
+            f" + ({d} * COALESCE(c{i}.contrib, 0)) // 100 AS rank"
+            f" FROM nodes CROSS JOIN nn"
+            f" LEFT JOIN c{i} ON nodes.node = c{i}.dst),"
+        )
+    last = f"r{iters}"
+    sql.append(f"final AS (SELECT node, rank FROM {last})")
+    sql.append("SELECT node, CAST(rank AS BIGINT) AS rank FROM final")
+    return "\n".join(sql)

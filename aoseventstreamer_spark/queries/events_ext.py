@@ -259,3 +259,44 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.min_val").alias("min_val"),
         F.col("p.max_val").alias("max_val"),
     )
+
+
+_PR_EDGES_CTE = """
+  SELECT event_type AS src, next_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                 AS next_type
+        FROM events)
+  WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+"""
+
+
+def _pr_oracle() -> str:
+    from aoseventstreamer_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_CTE, iters=5, damping_pct=85)
+
+
+@query("q_pagerank", oracle=_pr_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the event-type
+    transition graph (same LEAD-derived edges as q_path_transitions).
+    Hash-exact vs a DuckDB oracle that unrolls the identical integer
+    recurrence as chained CTEs — possible because every step is
+    BIGINT multiply/floor-divide, so shuffle order cannot perturb a
+    single bit. 5 iterations, damping 0.85."""
+    from aoseventstreamer_spark.operators.graph import pagerank
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank(edges, iters=5, damping_pct=85, weight_col="w")

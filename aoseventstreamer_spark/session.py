@@ -14,7 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "aoseventstreamer-spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "aoseventstreamer-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     # make the package importable on Python workers regardless of cwd
@@ -39,6 +43,8 @@ def get_spark(app_name: str = "aoseventstreamer-spark", cpus: int | None = None)
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -69,3 +69,54 @@ def test_deciles_cover_all_users_evenly(spark, sf_dir):
     ordered = sorted(rows, key=lambda r: r.decile)
     for lo, hi in zip(ordered, ordered[1:]):
         assert hi.min_value >= lo.max_value
+
+
+def test_pagerank_matches_integer_brute_force(spark, sf_dir):
+    """Pure-Python replay of the integer recurrence — any shuffle-order
+    or engine effect would break exact equality."""
+    from collections import defaultdict
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    edges = defaultdict(int)
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append(r.event_type)
+    for seq in by_user.values():
+        for a, b in zip(seq, seq[1:]):
+            edges[(a, b)] += 1
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    TOTAL = 10**12
+    out_w = defaultdict(int)
+    for (a, _), w in edges.items():
+        out_w[a] += w
+    rank = {v: TOTAL // n for v in nodes}
+    for _ in range(5):
+        contrib = defaultdict(int)
+        for (a, b), w in edges.items():
+            contrib[b] += (rank[a] * w) // out_w[a]
+        rank = {
+            v: (TOTAL * 15) // (100 * n) + (85 * contrib[v]) // 100
+            for v in nodes
+        }
+    got = {r.node: r.rank for r in QUERIES["q_pagerank"](spark, sf_dir).collect()}
+    assert got == rank
+    # mass conservation up to floor loss
+    assert 0 <= TOTAL - sum(got.values()) < 10**6
+
+
+def test_pagerank_generic_edges_and_dangling(spark):
+    """Tiny hand graph incl. a dangling node: its mass is dropped (the
+    documented simplification) but it still RECEIVES rank."""
+    from aoseventstreamer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )  # c is dangling
+    rows = {r.node: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["c"] > rows["b"] > 0
+    assert sum(rows.values()) <= 10**12
