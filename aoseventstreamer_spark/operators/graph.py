@@ -40,6 +40,8 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     checkpoint_every: int = 8,
+    cache_edges: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over (src, dst[, weight]) edges; returns (node, rank)
     with ranks in integer micro-units (sum <= 1e12; the deficit is
@@ -52,6 +54,14 @@ def pagerank(
 
     Every operation is BIGINT; div truncates (all quantities are
     non-negative, so trunc == floor == DuckDB's ``//``).
+
+    ``cache_edges`` persists the out-weighted edge table so the
+    unrolled multi-iteration plan reads it from cache instead of
+    recomputing its lineage once per iteration (what GraphX does;
+    measured 96 exchanges → ~20 on the 5-iteration fixture plan).
+    ``broadcast_ranks=True`` broadcast-joins the rank frame into the
+    edge scan — right whenever |V| is broadcast-sized (ranks is one
+    long per node); leave False for billion-node graphs.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -68,6 +78,8 @@ def pagerank(
     n_frame = nodes.agg(F.count("*").alias("n"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     e_out = e.join(out_w, "src")
+    if cache_edges:
+        e_out = e_out.persist()
 
     base = F.expr(f"({TOTAL} * (100 - {damping_pct})) div (100 * n)")
     # static node frame reused every iteration — the new rank frame
@@ -77,14 +89,19 @@ def pagerank(
     # and double the plan per iteration (measured 24s for 5 iters on
     # the fixture vs <2s with this shape)
     node_base = nodes.crossJoin(F.broadcast(n_frame))
+    if cache_edges:
+        node_base = node_base.persist()
     ranks = node_base.select("node", F.expr(f"{TOTAL} div n").alias("rank"))
     for i in range(iters):
+        rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            ranks.join(e_out, ranks.node == e_out.src)
+            rk.join(e_out, rk.node == e_out.src)
             .select("dst", F.expr("(rank * w) div out_w").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
+        if broadcast_ranks:  # contrib is ≤ |V| rows, same size class
+            contrib = F.broadcast(contrib)
         ranks = node_base.join(
             contrib, node_base.node == contrib.dst, "left"
         ).select(

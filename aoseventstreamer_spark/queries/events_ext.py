@@ -299,4 +299,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("w"))
     )
-    return pagerank(edges, iters=5, damping_pct=85, weight_col="w")
+    return pagerank(
+        edges, iters=5, damping_pct=85, weight_col="w", broadcast_ranks=True
+    )
