@@ -315,3 +315,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.attach_binary_payload(t(spark, sf_dir, "documents"))
     return MM.extract_image_features(media).select("media_id", "n_bytes", "checksum")
+
+
+@query(
+    "q_media_sniff",
+    oracle="""
+    SELECT doc_id AS media_id, 'image/png' AS mime,
+           CAST(n_chars % 1024 + 1 AS INT) AS width,
+           CAST(doc_id % 1024 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-path roundtrip, oracle-checked: build REAL minimal PNG
+    payloads (valid signature + IHDR; dimensions derived from row
+    fields), then recover the dimensions by parsing the bytes with
+    sniff_media (operators/multimodal.py — genuine header parsing, not
+    the decode stub). The oracle computes the expected metadata
+    directly, so any byte-level error in encode OR parse breaks the
+    hash match. The payload bytes themselves never leave the
+    executors."""
+    from aoseventstreamer_spark.operators.multimodal import sniff_media, wrap_as_png
+
+    docs = t(spark, sf_dir, "documents")
+    media = wrap_as_png(docs)
+    return sniff_media(media).select("media_id", "mime", "width", "height")

@@ -48,3 +48,53 @@ def test_frame_sampling_fan_out(media):
 def test_stub_decode_raises_on_empty():
     with pytest.raises(NotImplementedError):
         MM._stub_decode_image(b"")
+
+
+def _minimal_png(w, h):
+    return (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+            + b"\x00" * 4)
+
+
+def _minimal_jpeg(w, h):
+    # SOI, APP0 (len 16), SOF0 with dims
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _minimal_gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _minimal_wav(byte_rate, data_len):
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+           + byte_rate.to_bytes(4, "little") + (2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    data = b"data" + data_len.to_bytes(4, "little") + b"\x00" * data_len
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_sniff_header_parses_real_containers(spark):
+    """Header sniffing is real byte parsing (not the decode stub):
+    handcrafted minimal PNG/JPEG/GIF/WAV files parse to their true
+    dimensions/durations; junk yields nulls instead of task failure."""
+    from aoseventstreamer_spark.operators.multimodal import sniff_media
+
+    rows = [
+        (1, _minimal_png(640, 480)),
+        (2, _minimal_jpeg(1920, 1080)),
+        (3, _minimal_gif(64, 32)),
+        (4, _minimal_wav(16000, 32000)),  # 2 seconds
+        (5, b"not a media file at all..."),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in sniff_media(df).collect()}
+    assert (got[1].mime, got[1].width, got[1].height) == ("image/png", 640, 480)
+    assert (got[2].mime, got[2].width, got[2].height) == ("image/jpeg", 1920, 1080)
+    assert (got[3].mime, got[3].width, got[3].height) == ("image/gif", 64, 32)
+    assert (got[4].mime, got[4].duration_ms) == ("audio/wav", 2000)
+    assert got[5].mime is None and got[5].width is None
