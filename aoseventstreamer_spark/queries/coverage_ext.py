@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aoseventstreamer_spark.queries import query, t
+from aoseventstreamer_spark.queries import cents, query, t
 
 
 @query(
@@ -214,3 +214,129 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT day_n, running FROM series
         """
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT g.user_id AS user_id,
+           g.n_events, b.buy_cents
+    FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events WHERE event_type <> 'purchase' GROUP BY user_id) g
+    FULL OUTER JOIN
+         (SELECT user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                   AS buy_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id) b
+      ON g.user_id = b.user_id
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated frames — users active but
+    never buying, buying-only users, and both, in one result with
+    nulls marking the absent side. Spark plans full-outer as one
+    SortMergeJoin over the shared user_id exchange: both inputs
+    aggregate on the same key, so AQE reuses the partitioning and the
+    outer join adds no extra shuffle.
+
+    Note the join key is COALESCEd into one output column — the
+    USING-style semantics both engines agree on."""
+    ev = t(spark, sf_dir, "events")
+    g = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents("value")).alias("buy_cents"))
+    )
+    gb = g.alias("g").join(
+        b.alias("b"), F.col("g.user_id") == F.col("b.user_id"), "full_outer"
+    )
+    return gb.select(
+        F.coalesce(F.col("g.user_id"), F.col("b.user_id")).alias("user_id"),
+        "n_events",
+        "buy_cents",
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS even_users,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS odd_users
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, parity, cnt
+    FROM wide UNPIVOT (cnt FOR parity IN (even_users, odd_users))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-type counts back to long form — the
+    inverse of q_pivot_types, via the native unpivot operator (a
+    zero-shuffle Expand node, not a UNION of self-scans)."""
+    ev = t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("even_users"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("odd_users"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["even_users", "odd_users"],
+        variableColumnName="parity",
+        valueColumnName="cnt",
+    )
+
+
+@query(
+    "q_mode_median",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS cents
+      FROM events
+    ), freq AS (
+      SELECT event_type, cents, COUNT(*) AS n
+      FROM c GROUP BY event_type, cents
+    ), best AS (
+      SELECT event_type, cents AS mode_cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, cents) AS rn
+      FROM freq
+    ), med AS (
+      SELECT event_type,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+               AS median_lo_cents
+      FROM c GROUP BY event_type
+    )
+    SELECT b.event_type, b.mode_cents, m.median_lo_cents
+    FROM best b JOIN med m ON b.event_type = m.event_type
+    WHERE b.rn = 1
+    """,
+)
+def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + discrete median per group. Engines'
+    native mode() tie-breaks arbitrarily, so the mode is computed as
+    count-then-rank with an explicit (n DESC, value) order — same
+    shape, deterministic everywhere. The median is percentile_disc
+    (the lower middle element — an actual data value, no
+    interpolation), on integer cents."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.select("event_type", cents("value").alias("cents"))
+    freq = c.groupBy("event_type", "cents").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "cents")
+    best = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("cents").alias("mode_cents"))
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("median_lo_cents")
+    )
+    return best.join(med, "event_type")
