@@ -65,33 +65,21 @@ def q_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id owns each gram). Counts are reported as exact BIGINTs;
     callers derive the dup fraction.
 
-    Scale shape: one shuffle keyed on the gram string with map-side
-    partial min/agg; the join back is gram-keyed equi-join. Nothing is
+    Scale shape: one shuffle keyed on the gram with map-side partial
+    min/agg; the join back is gram-keyed equi-join. Nothing is
     all-pairs and nothing is global-sorted — this is how substring
     contamination is measured over a 100 TB corpus (the gram space
     shards evenly; skew would only come from a single gram repeated in
-    millions of docs, which the map-side distinct-per-doc already
-    caps at one row per (gram, doc))."""
+    millions of docs, which the map-side distinct-per-doc already caps
+    at one row per (gram, doc)). This oracle-checked form keeps exact
+    gram STRINGS; the production path hashes each gram to a long
+    inside the scan (operators/dedup.substring_dup_counts,
+    hashed=True — measured 5x at 29M grams; split on text's single
+    spaces here matches the oracle, the operator trims+splits \\s+)."""
+    from aoseventstreamer_spark.operators.dedup import substring_dup_counts
+
     docs = t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))),
-        )
-    )
-    g = docs.select("doc_id", F.explode(grams).alias("s"))
-    own = g.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        g.join(own, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
-                "n_dup_grams"
-            ),
-        )
-    )
+    return substring_dup_counts(docs, hashed=False)
 
 
 @query(

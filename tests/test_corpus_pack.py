@@ -254,3 +254,21 @@ def test_recursive_cte_fixpoint(spark, sf_dir):
         running += n
         expect.append((n, running))
     assert rows == expect
+
+
+def test_substring_dup_hashed_path_matches_exact(spark, sf_dir):
+    """The scale path (gram→xxhash64 long before the shuffle) must
+    produce identical counts to the exact-string path on the fixture
+    (collisions are ~2^-65 per pair; none here)."""
+    from aoseventstreamer_spark.operators.dedup import substring_dup_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in substring_dup_counts(docs, hashed=False).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_grams, r.n_dup_grams)
+        for r in substring_dup_counts(docs, hashed=True).collect()
+    }
+    assert exact == hashed
