@@ -74,7 +74,7 @@ def q_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     at one row per (gram, doc)). This oracle-checked form keeps exact
     gram STRINGS; the production path hashes each gram to a long
     inside the scan (operators/dedup.substring_dup_counts,
-    hashed=True — measured 5x at 29M grams; split on text's single
+    hashed=True — smaller shuffle keys, measured win at 29M grams; split on text's single
     spaces here matches the oracle, the operator trims+splits \\s+)."""
     from aoseventstreamer_spark.operators.dedup import substring_dup_counts
 

@@ -64,26 +64,17 @@ def main() -> None:
                 flush=True,
             )
 
-        toks = F.split("text", " ")
-        grams = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))),
-            )
-        )
-        g = docs.select("doc_id", F.explode(grams).alias("s"))
-        own = g.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+        from aoseventstreamer_spark.operators.dedup import substring_dup_counts
+
         probe(
-            "substring_dup_fraction",
-            g.join(own, "s")
-            .groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_grams"),
-                F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
-                    "n_dup"
-                ),
-            ),
+            "substring_dup_exact_strings",
+            substring_dup_counts(docs, hashed=False),
         )
+        probe(
+            "substring_dup_hashed",
+            substring_dup_counts(docs, hashed=True),
+        )
+        toks = F.split("text", " ")
 
         h = (F.col("doc_id") * KNUTH) % F.lit(M32)
         mx = docs.agg(F.max("n_chars").alias("m"))
