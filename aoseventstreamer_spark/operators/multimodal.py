@@ -273,3 +273,60 @@ def wrap_as_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             ]
         ),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize pass. The geometry is REAL: target dimensions come
+    from parsing the actual container header (sniff_header) and
+    aspect-preserving arithmetic — only the pixel resampling is the
+    deterministic stub (a real pipeline swaps ``_stub_resample`` for
+    PIL's ``Image.resize``; nothing else changes: same mapInPandas
+    batch shape, same schema, payloads stay on executors).
+
+    Rows whose header doesn't parse (unknown container, corrupt bytes)
+    pass through unchanged with null dims rather than failing the
+    task — at 100 TB some blobs are always garbage."""
+
+    def _stub_resample(payload: bytes, w: int, h: int) -> bytes:
+        # STUB: deterministic byte decimation standing in for pixel
+        # resampling; length scales with the target area like a real
+        # resize's decoded buffer would.
+        stride = max(1, len(payload) * max(w, h) // max(1, w * h))
+        return bytes(payload[::stride])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                mime, w, h, _ = sniff_header(payload)
+                if w and h:
+                    scale = max_side / max(w, h)
+                    nw = max(1, round(w * min(1.0, scale)))
+                    nh = max(1, round(h * min(1.0, scale)))
+                    payloads.append(_stub_resample(bytes(payload), nw, nh))
+                else:
+                    nw = nh = None
+                    payloads.append(bytes(payload) if payload is not None else None)
+                ids.append(mid)
+                ws.append(nw)
+                hs.append(nh)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

@@ -98,3 +98,24 @@ def test_sniff_header_parses_real_containers(spark):
     assert (got[3].mime, got[3].width, got[3].height) == ("image/gif", 64, 32)
     assert (got[4].mime, got[4].duration_ms) == ("audio/wav", 2000)
     assert got[5].mime is None and got[5].width is None
+
+
+def test_resize_images_geometry_is_real(spark):
+    """Aspect-preserving target dims computed from REAL parsed
+    headers; oversized images scale down to max_side, small ones are
+    untouched; unparseable rows pass through with null dims."""
+    from aoseventstreamer_spark.operators.multimodal import resize_images
+
+    rows = [
+        (1, _minimal_png(640, 480)),    # downscale: 256x192
+        (2, _minimal_png(100, 50)),     # already small: unchanged dims
+        (3, _minimal_jpeg(1080, 1920)), # portrait: 144x256
+        (4, b"garbage bytes"),          # passthrough, null dims
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in resize_images(df, max_side=256).collect()}
+    assert (got[1].width, got[1].height) == (256, 192)
+    assert (got[2].width, got[2].height) == (100, 50)
+    assert (got[3].width, got[3].height) == (144, 256)
+    assert got[4].width is None and bytes(got[4].payload) == b"garbage bytes"
+    assert all(got[i].payload is not None for i in (1, 2, 3))
