@@ -41,6 +41,38 @@ def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
     return key
 
 
+def quantile_buckets(df: DataFrame, cols: list[str], bits: int = 8) -> list[Column]:
+    """Monotone bucket index per column via QUANTILE (equal-frequency)
+    boundaries — what production Z-order implementations use, because
+    equal-WIDTH grids collapse under skew (a heavy low-value mode puts
+    most rows in a few buckets and every file ends up covering them).
+
+    Boundaries come from one sampled ``approxQuantile`` pass (driver
+    gets ``2**bits`` scalars per column — at 100 TB this runs on the
+    same sample a range partitioner would draw). The bucket index is
+    ``count(boundaries <= value)``: a fold over a 255-element literal
+    array, codegen'd, zero shuffle, and monotone in the raw value, so
+    per-file footer min/max on the RAW column stays tight.
+    """
+    grid = 2**bits
+    probs = [i / grid for i in range(1, grid)]
+    out = []
+    for c in cols:
+        cuts = df.select(F.col(c).cast("double").alias("c")).approxQuantile(
+            "c", probs, 0.001
+        )
+        bounds = F.array(*[F.lit(float(b)) for b in cuts])
+        out.append(
+            F.aggregate(
+                bounds,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            )
+        )
+    return out
+
+
 def cluster_write(
     df: DataFrame,
     path: str,
@@ -50,33 +82,20 @@ def cluster_write(
 ) -> None:
     """Write ``df`` as parquet clustered on the Z-order key of
     ``cols``: each column is first mapped MONOTONICALLY onto a
-    ``2**bits``-bucket grid (min/max-scaled, so bucket order = value
-    order and per-file footer min/max on the RAW column stays tight),
-    the bucket indices are bit-interleaved, and rows are
-    range-partitioned + sorted by the key (each output file owns a
-    contiguous key range). After this write a range filter on any
-    clustered column prunes most files via footer min/max stats —
+    ``2**bits``-bucket grid (quantile-scaled — see quantile_buckets;
+    bucket order = value order, so per-file footer min/max on the RAW
+    column stays tight), the bucket indices are bit-interleaved, and
+    rows are range-partitioned + sorted by the key (each output file
+    owns a contiguous key range). After this write a range filter on
+    any clustered column prunes most files via footer min/max stats —
     verified against real footers in tests/test_layout.py.
 
-    Cost: one tiny min/max agg (scalar row to the driver at plan
-    time) + one range shuffle (with its sampling pass) — the same
-    profile as a global sort, which is what any clustering rewrite
-    costs; the payoff is every subsequent scan.
+    Cost: one sampled quantile pass (2**bits scalars per column to
+    the driver at plan time) + one range shuffle (with its sampling
+    pass) — the same profile as a global sort, which is what any
+    clustering rewrite costs; the payoff is every subsequent scan.
     """
-    stats = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
-    ).first()
-    grid = 2**bits
-    buckets = []
-    for c in cols:
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        span = (mx - mn) or 1.0
-        b = F.least(
-            F.lit(grid - 1),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) * grid / F.lit(span)),
-        ).cast("long")
-        buckets.append(b)
+    buckets = quantile_buckets(df, cols, bits=bits)
     (
         df.withColumn("__zkey", zorder_key(buckets, bits=bits))
         .repartitionByRange(n_files, "__zkey")

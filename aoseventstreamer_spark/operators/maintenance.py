@@ -32,3 +32,42 @@ def compact_event_log(
         .parquet(dst)
     )
     return rows, n_parts
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cluster_cols: list[str],
+    partition_col: str = "project_id",
+    files_per_partition: int = 4,
+) -> tuple[int, int]:
+    """Compaction + multi-column clustering in one rewrite (the
+    OPTIMIZE ... ZORDER BY shape): within each ``partition_col``
+    directory, rows are ordered by the Z-order key of
+    ``cluster_cols`` (operators/layout.zorder_key over a min/max
+    bucket grid), so footer min/max statistics prune scans filtered
+    on ANY clustered column — on top of the directory-level partition
+    pruning the log already has.
+
+    One keyed shuffle, same cost class as compaction alone; writes to
+    a NEW location like compact_event_log. Returns (rows, partitions).
+    """
+    from aoseventstreamer_spark.operators.layout import quantile_buckets, zorder_key
+
+    df = spark.read.parquet(src)
+    rows = df.count()
+    n_parts = df.select(partition_col).distinct().count()
+    buckets = quantile_buckets(df, cluster_cols, bits=8)
+    (
+        df.withColumn("__zkey", zorder_key(buckets, bits=8))
+        .repartitionByRange(
+            max(n_parts * files_per_partition, 1), F.col(partition_col), F.col("__zkey")
+        )
+        .sortWithinPartitions(partition_col, "__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dst)
+    )
+    return rows, n_parts

@@ -11,6 +11,7 @@ plans stay stable and pushdown-friendly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BATCH_FORMATS = {"parquet", "csv", "json", "orc"}
@@ -91,3 +92,37 @@ def write_stream(
         writer = writer.partitionBy(*partition_by)
     writer = writer.trigger(**(trigger or {"processingTime": "250 milliseconds"}))
     return writer.start()
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest JSON-lines with corrupt-record quarantine: returns
+    (good, quarantined). Malformed lines land — raw and intact — in
+    the quarantine frame instead of failing the job or silently
+    dropping (at 100 TB some records are ALWAYS malformed; losing them
+    silently corrupts downstream counts, failing the job loses the
+    day). PERMISSIVE mode keeps the scan a single pass: parse errors
+    populate the corrupt column, and the split is two filters over one
+    cached read.
+
+    Spark requires the corrupt-capture column to be declared in the
+    schema and forbids referring to it alone straight off the scan —
+    hence the cache + filter pair."""
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    ).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw")
+    )
+    return good, bad

@@ -131,3 +131,89 @@ def test_rate_source_continuous_routing(spark, tmp_path):
     time.sleep(8)
     q.stop()
     assert sum(got) > 100  # events flowed continuously
+
+
+def test_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed JSON lines must land intact in quarantine — neither
+    failing the read nor silently vanishing; good rows parse fully."""
+    from pyspark.sql import types as T
+
+    from aoseventstreamer_spark.sources.io import read_json_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"event_id": 1, "event_type": "click"}\n'
+        "this is not json at all\n"
+        '{"event_id": 2, "event_type": "view"}\n'
+        '{"event_id": "NOT_A_NUMBER", "event_type": "view"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    good_rows = {(r.event_id, r.event_type) for r in good.collect()}
+    bad_rows = [r.raw for r in bad.collect()]
+    assert good_rows == {(1, "click"), (2, "view")}
+    assert len(bad_rows) == 2
+    assert "this is not json at all" in bad_rows
+    assert any("NOT_A_NUMBER" in b for b in bad_rows)
+
+
+def test_optimize_zorder_compacts_and_prunes(spark, tmp_path):
+    """The OPTIMIZE-ZORDER rewrite keeps directory partitioning AND
+    gives footer-stat locality on the clustered columns within each
+    partition."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.operators.maintenance import optimize_zorder
+    from aoseventstreamer_spark.session import load_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "project_id", (F.col("user_id") % 3).cast("string")
+    )
+    # many small appends -> many small files (8 appends x 8 tasks)
+    for i in range(8):
+        ev.filter(F.col("event_id") % 8 == i).repartition(8).write.mode(
+            "append"
+        ).partitionBy("project_id").parquet(src)
+    # cluster on the two CONTINUOUS dimensions (z-order needs domain
+    # cardinality to trade between columns; a 5-distinct-value column
+    # has nothing to prune)
+    rows, parts = optimize_zorder(
+        spark, src, dst, cluster_cols=["value", "event_id"], files_per_partition=16
+    )
+    assert rows == ev.count() and parts == 3
+    back = spark.read.parquet(dst)
+    assert back.count() == rows  # lossless
+    n_src_files = len(glob.glob(src + "/*/*.parquet"))
+    n_dst_files = len(glob.glob(dst + "/*/*.parquet"))
+    assert n_dst_files < n_src_files / 3  # consolidated (16/dir target)
+    # within one partition dir, each clustered column's footer ranges
+    # must be prunable: a 25%-of-domain point query (inside the lower
+    # z-quadrant on that axis) skips at least half the files
+    files = glob.glob(dst + "/project_id=0/*.parquet")
+    assert len(files) >= 2
+    for col in ("value", "event_id"):
+        ranges = []
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.names.index(col)
+            st = meta.row_group(0).column(idx).statistics
+            mn, mx = st.min, st.max
+            for rg in range(1, meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                mn, mx = min(mn, st.min), max(mx, st.max)
+            ranges.append((mn, mx))
+        lo = min(mn for mn, _ in ranges)
+        hi = max(mx for _, mx in ranges)
+        q = lo + 0.25 * (hi - lo)
+        overlapping = [r for r in ranges if r[0] <= q <= r[1]]
+        assert len(overlapping) <= max(1, len(ranges) // 2), (col, ranges)
