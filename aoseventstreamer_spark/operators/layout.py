@@ -56,21 +56,22 @@ def quantile_buckets(df: DataFrame, cols: list[str], bits: int = 8) -> list[Colu
     """
     grid = 2**bits
     probs = [i / grid for i in range(1, grid)]
-    out = []
-    for c in cols:
-        cuts = df.select(F.col(c).cast("double").alias("c")).approxQuantile(
-            "c", probs, 0.001
-        )
+    aliases = [f"__qb_{j}" for j in range(len(cols))]
+    cast_df = df.select(
+        *[F.col(c).cast("double").alias(a) for c, a in zip(cols, aliases)]
+    )
+    # one sampled pass for ALL columns (approxQuantile takes a column
+    # list) — a per-column loop would re-scan the corpus per column
+    all_cuts = cast_df.approxQuantile(aliases, probs, 0.001)
+    def bucket_of(c: str, cuts: list[float]) -> Column:
         bounds = F.array(*[F.lit(float(b)) for b in cuts])
-        out.append(
-            F.aggregate(
-                bounds,
-                F.lit(0).cast("long"),
-                lambda acc, b: acc
-                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
-            )
+        return F.aggregate(
+            bounds,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
         )
-    return out
+
+    return [bucket_of(c, cuts) for c, cuts in zip(cols, all_cuts)]
 
 
 def cluster_write(

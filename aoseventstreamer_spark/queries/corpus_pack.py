@@ -213,10 +213,14 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps + driver merge of 50-row heads — no global sort)."""
     docs = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    n = F.size(toks)
     pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
     )
+    # guard: a 1-token doc makes sequence(1, 0) DESCEND and
+    # slice(pos=0) throw; the oracle's generate_series(1, 0) is empty
+    pairs = F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
     return (
         docs.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
@@ -313,15 +317,22 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     usable directly as a repartitionByRange key at write time (see
     operators/layout.cluster_write). Oracle-exact because bit
     interleaving is integer arithmetic on both engines."""
+    from aoseventstreamer_spark.operators.layout import zorder_key
+
     ev = t(spark, sf_dir, "events")
     # FLOOR (not a bare cast) on both sides: DuckDB's double→BIGINT
     # cast rounds while Spark's truncates; floor makes them agree.
-    expr = _morton_sql("user_id % 256", "CAST(FLOOR(value) AS BIGINT) % 256")
+    # The Spark side reuses layout.zorder_key — the SAME expression
+    # cluster_write orders files by — so the oracle hash-checks the
+    # actual production key (bit i of column j lands at i*n+j; with
+    # n=2 that is _morton_sql's x-even / y-odd layout).
+    x = F.col("user_id") % 256
+    y = F.floor("value").cast("long") % 256
     return ev.select(
         "event_id",
-        (F.col("user_id") % 256).alias("x"),
-        (F.floor("value").cast("long") % 256).alias("y"),
-        F.expr(expr).cast("long").alias("zkey"),
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key([x, y], bits=8).alias("zkey"),
     )
 
 

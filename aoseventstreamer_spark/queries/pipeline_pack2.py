@@ -108,12 +108,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets are decontaminated by anti-joining this result)."""
     docs = t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    n = F.size(toks)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
+            F.sequence(F.lit(1), n - 4),
             lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(5))),
         )
     )
+    # guard: <5-token docs make sequence(1, n-4) DESCEND through 0
+    # and slice(pos=0) throw; generate_series is empty there
+    grams = F.when(n >= 5, grams).otherwise(F.array().cast("array<string>"))
     sh = docs.select("doc_id", "source", F.explode(grams).alias("s"))
     bench = sh.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("bench_doc"), "s"

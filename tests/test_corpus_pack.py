@@ -272,3 +272,34 @@ def test_substring_dup_hashed_path_matches_exact(spark, sf_dir):
         for r in substring_dup_counts(docs, hashed=True).collect()
     }
     assert exact == hashed
+
+
+def test_short_docs_do_not_crash_gram_ops(spark):
+    """Review regression: 1-token and 4-token documents must yield
+    zero gram/pair rows (matching generate_series semantics), not a
+    descending F.sequence + slice(0) SparkRuntimeException."""
+    from aoseventstreamer_spark.operators.dedup import substring_dup_counts
+
+    docs = spark.createDataFrame(
+        [(1, "solo", 4, "srcA"), (2, "a b c d", 7, "srcA"),
+         (3, "one two three four five six", 27, "srcB")],
+        "doc_id long, text string, n_chars long, source string",
+    )
+    sub = substring_dup_counts(docs, hashed=False).collect()
+    assert {r.doc_id for r in sub} == {3}  # only the >=5-token doc
+    docs.createOrReplaceTempView("__short_docs")
+    # run the registered q_bpe_pairs logic against the tiny frame via
+    # the same expression path (pair fan-out with the guard)
+    from pyspark.sql import functions as F2
+
+    toks = F2.split("text", " ")
+    n = F2.size(toks)
+    pairs = F2.when(
+        n >= 2,
+        F2.transform(
+            F2.sequence(F2.lit(1), n - 1),
+            lambda i: F2.concat_ws(" ", F2.slice(toks, i, F2.lit(2))),
+        ),
+    ).otherwise(F2.array().cast("array<string>"))
+    got = docs.select(F2.explode(pairs).alias("p")).collect()
+    assert len(got) == 3 + 5  # 4-token doc: 3 pairs; 6-token doc: 5
