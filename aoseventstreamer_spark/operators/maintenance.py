@@ -22,16 +22,22 @@ def compact_event_log(
     partition directory. Returns (rows, distinct_partitions). Writes
     to a NEW location — atomic swap/retention is the deployment's
     concern, not silently destructive here."""
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(src)
-    rows = df.count()
+    # n_parts sizes the shuffle so it needs its own (column-pruned)
+    # pre-scan; the row count rides the rewrite itself via Observation
+    # instead of paying a second full pass
     n_parts = df.select(partition_col).distinct().count()
+    obs = Observation("compact")
     (
-        df.repartition(max(n_parts, 1), F.col(partition_col))
+        df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartition(max(n_parts, 1), F.col(partition_col))
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(dst)
     )
-    return rows, n_parts
+    return int(obs.get["rows"]), n_parts
 
 
 def optimize_zorder(
@@ -53,21 +59,27 @@ def optimize_zorder(
     One keyed shuffle, same cost class as compaction alone; writes to
     a NEW location like compact_event_log. Returns (rows, partitions).
     """
+    from pyspark.sql import Observation
+
     from aoseventstreamer_spark.operators.layout import quantile_buckets, zorder_key
 
     df = spark.read.parquet(src)
-    rows = df.count()
     n_parts = df.select(partition_col).distinct().count()
     buckets = quantile_buckets(df, cluster_cols, bits=8)
+    obs = Observation("optimize")
     (
         df.withColumn("__zkey", zorder_key(buckets, bits=8))
         .repartitionByRange(
             max(n_parts * files_per_partition, 1), F.col(partition_col), F.col("__zkey")
         )
         .sortWithinPartitions(partition_col, "__zkey")
+        # observe ABOVE the range exchange: repartitionByRange runs a
+        # boundary-sampling pass over its child, which would execute a
+        # below-exchange observe twice and double the count
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .drop("__zkey")
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(dst)
     )
-    return rows, n_parts
+    return int(obs.get["rows"]), n_parts

@@ -188,6 +188,11 @@ def sniff_header(payload: bytes):
         while i + 9 < len(b):
             if b[i] != 0xFF:
                 break
+            # the spec allows any number of 0xFF fill bytes before a
+            # marker — skip them or the walk derails on valid files
+            if b[i + 1] == 0xFF:
+                i += 1
+                continue
             marker = b[i + 1]
             if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF frames
                 h = int.from_bytes(b[i + 5 : i + 7], "big")
@@ -197,6 +202,8 @@ def sniff_header(payload: bytes):
                 i += 2
                 continue
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break  # malformed length; stop rather than loop
             i += 2 + seg_len
         return ("image/jpeg", None, None, None)
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
@@ -204,14 +211,21 @@ def sniff_header(payload: bytes):
         h = int.from_bytes(b[8:10], "little")
         return ("image/gif", w, h, None)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        byte_rate = int.from_bytes(b[28:32], "little") if len(b) >= 32 else 0
-        # find the data chunk
+        # walk the chunk list for BOTH fmt and data — the fmt chunk is
+        # not guaranteed at offset 12 (LIST/INFO may precede it) nor
+        # 16 bytes long (18/40-byte extended forms exist); byte_rate
+        # sits at offset 8 within the fmt chunk's data
+        byte_rate, data_len = 0, None
         i = 12
         while i + 8 <= len(b):
             cid = b[i : i + 4]
             clen = int.from_bytes(b[i + 4 : i + 8], "little")
-            if cid == b"data" and byte_rate > 0:
-                return ("audio/wav", None, None, int(clen * 1000 / byte_rate))
+            if cid == b"fmt " and i + 20 <= len(b):
+                byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_len = clen
+            if byte_rate and data_len is not None:
+                return ("audio/wav", None, None, int(data_len * 1000 / byte_rate))
             i += 8 + clen + (clen % 2)
         return ("audio/wav", None, None, None)
     return (None, None, None, None)

@@ -59,11 +59,18 @@ def brute_force_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each query vector against all candidates.
 
     Pre-computes norms once per side, broadcasts the query side, and
     keeps the entire scoring loop in codegen'd array expressions.
+
+    ``exclude_self`` drops candidates whose id EQUALS the query id —
+    right for self-search (queries drawn from the candidate table, as
+    every registered query here does); pass False when the two sides
+    use unrelated id spaces, or a legitimate neighbor that happens to
+    share the query's id number would silently lose its slot.
     """
     from ..session import ensure_parallelism
 
@@ -77,8 +84,11 @@ def brute_force_topk(
         as_double_vec(vec_col).alias("query_vec"),
     ).withColumn("query_norm", l2_norm(F.col("query_vec")))
 
+    join_cond = (
+        F.col("query_id") != F.col("cand_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        cand.join(F.broadcast(qry), F.col("query_id") != F.col("cand_id"))
+        cand.join(F.broadcast(qry), join_cond)
         .withColumn(
             "sim",
             dot(F.col("query_vec"), F.col("cand_vec"))
@@ -146,9 +156,15 @@ def lsh_buckets(vec: Column, n_planes: int, n_tables: int, dim: int | None = Non
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
-    """Vector dimension from one row (cheap driver-side probe); None on
-    an empty input — callers then fall back to per-row derivation."""
-    row = df.select(F.size(as_double_vec(vec_col)).alias("d")).first()
+    """Vector dimension from the first NON-NULL row (cheap driver-side
+    probe); None only when no row has a vector — callers then return
+    empty. Probing an unfiltered first() would misread a leading null
+    vector as 'empty input' and silently drop the whole dataset."""
+    row = (
+        df.select(F.size(as_double_vec(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .first()
+    )
     return None if row is None or row["d"] is None else int(row["d"])
 
 
@@ -386,6 +402,10 @@ def cosine_near_dup_pairs(
         .select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec"))
         .filter(F.size("vec") == F.lit(dim))
         .withColumn("bucket", F.explode(buckets(F.col("vec"))))
+        # persisted: the self-join below references this frame twice,
+        # and without the cache the Arrow bucket kernel — the dominant
+        # cost — would run over the full corpus once per branch
+        .persist()
     )
     cos = _cosine_udf()
     a, b = side.alias("a"), side.alias("b")

@@ -109,20 +109,27 @@ def read_json_quarantine(
     populate the corrupt column, and the split is two filters over one
     cached read.
 
-    Spark requires the corrupt-capture column to be declared in the
-    schema and forbids referring to it alone straight off the scan —
-    hence the cache + filter pair."""
+    Implemented as a text scan + ``from_json`` rather than the JSON
+    datasource's corrupt-column mode: the datasource forbids filtering
+    on its corrupt column straight off the scan (Spark requires
+    caching the parent, which then stays pinned for the session),
+    whereas ``from_json``'s output is an ordinary struct column — one
+    pass, two narrow filters, nothing cached. The corrupt-capture
+    field declared inside the from_json schema catches BOTH unparseable
+    lines and type mismatches (a string where a long is declared)."""
     full_schema = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
-    df = (
-        spark.read.schema(full_schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
-    ).cache()
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw")
+    raw = spark.read.text(path).select(F.col("value").alias("raw"))
+    parsed = raw.withColumn(
+        "__rec",
+        F.from_json(
+            F.col("raw"),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ),
     )
+    ok = F.col("__rec").isNotNull() & F.col(f"__rec.{corrupt_col}").isNull()
+    good = parsed.filter(ok).select("__rec.*").drop(corrupt_col)
+    bad = parsed.filter(~ok).select("raw")
     return good, bad
