@@ -4,7 +4,7 @@ At 100 TB, even the LSH and IVF paths (similarity.py) still carry the
 raw float vectors through the scoring join. PQ removes that cost: each
 D-dim vector is split into M subspaces and each subvector is replaced
 by the id of its nearest codebook centroid — D*4 bytes become M bytes
-(256x compression for D=64, M=4, float32). Scoring uses asymmetric
+(64x compression for D=64, M=4, float32: 256 B -> 4 B). Scoring uses asymmetric
 distance computation (ADC): the query stays full-precision, a per-query
 lookup table of subspace distances is built ONCE (M*K doubles), and a
 candidate's approximate distance is M table gathers — no float-vector
@@ -40,7 +40,10 @@ from aoseventstreamer_spark.operators.similarity import as_double_vec, l2_norm
 
 
 def _normalize(vec: Column) -> Column:
-    n = l2_norm(vec)
+    # guard the all-zero vector: non-ANSI x/0 is NULL and would abort
+    # KMeans training; dividing by 1 leaves it a valid zero vector
+    # (cosine 0 against everything) instead
+    n = F.greatest(l2_norm(vec), F.lit(1e-300))
     return F.transform(vec, lambda x: x / n)
 
 
@@ -105,7 +108,9 @@ def _encode_udf(codebooks: list[list[list[float]]], dim: int):
         if len(v) == 0:
             return _pd.Series([], dtype=object)
         mat = _np.vstack(v.to_numpy())  # (n, dim)
-        mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = _np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vectors stay zero, not NaN
+        mat = mat / norms
         codes = []
         for sub in range(m):
             s = mat[:, sub * d_sub : (sub + 1) * d_sub]  # (n, d_sub)
@@ -161,7 +166,9 @@ def _lut_udf(codebooks: list[list[list[float]]], dim: int):
         if len(v) == 0:
             return _pd.Series([], dtype=object)
         mat = _np.vstack(v.to_numpy())
-        mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+        norms = _np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero vectors stay zero, not NaN
+        mat = mat / norms
         parts = []
         for sub in range(m):
             s = mat[:, sub * d_sub : (sub + 1) * d_sub]
@@ -216,7 +223,6 @@ def pq_topk(
     )
 
     if n_clusters is not None:
-        from aoseventstreamer_spark.operators.similarity import ivf_topk  # noqa: F401
 
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
