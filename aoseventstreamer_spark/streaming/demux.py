@@ -94,8 +94,12 @@ class DemuxRunner:
                 "pass allow_missed_history=True to accept the gap"
             )
         os.makedirs(self.checkpoint, exist_ok=True)
+        # persist only the CURRENT set (not the historical union): a
+        # group that was removed and later re-registered ALSO missed
+        # the in-between batches, and must trip the guard above just
+        # like a brand-new group
         with open(manifest, "w") as f:
-            json.dump(sorted(set(group_ids) | set(previous)), f)
+            json.dump(sorted(set(group_ids)), f)
 
     def start(
         self,

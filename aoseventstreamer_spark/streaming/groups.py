@@ -57,6 +57,18 @@ def compile_query_subject(
     """Compile the group's filter subject (natsio.rs:163-174, extended
     to all levels the grammar defines)."""
     h = hierarchy or {}
+    needed = {
+        schemas.RESOURCE_COLLECTION: ("project_id",),
+        schemas.RESOURCE_OBJECT: ("project_id", "collection_id", "shared_id"),
+        schemas.RESOURCE_OBJECT_GROUP: ("project_id", "collection_id", "shared_id"),
+    }.get(resource_type, ())
+    missing = [k for k in needed if k not in h]
+    if missing:
+        raise ValueError(
+            f"resource_type {resource_type} requires hierarchy keys "
+            f"{list(needed)}; missing {missing} (the subject encodes the "
+            "full path above the resource — public_event_server.rs:102-121)"
+        )
     if resource_type == schemas.RESOURCE_PROJECT:
         return S.project_query(resource_id, include_subresources)
     if resource_type == schemas.RESOURCE_COLLECTION:

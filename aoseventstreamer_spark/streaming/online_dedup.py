@@ -61,7 +61,9 @@ class OnlineDeduper:
         id_col: str = "doc_id",
     ):
         if num_hashes % bands != 0:
-            raise ValueError("num_hashes must divide into bands")
+            raise ValueError(
+                f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+            )
         self.spark = spark
         self.store = os.path.join(state_root, "band_store")
         self.num_hashes = num_hashes
@@ -88,16 +90,19 @@ class OnlineDeduper:
         at-least-once replay the batch must not collide with its own
         earlier write (the partition filter prunes it at file-listing
         level, and the rewrite below then overwrites it)."""
-        try:
-            # batch_id is a partition column of the stored layout
-            return (
-                self.spark.read.schema(_BANDS_SCHEMA + ", batch_id int")
-                .parquet(self.store)
-                .filter(F.col("batch_id") != exclude_batch)
-                .select("band_id", "band_hash", "doc_id")
-            )
-        except Exception:  # first batch: store does not exist yet
+        # existence is checked explicitly (like demux's manifest) so a
+        # REAL read failure — corrupt footer, permissions — still fails
+        # the batch loudly; a bare except here would silently admit
+        # every known duplicate by treating the store as empty
+        if not os.path.isdir(self.store):
             return self.spark.createDataFrame([], _BANDS_SCHEMA)
+        # batch_id is a partition column of the stored layout
+        return (
+            self.spark.read.schema(_BANDS_SCHEMA + ", batch_id int")
+            .parquet(self.store)
+            .filter(F.col("batch_id") != exclude_batch)
+            .select("band_id", "band_hash", "doc_id")
+        )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Admit the novel documents of one micro-batch.
@@ -111,6 +116,11 @@ class OnlineDeduper:
         bands = self._bands_of(batch_df).cache()
         try:
             store = self._store_df(exclude_batch=int(batch_id))
+            if dict(batch_df.dtypes).get(self.id_col) != "bigint":
+                raise TypeError(
+                    f"id_col {self.id_col!r} must be bigint (the band store "
+                    "schema is fixed); map your id to a long first"
+                )
             # stage 1: any band seen before disqualifies the doc
             hit_store = (
                 bands.join(store, on=["band_id", "band_hash"], how="left_semi")
@@ -128,11 +138,16 @@ class OnlineDeduper:
                 .select("doc_id")
                 .distinct()
             )
+            # cached: the store write below AND the caller's sink write
+            # both consume it — without the cache the whole admission
+            # pipeline (incl. the join against the ever-growing store)
+            # would execute twice per batch. Left cached (a tiny id
+            # frame per batch); Spark's LRU evicts old ones.
             admitted_ids = (
                 fresh.select("doc_id")
                 .distinct()
                 .join(losers, on="doc_id", how="left_anti")
-            )
+            ).cache()
             admitted = batch_df.join(
                 admitted_ids.withColumnRenamed("doc_id", self.id_col),
                 on=self.id_col,

@@ -87,3 +87,52 @@ def test_lsh_bucket_independent_of_dimension(spark):
     assert len(buckets) > 4  # spread, not collapsed
     ann = SIM.lsh_ann_topk(df, df.filter(F.col("vec_id") < 3), k=2)
     assert ann.count() <= 6
+
+
+def test_demux_reregistered_group_trips_missed_history_guard(spark, tmp_path):
+    """Review regression: the manifest must hold the CURRENT group
+    set, not the historical union — a group removed for some batches
+    and re-registered also missed history."""
+    import json
+    import os
+
+    import pytest
+
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+
+    ck = str(tmp_path / "ck")
+    r = DemuxRunner(spark, str(tmp_path / "events"), ck)
+    r._check_group_set(["a", "b"], allow_missed_history=False)
+    # 'a' drops out; manifest now must record only {'b'}
+    r._check_group_set(["b"], allow_missed_history=False)
+    with open(os.path.join(ck, "demux_groups.json")) as f:
+        assert json.load(f) == ["b"]
+    # 'a' re-registers -> guard fires (it missed the 'b'-only batches)
+    with pytest.raises(ValueError, match="missed"):
+        r._check_group_set(["a", "b"], allow_missed_history=False)
+
+
+def test_compile_query_subject_missing_hierarchy_is_descriptive(spark, tmp_path):
+    import pytest
+
+    from aoseventstreamer_spark import schemas
+    from aoseventstreamer_spark.streaming.groups import compile_query_subject
+
+    with pytest.raises(ValueError, match="hierarchy keys"):
+        compile_query_subject(schemas.RESOURCE_COLLECTION, "c1", True, None)
+    with pytest.raises(ValueError, match="missing \\['shared_id'\\]"):
+        compile_query_subject(
+            schemas.RESOURCE_OBJECT, "o1", False,
+            {"project_id": "p", "collection_id": "c"},
+        )
+
+
+def test_online_dedup_rejects_non_long_id(spark, tmp_path):
+    import pytest
+
+    from aoseventstreamer_spark.streaming.online_dedup import OnlineDeduper
+
+    d = OnlineDeduper(spark, str(tmp_path / "state"), id_col="url")
+    df = spark.createDataFrame([("u1", "some text here ok")], "url string, text string")
+    with pytest.raises(TypeError, match="bigint"):
+        d.process_batch(df, 0)
