@@ -304,8 +304,8 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn = 1
     )
     SELECT COALESCE(u.user_id, t.user_id) AS user_id,
-           COALESCE(u.value, t.value) AS value,
-           COALESCE(u.ts, t.ts) AS ts
+           CASE WHEN u.user_id IS NOT NULL THEN u.value ELSE t.value END AS value,
+           CASE WHEN u.user_id IS NOT NULL THEN u.ts ELSE t.ts END AS ts
     FROM tgt t FULL OUTER JOIN upd u ON t.user_id = u.user_id
     """,
 )
@@ -314,7 +314,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-per-user state table built from the first half of the log,
     upserted with the second half — matched keys replaced, new keys
     inserted, untouched keys kept. The oracle states the same
-    contract as a FULL OUTER JOIN + COALESCE."""
+    contract as a FULL OUTER JOIN whose matched rows take the UPDATE
+    row wholesale (CASE on the update key, not per-column COALESCE —
+    SCD1 replaces the row, so a NULL in the update's value column
+    must WIN, not fall back to the stale target value)."""
     from aoseventstreamer_spark.operators.merge import merge_upsert
 
     ev = t(spark, sf_dir, "events").select(
@@ -432,7 +435,7 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k"),
-        F.size(F.map_keys(F.from_json("props", "map<string,string>"))).alias("n_fields"),
+        F.size(F.json_object_keys("props")).alias("n_fields"),
         F.try_variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
     )
 
