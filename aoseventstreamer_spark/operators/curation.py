@@ -1,0 +1,133 @@
+"""Composable corpus-curation pipeline: the operators of the dedup/
+quality/sampling packs chained into ONE lazy DataFrame plan.
+
+A real pretraining-data pipeline is not a bag of queries — it is a
+recipe: language filter → quality gate → exact dedup → near-dup
+prune → length-weighted sample. This module expresses the recipe as
+declarative steps over a documents frame, composing into a single
+Spark plan (Catalyst sees the whole chain: filters merge into the
+scan, the dedup anti-joins see only survivors, nothing materializes
+between steps), with an optional per-step retained-count report via
+``Observation`` (counts ride the one real action — no extra passes).
+
+Deterministic end to end: the sampling steps use the same
+multiplicative-hash draw as queries/corpus_pack.py, so a re-run (or a
+rerun after a crash) selects the identical corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import dedup as D
+from aoseventstreamer_spark.operators import text as TX
+
+_KNUTH, _M32 = 2654435761, 2**32
+
+
+@dataclass
+class CurationPipeline:
+    """Recipe of (step, params) pairs applied in order.
+
+    Steps (all operate on a frame with ``doc_id`` + ``text``):
+
+    - ``("lang", {"keep": ["en"]})`` — n-gram language gate
+    - ``("quality", {"min_score": 0.5})`` — composite quality gate
+    - ``("min_words", {"n": 5})`` / ``("max_words", {"n": 100000})``
+    - ``("exact_dedup", {})`` — normalized-hash, keep lowest doc_id
+    - ``("near_dedup", {"threshold": 0.4})`` — minhash/LSH candidates
+      verified by n-gram Jaccard; drops the higher doc_id of each
+      verified pair (greedy, idempotent)
+    - ``("weighted_sample", {"weight_col": "n_chars"})`` —
+      deterministic Bernoulli, P = w / max(w)
+    - ``("hash_sample", {"rate_pct": 10})`` — deterministic uniform
+
+    ``apply(docs, observe=True)`` returns the surviving frame;
+    ``counts()`` (after the caller runs an action) returns the
+    per-step retained counts measured DURING that action.
+    """
+
+    steps: list[tuple[str, dict]]
+    _obs: list[tuple[str, Observation]] = field(default_factory=list, repr=False)
+
+    def apply(self, docs: DataFrame, observe: bool = False) -> DataFrame:
+        df = docs
+        self._obs = []
+        if observe:
+            df = self._tap(df, "input")
+        for i, (step, params) in enumerate(self.steps):
+            df = self._apply_step(df, step, dict(params))
+            if observe:
+                df = self._tap(df, f"{i}:{step}")
+        return df
+
+    def counts(self) -> dict[str, int]:
+        """Per-step retained counts; call after an action on apply()'s
+        result (Observation blocks until its metrics arrive)."""
+        return {name: int(o.get["rows"]) for name, o in self._obs}
+
+    def _tap(self, df: DataFrame, name: str) -> DataFrame:
+        obs = Observation(f"curation_{len(self._obs)}_{name}")
+        self._obs.append((name, obs))
+        return df.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    def _apply_step(self, df: DataFrame, step: str, p: dict) -> DataFrame:
+        if step == "lang":
+            keep = p.pop("keep")
+            out = df.filter(TX.lang_id("text").isin(keep))
+        elif step == "quality":
+            min_score = p.pop("min_score")
+            out = df.filter(
+                TX.quality_score("text", TX.word_count("text")) >= min_score
+            )
+        elif step == "min_words":
+            out = df.filter(TX.word_count("text") >= p.pop("n"))
+        elif step == "max_words":
+            out = df.filter(TX.word_count("text") <= p.pop("n"))
+        elif step == "exact_dedup":
+            keepers = D.exact_dedup(df).select(
+                F.col("keeper").alias("doc_id")
+            )
+            out = df.join(keepers, "doc_id", "left_semi")
+        elif step == "near_dedup":
+            threshold = p.pop("threshold", 0.4)
+            pairs = D.minhash_dedup_pairs(df, **p)
+            p = {}
+            grams = df.select("doc_id", D.ngram_set("text", 3).alias("grams"))
+            a = grams.select(
+                F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+            )
+            b = grams.select(
+                F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")
+            )
+            inter = F.size(F.array_intersect("ga", "gb"))
+            union = F.size("ga") + F.size("gb") - inter
+            losers = (
+                pairs.join(a, "doc_a")
+                .join(b, "doc_b")
+                .filter(inter / F.greatest(union, F.lit(1)) >= threshold)
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            out = df.join(losers, "doc_id", "left_anti")
+        elif step == "weighted_sample":
+            w = F.col(p.pop("weight_col"))
+            mx = df.agg(F.max(w).alias("m"))
+            draw = (F.col("doc_id") * _KNUTH) % F.lit(_M32)
+            out = (
+                df.crossJoin(F.broadcast(mx))
+                .filter(draw * F.col("m") < w * F.lit(_M32))
+                .drop("m")
+            )
+        elif step == "hash_sample":
+            rate = p.pop("rate_pct")
+            draw = (F.col("doc_id") * _KNUTH) % F.lit(_M32)
+            out = df.filter(draw * 100 < F.lit(rate * _M32))
+        else:
+            raise ValueError(f"unknown curation step: {step}")
+        if p:
+            raise ValueError(f"unused params for step {step}: {sorted(p)}")
+        return out

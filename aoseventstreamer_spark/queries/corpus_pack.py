@@ -369,3 +369,64 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % 16).cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle="""
+    WITH langed AS (
+      SELECT * FROM documents
+      WHERE CASE
+        WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' and ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' of ' IN ' ' || lower(text) || ' ') > 0 THEN 'en'
+        WHEN position(' der ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' und ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' die ' IN ' ' || lower(text) || ' ') > 0 THEN 'de'
+        WHEN position(' le ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' la ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' et ' IN ' ' || lower(text) || ' ') > 0 THEN 'fr'
+        WHEN position(' el ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' los ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' que ' IN ' ' || lower(text) || ' ') > 0 THEN 'es'
+        ELSE 'und' END = 'en'
+    ), gated AS (
+      SELECT * FROM langed
+      WHERE 0.5 * LEAST(1.0, length(text)/500.0)
+          + 0.4 * LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)/80.0)
+          + 0.1 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+                         / GREATEST(length(text), 1)) >= 0.5
+    ), deduped AS (
+      SELECT g.* FROM gated g JOIN (
+        SELECT MIN(doc_id) AS doc_id
+        FROM gated
+        GROUP BY sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+      ) k ON g.doc_id = k.doc_id
+    ), mx AS (SELECT MAX(n_chars) AS m FROM deduped)
+    SELECT doc_id, lang, source, n_chars
+    FROM deduped, mx
+    WHERE ((doc_id) * 2654435761) % 4294967296 * mx.m < n_chars * 4294967296
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: a four-step curation recipe — English-only gate,
+    composite quality gate (>= 0.5), exact dedup (keep lowest id),
+    length-weighted deterministic sampling — composed by
+    operators/curation.CurationPipeline into ONE Spark plan and
+    hash-checked against a DuckDB oracle that chains the identical
+    CTEs. Every step is deterministic, so the full pipeline is
+    reproducible and cross-engine exact: the property a production
+    curation run needs to be auditable. (The near-dup/minhash step is
+    exercised in tests instead — its hashes are engine-specific.)"""
+    from aoseventstreamer_spark.operators.curation import CurationPipeline
+
+    docs = t(spark, sf_dir, "documents")
+    pipe = CurationPipeline(
+        [
+            ("lang", {"keep": ["en"]}),
+            ("quality", {"min_score": 0.5}),
+            ("exact_dedup", {}),
+            ("weighted_sample", {"weight_col": "n_chars"}),
+        ]
+    )
+    return pipe.apply(docs).select("doc_id", "lang", "source", "n_chars")

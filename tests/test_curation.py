@@ -1,0 +1,81 @@
+"""CurationPipeline: composition, per-step counts, near-dup step."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators.curation import CurationPipeline
+from aoseventstreamer_spark.queries import QUERIES
+from aoseventstreamer_spark.session import load_table
+
+
+def test_pipeline_equals_manual_composition(spark, sf_dir):
+    from aoseventstreamer_spark.operators import dedup as D
+    from aoseventstreamer_spark.operators import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = CurationPipeline(
+        [("lang", {"keep": ["en"]}), ("min_words", {"n": 20}),
+         ("exact_dedup", {})]
+    )
+    got = sorted(r.doc_id for r in pipe.apply(docs).collect())
+    manual = docs.filter(TX.lang_id("text").isin(["en"])).filter(
+        TX.word_count("text") >= 20
+    )
+    keepers = D.exact_dedup(manual).select(F.col("keeper").alias("doc_id"))
+    expect = sorted(
+        r.doc_id for r in manual.join(keepers, "doc_id", "left_semi").collect()
+    )
+    assert got == expect and got
+
+
+def test_pipeline_counts_are_monotone_and_measured_in_one_action(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pipe = CurationPipeline(
+        [("lang", {"keep": ["en"]}), ("quality", {"min_score": 0.5}),
+         ("exact_dedup", {}), ("weighted_sample", {"weight_col": "n_chars"})]
+    )
+    out = pipe.apply(docs, observe=True)
+    n_final = out.count()  # the ONE action; counts ride it
+    counts = pipe.counts()
+    vals = list(counts.values())
+    assert vals[0] == docs.count()
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # filters only shrink
+    assert vals[-1] == n_final
+
+
+def test_pipeline_near_dedup_drops_verified_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # plant a near-duplicate of doc 0 with a huge id
+    clone = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    planted = docs.unionByName(clone)
+    pipe = CurationPipeline([("near_dedup", {"threshold": 0.4})])
+    kept = {r.doc_id for r in pipe.apply(planted).select("doc_id").collect()}
+    assert 0 in kept          # the original survives
+    assert 10_000_000 not in kept  # the planted clone is pruned
+    # idempotent: nothing else to drop on a second pass
+    kept_df = planted.join(
+        spark.createDataFrame([(i,) for i in kept], "doc_id long"),
+        "doc_id", "left_semi",
+    )
+    again = {r.doc_id for r in pipe.apply(kept_df).select("doc_id").collect()}
+    assert again == kept
+
+
+def test_unknown_step_and_bad_params_raise(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="unknown curation step"):
+        CurationPipeline([("frobnicate", {})]).apply(docs)
+    with pytest.raises(ValueError, match="unused params"):
+        CurationPipeline([("lang", {"keep": ["en"], "oops": 1})]).apply(docs)
+
+
+def test_registered_capstone_matches_pipeline(spark, sf_dir):
+    rows = QUERIES["q_curation_pipeline"](spark, sf_dir).collect()
+    assert rows and all(r.lang == "en" or r.lang is not None for r in rows)
