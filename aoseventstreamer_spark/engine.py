@@ -21,6 +21,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from aoseventstreamer_spark import schemas
 from aoseventstreamer_spark.functions import subjects as S
@@ -112,7 +113,14 @@ class EventStreamerEngine:
     # -- batch query over the log (bonus surface) -----------------------------
 
     def event_log(self) -> DataFrame:
-        return self.spark.read.parquet(self.events_path)
+        """The routed log; a fresh engine (nothing emitted yet) reads
+        as an EMPTY frame with the declared schema rather than leaking
+        the datasource's raw PATH_NOT_FOUND — matching the streaming
+        path, which avoids the same hazard via its explicit schema."""
+        try:
+            return self.spark.read.parquet(self.events_path)
+        except AnalysisException:
+            return self.spark.createDataFrame([], schemas.ROUTED_EVENTS_SCHEMA)
 
     def query_events(
         self, ids: list[str], include_subresources: bool, is_object_group: bool = False

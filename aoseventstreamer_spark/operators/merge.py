@@ -74,6 +74,23 @@ def merge_scd2(
     keys = [keys] if isinstance(keys, str) else list(keys)
     latest = _latest_per_key(updates, keys, [order_by])
 
+    # ordering guard: an update takes effect only if it is STRICTLY
+    # newer than the key's current row. This makes the merge
+    # idempotent under at-least-once replay (re-applying a batch whose
+    # version == the current valid_from is a no-op instead of
+    # appending a zero-length history row) and immune to stale
+    # stragglers (a late update older than the current row would
+    # otherwise close it BACKWARDS, valid_to < valid_from, and install
+    # the stale row as current).
+    cur = target.filter(F.col(current_flag)).select(
+        *keys, F.col(valid_from).alias("__cur_from")
+    )
+    latest = (
+        latest.join(cur, on=keys, how="left")
+        .filter(F.col("__cur_from").isNull() | (F.col(order_by) > F.col("__cur_from")))
+        .drop("__cur_from")
+    )
+
     new_rows = (
         latest.withColumn(valid_from, F.col(order_by))
         .withColumn(valid_to, F.lit(None).cast(latest.schema[order_by].dataType))
@@ -81,8 +98,10 @@ def merge_scd2(
         .select(*target.columns)
     )
     closing = latest.select(*keys, F.col(order_by).alias("__close_at"))
+    # no broadcast hint: the update batch is not guaranteed small at
+    # the 100 TB state sizes this targets — AQE broadcasts when it is
     closed = (
-        target.join(F.broadcast(closing), on=keys, how="left")
+        target.join(closing, on=keys, how="left")
         .withColumn(
             valid_to,
             F.when(

@@ -130,3 +130,40 @@ def test_upsert_idempotent_under_replay(spark):
     once = merge_upsert(target, updates, "k", "ver")
     twice = merge_upsert(once, updates, "k", "ver")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_replay_is_idempotent_and_stale_updates_ignored(spark):
+    """Review regression: re-applying the same update batch must be a
+    no-op (no zero-length history rows), and a LATE update older than
+    the current row must not close it backwards."""
+    from aoseventstreamer_spark.operators.merge import merge_scd2
+
+    target = spark.createDataFrame(
+        [(1, "a", 20, None, True), (1, "old", 10, 20, False)],
+        "k long, v string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame([(1, "a2", 20)], "k long, v string, ver long")
+    # same version as current -> no-op
+    out = merge_scd2(target, updates, keys="k", order_by="ver")
+    assert sorted((r.v, r.valid_from, r.is_current) for r in out.collect()) == [
+        ("a", 20, True), ("old", 10, False)
+    ]
+    # stale update (ver 15 < current valid_from 20) -> ignored
+    stale = spark.createDataFrame([(1, "stale", 15)], "k long, v string, ver long")
+    out2 = merge_scd2(target, stale, keys="k", order_by="ver")
+    cur = [r for r in out2.collect() if r.is_current]
+    assert [(r.v, r.valid_from) for r in cur] == [("a", 20)]
+    # genuinely newer update -> closes current and installs new
+    newer = spark.createDataFrame([(1, "b", 30)], "k long, v string, ver long")
+    out3 = merge_scd2(target, newer, keys="k", order_by="ver")
+    rows = {(r.v, r.valid_from, r.valid_to, r.is_current) for r in out3.collect()}
+    assert ("b", 30, None, True) in rows
+    assert ("a", 20, 30, False) in rows
+
+
+def test_engine_fresh_log_reads_empty(spark, tmp_path):
+    from aoseventstreamer_spark.engine import EventStreamerEngine
+
+    eng = EventStreamerEngine(spark, str(tmp_path / "fresh"), secret="t")
+    assert eng.event_log().count() == 0
+    assert eng.query_events(["p1"], True).count() == 0
