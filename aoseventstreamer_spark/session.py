@@ -38,7 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver heap IS the executor heap for all N
+        # task threads. 8g starved 32 threads' hash aggregations at the
+        # 500k-doc probe scale (AGGREGATE_OUT_OF_MEMORY) on a 128 GiB
+        # box; size for the machine, overridable via env
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
