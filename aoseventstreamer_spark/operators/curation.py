@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from aoseventstreamer_spark.operators import dedup as D
 from aoseventstreamer_spark.operators import text as TX
-
-_KNUTH, _M32 = 2654435761, 2**32
+from aoseventstreamer_spark.operators.sampling import M32 as _M32
+from aoseventstreamer_spark.operators.sampling import uniform_draw
 
 
 @dataclass
@@ -94,29 +94,17 @@ class CurationPipeline:
             out = df.join(keepers, "doc_id", "left_semi")
         elif step == "near_dedup":
             threshold = p.pop("threshold", 0.4)
-            pairs = D.minhash_dedup_pairs(df, **p)
+            pairs = D.verified_near_dup_pairs(df, threshold=threshold, **p)
             p = {}
-            grams = df.select("doc_id", D.ngram_set("text", 3).alias("grams"))
-            a = grams.select(
-                F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
-            )
-            b = grams.select(
-                F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")
-            )
-            inter = F.size(F.array_intersect("ga", "gb"))
-            union = F.size("ga") + F.size("gb") - inter
-            losers = (
-                pairs.join(a, "doc_a")
-                .join(b, "doc_b")
-                .filter(inter / F.greatest(union, F.lit(1)) >= threshold)
-                .select(F.col("doc_b").alias("doc_id"))
-                .distinct()
-            )
+            losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
             out = df.join(losers, "doc_id", "left_anti")
         elif step == "weighted_sample":
             w = F.col(p.pop("weight_col"))
+            # per-step salt decorrelates composed sampling steps: two
+            # Bernoulli steps on the SAME unsalted draw keep min(p1,p2)
+            # of the corpus (perfectly correlated), not p1*p2
+            draw = uniform_draw("doc_id", salt=p.pop("salt", 0))
             mx = df.agg(F.max(w).alias("m"))
-            draw = (F.col("doc_id") * _KNUTH) % F.lit(_M32)
             out = (
                 df.crossJoin(F.broadcast(mx))
                 .filter(draw * F.col("m") < w * F.lit(_M32))
@@ -124,7 +112,7 @@ class CurationPipeline:
             )
         elif step == "hash_sample":
             rate = p.pop("rate_pct")
-            draw = (F.col("doc_id") * _KNUTH) % F.lit(_M32)
+            draw = uniform_draw("doc_id", salt=p.pop("salt", 0))
             out = df.filter(draw * 100 < F.lit(rate * _M32))
         else:
             raise ValueError(f"unknown curation step: {step}")

@@ -342,3 +342,53 @@ def substring_dup_counts(
             ),
         )
     )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The full two-phase near-dup pipeline: cheap LSH candidate
+    generation (minhash bands) followed by exact char-n-gram-Jaccard
+    verification of ONLY the candidates — precision without ever
+    scoring all O(n²) pairs. Returns (doc_a, doc_b, jaccard) with
+    jaccard rounded to 4dp and >= threshold.
+
+    The gram table joins in ONE id-keyed pass: each pair melts to two
+    (pair, id) rows. The naive shape — joining the gram table once per
+    side on different keys — computes and shuffles every document's
+    gram array twice. Shared by q_near_dup_verified and the
+    CurationPipeline near_dedup step, so the two stay in lockstep.
+    """
+    candidates = minhash_dedup_pairs(df, text_col=text_col, id_col=id_col, **minhash_kwargs)
+    grams = df.select(F.col(id_col), ngram_set(text_col, ngram_n).alias("grams"))
+    melted = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    )
+    per_pair = (
+        melted.join(grams, id_col)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col(id_col) == F.col("doc_a"), F.col("grams")),
+                ignorenulls=True,
+            ).alias("grams_a"),
+            F.first(
+                F.when(F.col(id_col) == F.col("doc_b"), F.col("grams")),
+                ignorenulls=True,
+            ).alias("grams_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        per_pair.withColumn(
+            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -57,8 +57,11 @@ def grouped_weighted_stats(
 ) -> DataFrame:
     """Per-group weighted mean + weighted variance via applyInPandas —
     the grouped-UDAF shape (whole group arrives as one pandas frame,
-    Arrow-batched; output schema declared up front)."""
-    schema = f"{key_col} string, w_mean double, w_var double, n long"
+    Arrow-batched; output schema declared up front). The key column's
+    type is DERIVED from the input (hardcoding it would make any
+    non-string key an Arrow type mismatch at execution)."""
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {key_type}, w_mean double, w_var double, n long"
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

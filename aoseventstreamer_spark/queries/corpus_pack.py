@@ -24,17 +24,10 @@ from pyspark.sql import functions as F
 from aoseventstreamer_spark.operators import similarity as SIM
 from aoseventstreamer_spark.queries import query, t
 
-_KNUTH = 2654435761
-_M32 = 2**32
+from aoseventstreamer_spark.operators.sampling import M32 as _M32  # noqa: E402
+from aoseventstreamer_spark.operators.sampling import uniform_draw as _h  # noqa: E402
 
-
-def _h(col):
-    """Deterministic uniform-ish draw in [0, 2**32) from a BIGINT id."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (c * _KNUTH) % F.lit(_M32)
-
-
-_H_SQL = "(({c}) * 2654435761) % 4294967296"
+_H_SQL = "(({c}) * 2654435761) % 4294967296"  # = sampling.DRAW_SQL, salt 0
 
 
 @query(

@@ -155,37 +155,7 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation (minhash bands) followed by exact n-gram-Jaccard
     verification of ONLY the candidates — precision without ever
     scoring all O(n²) pairs."""
-    docs = t(spark, sf_dir, "documents")
-    candidates = D.minhash_dedup_pairs(docs)
-    grams = docs.select("doc_id", D.ngram_set("text", 3).alias("grams"))
-    # melt each pair to two (pair, doc_id) rows so the gram sets join
-    # in ONE doc_id-keyed pass — the naive shape joins the gram table
-    # twice (once per side, different keys), computing and shuffling
-    # every document's gram array two times; this computes it once.
-    melted = candidates.select(
-        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    )
-    per_pair = (
-        melted.join(grams, "doc_id")
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("grams")),
-                ignorenulls=True,
-            ).alias("grams_a"),
-            F.first(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("grams")),
-                ignorenulls=True,
-            ).alias("grams_b"),
-        )
-    )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size("grams_a") + F.size("grams_b") - inter
-    return (
-        per_pair.withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4))
-        .filter(F.col("jaccard") >= 0.4)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return D.verified_near_dup_pairs(t(spark, sf_dir, "documents"), threshold=0.4)
 
 
 @query(

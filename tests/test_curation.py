@@ -79,3 +79,20 @@ def test_unknown_step_and_bad_params_raise(spark, sf_dir):
 def test_registered_capstone_matches_pipeline(spark, sf_dir):
     rows = QUERIES["q_curation_pipeline"](spark, sf_dir).collect()
     assert rows and all(r.lang == "en" or r.lang is not None for r in rows)
+
+
+def test_salted_sampling_steps_compose_independently(spark, sf_dir):
+    """Two 50% samples with DIFFERENT salts keep ~25%; with the same
+    salt they are perfectly correlated and keep 50% (the review
+    finding this guards against)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    same = CurationPipeline(
+        [("hash_sample", {"rate_pct": 50}), ("hash_sample", {"rate_pct": 50})]
+    ).apply(docs).count()
+    salted = CurationPipeline(
+        [("hash_sample", {"rate_pct": 50}),
+         ("hash_sample", {"rate_pct": 50, "salt": 1})]
+    ).apply(docs).count()
+    assert abs(same / n - 0.5) < 0.1          # correlated: min(p, p) = p
+    assert abs(salted / n - 0.25) < 0.1       # decorrelated: p * p
