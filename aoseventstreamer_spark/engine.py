@@ -116,11 +116,16 @@ class EventStreamerEngine:
         """The routed log; a fresh engine (nothing emitted yet) reads
         as an EMPTY frame with the declared schema rather than leaking
         the datasource's raw PATH_NOT_FOUND — matching the streaming
-        path, which avoids the same hazard via its explicit schema."""
+        path, which avoids the same hazard via its explicit schema.
+        Only the missing-path case is swallowed; any other analysis
+        failure (corrupt directory, schema clash) re-raises, so a real
+        fault can't masquerade as 'no events yet'."""
         try:
             return self.spark.read.parquet(self.events_path)
-        except AnalysisException:
-            return self.spark.createDataFrame([], schemas.ROUTED_EVENTS_SCHEMA)
+        except AnalysisException as e:
+            if (e.getErrorClass() or "").startswith("PATH_NOT_FOUND"):
+                return self.spark.createDataFrame([], schemas.ROUTED_EVENTS_SCHEMA)
+            raise
 
     def query_events(
         self, ids: list[str], include_subresources: bool, is_object_group: bool = False

@@ -93,7 +93,24 @@ class CurationPipeline:
             )
             out = df.join(keepers, "doc_id", "left_semi")
         elif step == "near_dedup":
+            import inspect
+
             threshold = p.pop("threshold", 0.4)
+            # validate forwarded kwargs against the operators' real
+            # signatures (verified_near_dup_pairs's explicit params
+            # plus what its **minhash_kwargs forwards on to
+            # minhash_dedup_pairs) so a typo'd key gets the same
+            # friendly per-step error as every other step, not a
+            # TypeError deep inside minhash_dedup_pairs
+            allowed = (
+                set(inspect.signature(D.verified_near_dup_pairs).parameters)
+                | set(inspect.signature(D.minhash_dedup_pairs).parameters)
+            ) - {"df", "threshold", "minhash_kwargs"}
+            unknown = set(p) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unused params for step {step}: {sorted(unknown)}"
+                )
             pairs = D.verified_near_dup_pairs(df, threshold=threshold, **p)
             p = {}
             losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()

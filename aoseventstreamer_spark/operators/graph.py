@@ -42,6 +42,7 @@ def pagerank(
     checkpoint_every: int = 8,
     cache_edges: bool = True,
     broadcast_ranks: bool = False,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst[, weight]) edges; returns (node, rank)
     with ranks in integer micro-units (sum <= 1e12; the deficit is
@@ -62,6 +63,11 @@ def pagerank(
     ``broadcast_ranks=True`` broadcast-joins the rank frame into the
     edge scan — right whenever |V| is broadcast-sized (ranks is one
     long per node); leave False for billion-node graphs.
+
+    The two ``cache_edges`` persists (MEMORY_AND_DISK) live until
+    Spark's ContextCleaner collects them; pass ``cache_handles`` (a
+    list) to receive the persisted frames and ``unpersist()`` them
+    deterministically after consuming the result.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -80,6 +86,8 @@ def pagerank(
     e_out = e.join(out_w, "src")
     if cache_edges:
         e_out = e_out.persist()
+        if cache_handles is not None:
+            cache_handles.append(e_out)
 
     base = F.expr(f"({TOTAL} * (100 - {damping_pct})) div (100 * n)")
     # static node frame reused every iteration — the new rank frame
@@ -91,6 +99,8 @@ def pagerank(
     node_base = nodes.crossJoin(F.broadcast(n_frame))
     if cache_edges:
         node_base = node_base.persist()
+        if cache_handles is not None:
+            cache_handles.append(node_base)
     ranks = node_base.select("node", F.expr(f"{TOTAL} div n").alias("rank"))
     for i in range(iters):
         rk = F.broadcast(ranks) if broadcast_ranks else ranks

@@ -382,13 +382,21 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     bucketing: only same-bucket pairs are scored; pairs matching in
     several tables are deduped before scoring. Arrow-vectorized bucket
     and cosine kernels; rows with a mismatched vector length are
     excluded (see lsh_ann_topk). Pass ``dim`` to skip the driver-side
-    probe job (see lsh_ann_topk)."""
+    probe job (see lsh_ann_topk).
+
+    Caching: the bucketed side is ``.persist()``-ed (MEMORY_AND_DISK)
+    because the self-join references it twice and the Arrow bucket
+    kernel is the dominant cost. The cache lives until Spark's
+    ContextCleaner collects it; pass ``cache_handles`` (a list) to
+    receive the persisted frame and ``unpersist()`` it deterministically
+    after the consuming action."""
     from ..session import ensure_parallelism
 
     if dim is None:
@@ -407,6 +415,8 @@ def cosine_near_dup_pairs(
         # cost — would run over the full corpus once per branch
         .persist()
     )
+    if cache_handles is not None:
+        cache_handles.append(side)
     cos = _cosine_udf()
     a, b = side.alias("a"), side.alias("b")
     return (

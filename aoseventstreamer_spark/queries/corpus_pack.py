@@ -26,8 +26,7 @@ from aoseventstreamer_spark.queries import query, t
 
 from aoseventstreamer_spark.operators.sampling import M32 as _M32  # noqa: E402
 from aoseventstreamer_spark.operators.sampling import uniform_draw as _h  # noqa: E402
-
-_H_SQL = "(({c}) * 2654435761) % 4294967296"  # = sampling.DRAW_SQL, salt 0
+from aoseventstreamer_spark.operators.sampling import DRAW_SQL as _H_SQL  # noqa: E402
 
 
 @query(

@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Half of detected physical RAM, clamped to [2g, 32g]. The 32g
+    ceiling is what the 128 GiB dev box needs for the 500k-doc probes;
+    the half-RAM rule keeps the local-mode JVM from being OOM-killed
+    (or swapping) on smaller hosts. SPARK_DRIVER_MEMORY overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(32, int(total_gib // 2)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "aoseventstreamer-spark",
     cpus: int | None = None,
@@ -41,8 +57,9 @@ def get_spark(
         # local mode: the driver heap IS the executor heap for all N
         # task threads. 8g starved 32 threads' hash aggregations at the
         # 500k-doc probe scale (AGGREGATE_OUT_OF_MEMORY) on a 128 GiB
-        # box; size for the machine, overridable via env
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # box; size for the machine (≤ half physical RAM, capped at
+        # 32g so smaller hosts aren't OOM-killed), overridable via env
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -136,3 +136,39 @@ def test_online_dedup_rejects_non_long_id(spark, tmp_path):
     df = spark.createDataFrame([("u1", "some text here ok")], "url string, text string")
     with pytest.raises(TypeError, match="bigint"):
         d.process_batch(df, 0)
+
+
+def test_uniform_draw_nonnegative_for_all_int64_ids(spark):
+    """Round-4 ADVICE (medium): the naive (id*KNUTH) % 2**32 overflows
+    int64 past id ~3.47e9 and Spark's wrap yields NEGATIVE draws, so
+    every Bernoulli filter built on the draw silently accepts all rows.
+    The limb-split form must stay in [0, 2**32) for every int64 id,
+    agree with true Knuth mod 2**32, and match DuckDB's DRAW_SQL."""
+    import duckdb
+
+    from aoseventstreamer_spark.operators.sampling import DRAW_SQL, uniform_draw
+
+    ids = [0, 1, 12345, 2**31 - 1, 2**31, 2**32 - 1, 2**32, 3_470_000_000,
+           10**10, 2**40 + 7, 2**62, -1, -2**31, -(2**40) - 3,
+           9223372036854775807, -9223372036854775808]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["d"] for r in
+           df.select("id", uniform_draw("id").alias("d")).collect()}
+    con = duckdb.connect()
+    for i in ids:
+        want = ((i % 2**32) * 2654435761) % 2**32
+        assert got[i] == want, (i, got[i], want)
+        assert 0 <= got[i] < 2**32
+        duck = con.execute(f"SELECT {DRAW_SQL.format(c=str(i))}").fetchone()[0]
+        assert duck == want, (i, duck, want)
+
+
+def test_curation_near_dedup_rejects_typod_param(spark):
+    """Round-4 ADVICE (low): a typo'd near_dedup kwarg must raise the
+    friendly per-step error, not a TypeError inside minhash."""
+    from aoseventstreamer_spark.operators.curation import CurationPipeline
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    pipe = CurationPipeline([("near_dedup", {"num_hashs": 8})])  # typo'd key
+    with pytest.raises(ValueError, match="unused params for step near_dedup"):
+        pipe.apply(df, observe=False)
