@@ -132,7 +132,14 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
     from aoseventstreamer_spark.plans.inspect import formatted_plan
     from aoseventstreamer_spark.queries import QUERIES
 
-    python_ok = {"q_multimodal_features", "q_multimodal_frames", "q_media_sniff"}
+    python_ok = {
+        "q_multimodal_features",
+        "q_multimodal_frames",
+        "q_media_sniff",
+        # fused ANN: single Arrow-batched mapInPandas kernel
+        # (bucket+match+cosine in one pass), by design
+        "q_ann_lsh",
+    }
     # embedding similarity is the one surface allowed to use
     # Arrow-vectorized pandas_udf kernels (design stance, SURVEY §7.0)
     arrow_ok = {"q_ann_lsh", "q_embed_near_dup", "q_ann_pq"}
