@@ -78,6 +78,7 @@ def minhash_docs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Explode shingles → vectorized hash-agg of per-permutation mins.
 
@@ -85,28 +86,102 @@ def minhash_docs(
     aggregation means the shuffle carries only num_hashes longs per
     (doc, mapper), and duplicate shingles need no dedup pass (the min
     is invariant under multiplicity). Each shingle string is hashed
-    once; the num_hashes permutations re-hash the fixed-width long."""
+    once; the num_hashes permutations re-hash the fixed-width long.
+
+    ``portable=True`` switches every hash to the md5-derived
+    cross-engine form (see module comment above P31): the signatures —
+    and therefore the LSH candidate pairs built from them — become
+    value-comparable against a DuckDB oracle."""
     from ..session import ensure_parallelism
 
     exploded = ensure_parallelism(df).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
     )
-    # materialized projection => exactly one string hash per shingle,
-    # independent of subexpression elimination
-    hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h"))
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(j), "h")).alias(f"_m{j}") for j in range(num_hashes)]
-    )
+    if portable:
+        a, b = _perm_constants(num_hashes)
+        hashed = exploded.select(id_col, (md5_long("shingle") % P31).alias("h"))
+        agg = hashed.groupBy(id_col).agg(
+            *[
+                F.min((F.lit(a[j]) * F.col("h") + F.lit(b[j])) % P31).alias(f"_m{j}")
+                for j in range(num_hashes)
+            ]
+        )
+    else:
+        # materialized projection => exactly one string hash per shingle,
+        # independent of subexpression elimination
+        hashed = exploded.select(id_col, F.xxhash64("shingle").alias("h"))
+        agg = hashed.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.lit(j), "h")).alias(f"_m{j}")
+                for j in range(num_hashes)
+            ]
+        )
     return agg.select(
         F.col(id_col),
         F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
     )
 
 
+# --------------------------------------------------------------------------
+# Portable (oracle-comparable) hashing: xxhash64 is Spark-specific, so the
+# default minhash signatures can only be rows-checked against another
+# engine. The portable variant derives every hash from md5 — which DuckDB,
+# Spark, and any ANSI-ish engine agree on — so the full candidate-pair
+# output is value-comparable across engines:
+#
+# - md5_long(s): first 60 bits of md5(s), read from the hex string, so
+#   byte order can't diverge (Spark: conv(substr(md5,1,15),16,10); DuckDB:
+#   CAST('0x' || substr(md5,1,15) AS BIGINT)).
+# - permutation j: classic universal hashing (a_j * h + b_j) mod P over
+#   the Mersenne prime P = 2^31 - 1, with h pre-reduced mod P — every
+#   intermediate stays below 2^62, exact in int64 on both engines. The
+#   string is md5'd ONCE per shingle; permutations are pure arithmetic
+#   (cheaper than the xxhash re-hash chain they replace).
+# - band hash: md5_long of the comma-joined band values (long → decimal
+#   string renders identically everywhere).
+# --------------------------------------------------------------------------
+
+P31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+MD5_LONG_SQL = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+
+
+def md5_long(c: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT, derived from the
+    hex string so Spark and DuckDB agree bit-for-bit."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _perm_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_j, b_j) universal-hash constants, a_j in
+    [1, P31), b_j in [0, P31) (numpy's legacy RandomState is bit-stable
+    across platforms by contract)."""
+    import numpy as np
+
+    rs = np.random.RandomState(0xA05)
+    a = [int(x) for x in rs.randint(1, P31, size=num_hashes)]
+    b = [int(x) for x in rs.randint(0, P31, size=num_hashes)]
+    return a, b
+
+
 def _banded(
-    sigs: DataFrame, bands: int, rows_per_band: int, id_col: str
+    sigs: DataFrame, bands: int, rows_per_band: int, id_col: str,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, band_id, band_hash) rows: one per document per band."""
+    """(id, band_id, band_hash) rows: one per document per band.
+    ``portable`` band hashes are md5_long over the comma-joined band
+    values (cross-engine); default is xxhash64 over the raw longs."""
+
+    def band_hash(b: int) -> Column:
+        vals = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if portable:
+            return md5_long(F.concat_ws(",", *[v.cast("string") for v in vals]))
+        return F.xxhash64(*vals)
+
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -114,12 +189,7 @@ def _banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -134,6 +204,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash):
     documents agreeing on any full band become a candidate pair.
@@ -148,7 +219,7 @@ def lsh_candidate_pairs(
     member count dropped; on the scale path, check it (or route capped
     buckets through exact_dedup, which a giant identical cluster is
     by definition better served by)."""
-    banded = _banded(sigs, bands, rows_per_band, id_col)
+    banded = _banded(sigs, bands, rows_per_band, id_col, portable)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
         banded = (
@@ -206,15 +277,82 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup candidate pipeline."""
+    """Full MinHash-LSH near-dup candidate pipeline. ``portable=True``
+    makes every hash md5-derived and cross-engine (see minhash_docs);
+    ``minhash_band_oracle_sql`` emits the matching DuckDB query."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     rows_per_band = num_hashes // bands
-    sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k)
-    return lsh_candidate_pairs(sigs, bands, rows_per_band, id_col, max_bucket_size)
+    sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k, portable)
+    return lsh_candidate_pairs(
+        sigs, bands, rows_per_band, id_col, max_bucket_size, portable
+    )
+
+
+def minhash_band_oracle_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing EXACTLY minhash_dedup_pairs(portable=True):
+    same shingles (split on whitespace of the trimmed text), same
+    md5-derived shingle hashes, same universal-hash permutations over
+    P31, same md5 band keys — so the candidate-pair output value-hashes
+    identically across engines."""
+    a, b = _perm_constants(num_hashes)
+    rows_per_band = num_hashes // bands
+    toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    mins = ",\n       ".join(
+        f"MIN(({a[j]} * hs + {b[j]}) % {P31}) AS m{j}" for j in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT {id}, {b} AS band_id, {h} AS band_hash FROM sig".format(
+            id=id_col,
+            b=bnd,
+            h=MD5_LONG_SQL.format(
+                c="concat_ws(',', "
+                + ", ".join(
+                    f"m{bnd * rows_per_band + r}" for r in range(rows_per_band)
+                )
+                + ")"
+            ),
+        )
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, sg.s FROM (
+        SELECT {id_col}, list_distinct(list_transform(
+                 generate_series(1, len({toks}) - {shingle_k - 1}),
+                 i -> array_to_string(list_slice({toks}, i, i + {shingle_k - 1}), ' ')
+               )) AS grams
+        FROM {table}
+        WHERE len({toks}) >= {shingle_k}
+      ), UNNEST(grams) AS sg(s)
+    ),
+    h AS (
+      SELECT {id_col}, {MD5_LONG_SQL.format(c='s')} % {P31} AS hs FROM toks
+    ),
+    sig AS (
+      SELECT {id_col},
+       {mins}
+      FROM h GROUP BY {id_col}
+    ),
+    bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.{id_col} < b.{id_col}
+    """
 
 
 def simhash_docs(

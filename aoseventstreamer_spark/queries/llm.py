@@ -137,11 +137,14 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(t(spark, sf_dir, "documents"))
 
 
-@query("q_doc_minhash_band")  # rows-only: xxhash64 is Spark-specific
+@query("q_doc_minhash_band", oracle=D.minhash_band_oracle_sql())
 def q_doc_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (shingle → minhash →
-    band → bucket equi-join)."""
-    return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"))
+    band → bucket equi-join), in the PORTABLE md5-derived hash form so
+    the full pair set is value-checked against the DuckDB oracle
+    (dedup.minhash_band_oracle_sql replays the identical shingle →
+    universal-hash → band pipeline)."""
+    return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"), portable=True)
 
 
 @query("q_doc_simhash")  # rows-only: xxhash64 is Spark-specific

@@ -104,9 +104,23 @@ def q_running_sum_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_frames")  # rows-only: mapInPandas fan-out
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT d.doc_id AS media_id, CAST(f.fi AS INTEGER) AS frame_idx
+    FROM (
+      SELECT doc_id,
+             least(4, greatest(1, strlen(text) // 256)) AS n
+      FROM documents WHERE strlen(text) > 0
+    ) d, UNNEST(generate_series(0, CAST(d.n AS BIGINT) - 1)) AS f(fi)
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling plumbing: 1 media row → N frame rows."""
+    """Frame-sampling plumbing: 1 media row → N frame rows. The frame
+    COUNT and indices are pure byte arithmetic over the payload length
+    (min(max_frames, max(1, len//every_n)) slices), so the fan-out is
+    SQL-expressible: the oracle replays it from the UTF-8 byte length
+    (strlen) of the source text that attach_binary_payload encodes."""
     from aoseventstreamer_spark.operators import multimodal as MM
 
     media = MM.attach_binary_payload(t(spark, sf_dir, "documents"))
