@@ -1,0 +1,220 @@
+"""Real PNG codec on stdlib zlib + numpy — no media libraries.
+
+PNG (RFC 2083 / ISO 15948) is deliberately simple: chunked container,
+zlib-compressed scanlines, five per-row predictive filters. That makes
+a complete, correct decoder for the overwhelmingly common case
+(8-bit, non-interlaced, gray/RGB/±alpha) ~100 lines of numpy — so the
+multimodal pipeline's pixel path can be REAL instead of stubbed, even
+in containers without PIL/ffmpeg.
+
+Scope (explicit, checked, raising beyond it):
+- bit depth 8; color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  6 (RGBA); interlace 0 (non-interlaced). Palette (3) and 1/2/4/16-bit
+  depths raise ``UnsupportedPNGError`` — callers fall back to the
+  byte-level stub and say so.
+- all five row filters (None/Sub/Up/Average/Paeth) decode; the encoder
+  can write any fixed filter type (tests roundtrip every one).
+
+These functions run INSIDE Arrow-batched Python workers
+(mapInPandas) — payload bytes never pass through the driver; the
+Spark-side plumbing is unchanged from the stubbed version.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+class PNGError(ValueError):
+    """Malformed PNG payload."""
+
+
+class UnsupportedPNGError(PNGError):
+    """Valid PNG outside the supported profile (palette, 16-bit,
+    interlaced); callers should fall back, not fail the task."""
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to a (h, w, channels) uint8
+    array. Full filter support (None/Sub/Up/Average/Paeth)."""
+    b = bytes(data)
+    if len(b) < 33 or b[:8] != _SIG:
+        raise PNGError("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise PNGError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + crc
+    if ihdr is None or len(ihdr) < 13:
+        raise PNGError("missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8:
+        raise UnsupportedPNGError(f"bit depth {depth} (only 8 supported)")
+    if color not in _CHANNELS:
+        raise UnsupportedPNGError(f"color type {color} (palette unsupported)")
+    if interlace != 0:
+        raise UnsupportedPNGError("interlaced (Adam7) unsupported")
+    if not idat:
+        raise PNGError("no IDAT data")
+    if w == 0 or h == 0:
+        raise PNGError("zero dimension")
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise PNGError(
+            f"scanline size mismatch: {len(raw)} != {h}*({stride}+1)"
+        )
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int16)  # headroom for predictor sums
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        f, line = int(filters[r]), rows[r].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: cumulative along the row, per byte lane
+            for c in range(ch):
+                lane = line[c::ch]
+                np.cumsum(lane, out=lane)  # int16 wraps are fixed by &255
+            line &= 255
+        elif f == 2:  # Up
+            line = (line + prev) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c_ = int(prev[i - ch]) if i >= ch else 0
+                p = a + up - c_
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c_)
+                line[i] = (line[i] + pred) & 255
+        else:
+            raise PNGError(f"unknown filter {f}")
+        out[r] = line.astype(np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)
+
+
+def _filter_row(line: np.ndarray, prev: np.ndarray, ch: int, f: int) -> np.ndarray:
+    """Apply filter ``f`` to an unfiltered row (the encoder side —
+    exact inverse of the decoder's reconstruction)."""
+    line = line.astype(np.int16)
+    prev = prev.astype(np.int16)
+    n = len(line)
+    if f == 0:
+        return line.astype(np.uint8)
+    if f == 1:
+        left = np.zeros(n, dtype=np.int16)
+        left[ch:] = line[:-ch]
+        return ((line - left) & 255).astype(np.uint8)
+    if f == 2:
+        return ((line - prev) & 255).astype(np.uint8)
+    if f == 3:
+        left = np.zeros(n, dtype=np.int16)
+        left[ch:] = line[:-ch]
+        return ((line - ((left + prev) >> 1)) & 255).astype(np.uint8)
+    if f == 4:
+        out = np.zeros(n, dtype=np.uint8)
+        for i in range(n):
+            a = int(line[i - ch]) if i >= ch else 0
+            up = int(prev[i])
+            c_ = int(prev[i - ch]) if i >= ch else 0
+            p = a + up - c_
+            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c_)
+            pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c_)
+            out[i] = (int(line[i]) - pred) & 255
+        return out
+    raise PNGError(f"unknown filter {f}")
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode a (h, w) or (h, w, channels) uint8 array as a valid
+    non-interlaced 8-bit PNG (correct CRCs — external decoders accept
+    the output). ``filter_type`` fixes the per-row filter (0-4);
+    0 is fastest, the others exist so tests exercise every decode
+    branch."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in _COLOR_TYPE:
+        raise PNGError(f"unsupported array shape {arr.shape}")
+    h, w, ch = a.shape
+    if h == 0 or w == 0:
+        raise PNGError("zero dimension")
+    color = _COLOR_TYPE[ch]
+    flat = a.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    lines = []
+    for r in range(h):
+        lines.append(bytes([filter_type]))
+        lines.append(_filter_row(flat[r], prev, ch, filter_type).tobytes())
+        prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines), level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def resize_bilinear(arr: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Bilinear resample of an (h, w, c) uint8 image, align-corners
+    style sample grid (edge pixels map to edge pixels), vectorized."""
+    a = np.asarray(arr, dtype=np.float32)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, _c = a.shape
+    ys = (
+        np.linspace(0.0, h - 1.0, new_h, dtype=np.float32)
+        if new_h > 1
+        else np.zeros(1, dtype=np.float32)
+    )
+    xs = (
+        np.linspace(0.0, w - 1.0, new_w, dtype=np.float32)
+        if new_w > 1
+        else np.zeros(1, dtype=np.float32)
+    )
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)

@@ -2,11 +2,17 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 iterators (``mapInPandas``).
 
-The container has no decode libraries, so the decode step is a
-deterministic STUB (clearly marked) — but everything Spark-side is
-real and tested: schemas, batch iteration, partition behavior, and the
-UDF signatures a production decode would drop into (swap
-``_stub_decode_image`` for PIL/ffmpeg and nothing else changes).
+Pixel handling is tiered by what plain stdlib + numpy can do:
+
+- **REAL**: header sniffing for PNG/JPEG/GIF/WAV (sniff_header), and a
+  complete decode → resample → re-encode pipeline for non-interlaced
+  8-bit PNGs (functions/png.py — zlib scanlines + all five row
+  filters, bilinear resize). No media libraries involved.
+- **STUB** (clearly marked, fallback only): pixel access for formats
+  whose entropy coding needs a real codec (JPEG/GIF) and exotic PNG
+  profiles (palette/16-bit/interlaced). A production deployment swaps
+  those branches for PIL/ffmpeg; schemas, batch iteration, partition
+  behavior, and UDF signatures are identical either way.
 
 At 100 TB: binary payloads never pass through the driver; Arrow moves
 each partition's batches to Python once; per-batch output rows can
@@ -87,25 +93,38 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "
 def extract_image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    The closure is deliberately self-contained (no references to this
-    module's globals): Python workers unpickle it without needing the
-    package importable on their own sys.path, so the operator works no
-    matter what directory the driver process was launched from.
+    Non-interlaced 8-bit PNG payloads get REAL pixel features (8-bucket
+    histogram over decoded pixel values — stdlib zlib decode,
+    functions/png.py); anything else falls back to the byte-histogram
+    STUB with the same shape contract (len 8, sums to 1), so downstream
+    consumers never see a schema difference. The closure imports the
+    codec lazily inside the worker and degrades to the stub if the
+    package isn't importable there, so the operator works no matter
+    what directory the driver process was launched from.
     """
     import hashlib
 
-    def safe_feat(p):
+    def safe_feat(p, decode_png):
         # one undecodable row must not kill a distributed job: null
         # feature instead (the curation filter downstream drops it).
-        # STUB decode inlined — swap for PIL/torchvision in production.
         if p is None or len(p) == 0:
             return None
+        data = p
+        if decode_png is not None and bytes(p[:8]) == b"\x89PNG\r\n\x1a\n":
+            try:
+                data = decode_png(bytes(p)).tobytes()  # REAL pixels
+            except ValueError:
+                pass  # undecodable PNG profile: byte-level stub
         buckets = [0] * 8
-        for b in p:
+        for b in data:
             buckets[b >> 5] += 1
-        return [c / len(p) for c in buckets]
+        return [c / len(data) for c in buckets]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from aoseventstreamer_spark.functions.png import decode_png
+        except ImportError:
+            decode_png = None
         for pdf in batches:
             payloads = pdf["payload"]
             out = pd.DataFrame(
@@ -117,7 +136,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                     "checksum": payloads.map(
                         lambda p: hashlib.md5(p).hexdigest() if p else None
                     ),
-                    "feat": payloads.map(safe_feat),
+                    "feat": payloads.map(lambda p: safe_feat(p, decode_png)),
                 }
             )
             yield out
@@ -289,6 +308,45 @@ def wrap_as_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def wrap_as_real_png(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_side_src: int = 48,
+) -> DataFrame:
+    """Media table whose payloads are COMPLETE, decodable RGB PNGs
+    (signature + IHDR + zlib IDAT + IEND, valid CRCs): pixel content is
+    a deterministic gradient seeded by the row id, dimensions derive
+    from the text length — so the real decode path (resize_images,
+    extract_image_features) can be exercised end-to-end on fixture
+    tables without any image files on disk."""
+    from ..functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                w = (len(text) % max_side_src) + 2
+                h = (int(did) % max_side_src) + 2
+                yy, xx = np.mgrid[0:h, 0:w]
+                r = (xx * 255 // max(1, w - 1)).astype(np.uint8)
+                g = (yy * 255 // max(1, h - 1)).astype(np.uint8)
+                b = np.full((h, w), int(did) % 256, dtype=np.uint8)
+                ids.append(did)
+                payloads.append(encode_png(np.dstack([r, g, b])))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -300,16 +358,21 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Image resize pass. The geometry is REAL: target dimensions come
-    from parsing the actual container header (sniff_header) and
-    aspect-preserving arithmetic — only the pixel resampling is the
-    deterministic stub (a real pipeline swaps ``_stub_resample`` for
-    PIL's ``Image.resize``; nothing else changes: same mapInPandas
-    batch shape, same schema, payloads stay on executors).
+    """Image resize pass. The geometry is REAL (target dimensions from
+    parsing the actual container header + aspect-preserving
+    arithmetic), and for non-interlaced 8-bit PNGs the PIXELS are real
+    too: the payload is fully decoded (stdlib zlib + numpy unfiltering,
+    functions/png.py), bilinearly resampled, and re-encoded as a valid
+    PNG. Containers we cannot decode without media libs (JPEG/GIF
+    entropy coding, palette/16-bit/interlaced PNG) fall back to the
+    deterministic byte-decimation STUB — a real pipeline swaps that
+    branch for PIL/ffmpeg; the mapInPandas batch shape, schema, and
+    executor-side payload flow are identical either way.
 
     Rows whose header doesn't parse (unknown container, corrupt bytes)
     pass through unchanged with null dims rather than failing the
     task — at 100 TB some blobs are always garbage."""
+    from ..functions import png as PNG
 
     def _stub_resample(payload: bytes, w: int, h: int) -> bytes:
         # STUB: deterministic byte decimation standing in for pixel
@@ -327,7 +390,19 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                     scale = max_side / max(w, h)
                     nw = max(1, round(w * min(1.0, scale)))
                     nh = max(1, round(h * min(1.0, scale)))
-                    payloads.append(_stub_resample(bytes(payload), nw, nh))
+                    if mime == "image/png":
+                        try:  # REAL pixel path
+                            pixels = PNG.decode_png(bytes(payload))
+                            if (nw, nh) != (w, h):
+                                pixels = PNG.resize_bilinear(pixels, nw, nh)
+                            payloads.append(PNG.encode_png(pixels))
+                        except PNG.PNGError:
+                            # header said PNG but body undecodable
+                            # (palette/16-bit/interlaced/truncated):
+                            # stub fallback, never a task failure
+                            payloads.append(_stub_resample(bytes(payload), nw, nh))
+                    else:
+                        payloads.append(_stub_resample(bytes(payload), nw, nh))
                 else:
                     nw = nh = None
                     payloads.append(bytes(payload) if payload is not None else None)
