@@ -125,20 +125,24 @@ class DemuxRunner:
         event_cols = [f.name for f in schemas.ROUTED_EVENTS_SCHEMA.fields]
 
         def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
             matched = (
                 batch_df.withColumn("__key", F.explode(S.candidate_query_subjects()))
                 .join(F.broadcast(groups_dim), F.col("__key") == F.col("__group_key"))
                 .select("__group_id", *event_cols)
+                # which groups have data rides the materialization job
+                # as an observation metric (map-side collect_set into
+                # ONE row, bounded by the registered-group count) — no
+                # per-batch collect() round trip, no distinct shuffle
+                .observe(obs, F.collect_set("__group_id").alias("present"))
             )
             matched.persist()
             try:
-                # ONE job finds which groups have data this batch
-                # (indexed access: attribute access on a leading-__
-                # column would be name-mangled inside this class)
-                present = {
-                    r["__group_id"]
-                    for r in matched.select("__group_id").distinct().collect()
-                }
+                # ONE job fills the cache and computes the metric
+                matched.count()
+                present = set(obs.get["present"])
                 for g in groups:
                     if g.id in present:
                         slice_df = matched.filter(
