@@ -94,6 +94,150 @@ def write_stream(
     return writer.start()
 
 
+# ---------------------------------------------------------------------------
+# Broker (Kafka) source/sink — the reference's actual substrate shape.
+#
+# The reference sits on a message broker (NATS JetStream,
+# /root/reference/src/stream_handler/natsio.rs:24-58: one stream,
+# durable filtered consumers); the engine's canonical deployment
+# equivalently tails a Kafka topic. The wire mapping mirrors
+# natsio.rs:67-74 exactly: record KEY = the routing subject (what the
+# broker filters/partitions on), record VALUE = the protobuf-encoded
+# EventNotificationMessage. Offsets/timestamps supply the seq/ts the
+# reference leaves unset (public_event_server.rs:427-429).
+#
+# The adapters are pure DataFrame transforms, so the full encode →
+# wire → decode contract is testable with ANY source shaped like the
+# Kafka wire schema (the unit tests inject a rate-source-derived
+# frame); read_broker_stream/write_broker_stream only glue them to
+# ``format("kafka")`` plus the same checkpoint semantics as the file
+# path. Connection options (see docs/SCALE.md): kafka.bootstrap.servers,
+# subscribe, startingOffsets, maxOffsetsPerTrigger, kafka.security.*.
+# ---------------------------------------------------------------------------
+
+#: What ``format("kafka")`` yields (and what to_broker_records must
+#: produce for the sink, key/value only).
+BROKER_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+
+def to_broker_records(df: DataFrame) -> DataFrame:
+    """Routed events → broker records: key = subject (UTF-8), value =
+    reference-wire protobuf bytes (natsio.rs:67-74). Pure projection —
+    whole-stage codegen, no Python."""
+    from aoseventstreamer_spark.functions import payload as P
+
+    return df.select(
+        F.encode(F.col("subject"), "UTF-8").alias("key"),
+        P.encode_notification("resource", "updated_type", "resource_id").alias(
+            "value"
+        ),
+    )
+
+
+def from_broker_records(df: DataFrame) -> DataFrame:
+    """Broker records → ROUTED_EVENTS_SCHEMA: subject from the key,
+    hierarchy components re-derived from the subject grammar
+    (subjects.parse_subject_col), event fields decoded from the
+    protobuf value, seq/ts from the broker's offset/timestamp —
+    exactly how a reference consumer reconstructs an event."""
+    from aoseventstreamer_spark import schemas
+    from aoseventstreamer_spark.functions import payload as P
+    from aoseventstreamer_spark.functions import subjects as S
+
+    subject = F.col("key").cast("string")
+    parts = S.parse_subject_col(subject)
+    msg = P.decode_notification(F.col("value"))
+    out = df.select(
+        subject.alias("subject"),
+        parts["project_id"].alias("project_id"),
+        parts["collection_id"].alias("collection_id"),
+        parts["kind"].alias("kind"),
+        parts["shared_id"].alias("shared_id"),
+        parts["leaf_id"].alias("leaf_id"),
+        msg["resource"].alias("resource"),
+        msg["updated_type"].alias("updated_type"),
+        msg["resource_id"].alias("resource_id"),
+        F.col("offset").alias("seq"),
+        F.col("timestamp").alias("ts"),
+    )
+    # exact declared types, independent of the wire frame's casts
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schemas.ROUTED_EVENTS_SCHEMA.fields
+        ]
+    )
+
+
+def read_broker_stream(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    injected: DataFrame | None = None,
+    **options,
+) -> DataFrame:
+    """Streaming read of routed events from a Kafka topic — the broker
+    counterpart of ``read_stream`` over the file log; downstream code
+    (stream groups, demux, engine facade) sees the identical
+    ROUTED_EVENTS_SCHEMA either way, and the caller's writeStream
+    checkpoint provides the durable-consumer semantics.
+
+    ``starting_offsets='earliest'`` is the default deliberately: it is
+    the reference's replay-from-start contract (natsio.rs:176-182 —
+    a new consumer receives the full retained history).
+
+    ``injected`` substitutes any frame in BROKER_WIRE_SCHEMA for the
+    Kafka scan (no broker runs in CI) — the decode contract is
+    identical; only the physical source differs."""
+    if injected is not None:
+        wire = injected
+    else:
+        wire = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .options(**options)
+            .load()
+        )
+    return from_broker_records(wire)
+
+
+def write_broker_stream(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+    **options,
+):
+    """Streaming publish of routed events to a Kafka topic — the fan-out
+    write (natsio.rs:131-147) with the same checkpoint semantics as the
+    file sink: the committed offset is the ack; a failed batch replays
+    (at-least-once, matching the reference's swallow-and-redeliver)."""
+    writer = (
+        to_broker_records(df)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .options(**options)
+    )
+    return writer.trigger(
+        **(trigger or {"processingTime": "250 milliseconds"})
+    ).start()
+
+
 def read_json_quarantine(
     spark: SparkSession,
     path: str,
