@@ -77,3 +77,69 @@ def test_real_table_equivalence(spark, sf_dir):
     o = orders.withColumnRenamed("o_custkey", "custkey")
     c = customer.withColumnRenamed("c_custkey", "custkey")
     assert salted_join(o, c, on="custkey").count() == plain
+
+
+def test_aqe_skew_split_activates_on_hot_key_join(spark):
+    """Adversarial hot-key fact-fact join (tools/skew_probe.py shape):
+    with thresholds sized to the observed shuffle and >1 mapper, AQE's
+    OptimizeSkewedJoin must actually split the hot partition — the
+    final adaptive plan carries SortMergeJoin(skew=true). Data is
+    synthesized with incompressible padding so the hot partition
+    dominates the shuffle regardless of fixture SF (at sf0.001/0.01
+    the fixed per-chunk shuffle overhead of 16 mappers x 32 partitions
+    swamps the data signal entirely — measured via the
+    OptimizeSkewedJoin debug log). Conf-scoped so the tuned thresholds
+    never leak to other tests."""
+    fact = (
+        spark.range(0, 50_000)
+        .select(
+            F.when(F.pmod(F.xxhash64("id"), F.lit(20)) != 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5000)))
+            .alias("k"),
+            # incompressible per-row padding: the hot partition must be
+            # heavy in BYTES, not just rows (lz4 flattens repeats)
+            F.concat(F.md5(F.col("id").cast("string")),
+                     F.md5(F.hex(F.col("id") + 7))).alias("pad"),
+            (F.col("id") % 100).alias("v"),
+        )
+    )
+    dim = spark.range(0, 5000).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "32k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        skewed = fact.repartition(16).localCheckpoint()  # splits happen at MAP boundaries
+        # the aggregate must REFERENCE pad or column pruning strips it
+        # before the exchange and the hot partition shrinks to bare keys
+        j = (
+            skewed.join(dim.hint("merge"), on="k")
+            .groupBy("name")
+            .agg(F.count("*").alias("n"), F.max("pad").alias("mp"))
+        )
+        plain = {
+            (r["name"], r["n"], r["mp"])
+            for r in skewed.join(dim, on="k")
+            .groupBy("name")
+            .agg(F.count("*").alias("n"), F.max("pad").alias("mp"))
+            .collect()
+        }
+        got = {(r["name"], r["n"], r["mp"]) for r in j.collect()}
+        assert got == plain  # split never changes results
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan or "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
