@@ -1,0 +1,175 @@
+"""Lexical retrieval operators: BM25 scoring and vocabulary building —
+the non-embedding half of a training-data search/curation stack
+(dataset search, boilerplate discovery, tokenizer prep).
+
+Both are pure DataFrame pipelines (explode → hash aggregate →
+broadcast-joined statistics): one shuffle each on near-uniform token
+keys, map-side partial aggregation, no Python. BM25's per-term
+contributions are summed in integer micro-units (1e-6) so the per-doc
+sum is order-independent — float addition order would otherwise make
+two runs (or two engines) disagree in the last bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def vocab_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: (token, n_docs, n_occurrences), the tokenizer-
+    prep / boilerplate-discovery table. One explode + one hash agg."""
+    toks = docs.select(F.explode(_tokens(text_col)).alias("token"), F.col("doc_id"))
+    out = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-k tokens by occurrence count, ties broken by token asc —
+    fully deterministic, plans as TakeOrderedAndProject."""
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        vocab_counts(docs, text_col)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n_docs", "n_occurrences")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """BM25 (Robertson; the Lucene idf variant) of every document
+    against a fixed bag of query terms. Returns (id, score) for docs
+    with score > 0, score rounded to 4dp.
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        tf-part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Shape: tokenize once; per-(doc, term) tf for ONLY the query terms
+    (filter before the aggregate, so the shuffle carries |Q| keys per
+    doc at most); df/N/avgdl are tiny aggregates broadcast back in.
+    Per-term contributions round to integer micro-units before the
+    per-doc sum so the result is bitwise order-independent."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    )
+    # document lengths (all docs, incl. non-matching: they shape avgdl)
+    dl = docs.select(
+        F.col(id_col), F.size(_tokens(text_col)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.count_distinct(id_col).cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(F.broadcast(stats))
+        .join(dl, id_col)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        # integer micro-units: long sums are exact in any order
+        .withColumn("part_u", F.round(F.col("part") * 1_000_000).cast("long"))
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(F.sum("part_u").alias("score_u"))
+        # 4dp via integer truncation of the micro-units: a second
+        # float ROUND here diverges across engines exactly at the
+        # .xxx95 boundaries (Spark rounds the decimal rendering
+        # HALF_UP, DuckDB rounds the binary double, which sits a hair
+        # below) — integer div is identical everywhere
+        .select(
+            id_col,
+            (F.expr("score_u div 100") / 10_000.0).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """DuckDB SQL replaying bm25_scores exactly (same tokenization,
+    same micro-unit rounding)."""
+    terms_sql = ", ".join("'" + t.lower().replace("'", "''") + "'" for t in query_terms)
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    return f"""
+    WITH dl AS (
+      SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS dl FROM {table}
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ), tok AS (
+      SELECT {id_col}, t.token FROM (
+        SELECT {id_col}, {toks} AS arr FROM {table}
+      ), UNNEST(arr) AS t(token)
+      WHERE t.token IN ({terms_sql})
+    ), tf AS (
+      SELECT {id_col}, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY {id_col}, token
+    ), dft AS (
+      SELECT token, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS df
+      FROM tf GROUP BY token
+    ), contrib AS (
+      SELECT tf.{id_col},
+             CAST(ROUND(
+               ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * ({k1} + 1))
+               / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS part_u
+      FROM tf
+      JOIN dft USING (token)
+      CROSS JOIN stats
+      JOIN dl ON dl.{id_col} = tf.{id_col}
+    )
+    SELECT {id_col}, (SUM(part_u) // 100) / 10000.0 AS score
+    FROM contrib GROUP BY {id_col}
+    HAVING (SUM(part_u) // 100) / 10000.0 > 0
+    """

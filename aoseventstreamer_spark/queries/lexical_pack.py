@@ -1,0 +1,75 @@
+"""Round-4 extension pack: lexical retrieval (BM25, vocabulary) and
+sequence packing — the non-embedding search stack plus the final
+"cut the corpus into context windows" step of a pretraining pipeline.
+Every query here is hash-exact against its DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import lexical as LX
+from aoseventstreamer_spark.operators import packing as PK
+from aoseventstreamer_spark.queries import query, t
+
+_BM25_TERMS = ["data", "model", "training"]
+
+
+@query(
+    "q_bm25_scores",
+    oracle=LX.bm25_oracle_sql(_BM25_TERMS),
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 of every document against a fixed query bag — lexical
+    dataset search. Per-term contributions sum in integer micro-units
+    so the score is bitwise order-independent (operators/lexical.py)."""
+    return LX.bm25_scores(t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+@query(
+    "q_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT d.doc_id, t.token FROM (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+        FROM documents
+      ) d, UNNEST(arr) AS t(token)
+    ), counts AS (
+      SELECT token,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY token
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, token, n_docs, n_occurrences FROM (
+      SELECT token, n_docs, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS rank
+      FROM counts
+    ) WHERE rank <= 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary (tokenizer prep / boilerplate
+    discovery), deterministic tie-break by token."""
+    return LX.vocab_topk(t(spark, sf_dir, "documents"), k=100)
+
+
+@query(
+    "q_pack_sequences",
+    oracle=PK.pack_sequences_oracle_sql(budget=2048),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack every document into 2048-token context windows in ONE
+    GLOBAL order via the two-phase distributed prefix sum
+    (operators/packing.py). Complements q_seq_packing
+    (pipeline_pack2), which packs per-source shard and therefore never
+    needs a global cumulative sum: when no natural shard key exists, a
+    naive global window is a single-partition bottleneck — the blocked
+    form keeps every wide op bounded while matching the naive
+    running-sum oracle bit-for-bit. block_size deliberately spans
+    multiple blocks at fixture scale so the phase-2 offset join is
+    actually exercised."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+    )
+    return PK.pack_sequences(docs, budget=2048, block_size=500)

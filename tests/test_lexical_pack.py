@@ -1,0 +1,85 @@
+"""Lexical retrieval + sequence packing: blocked prefix-sum
+equivalence, BM25 determinism and ranking sanity, vocab ordering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import lexical as LX
+from aoseventstreamer_spark.operators import packing as PK
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "training data for the model needs deduplication"),
+        (3, "model training training training data"),
+        (4, "completely unrelated text about weather and rain"),
+        (5, ""),
+        (6, "data"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_pack_sequences_block_size_invariant(spark, docs):
+    """The blocked two-phase prefix sum must equal the naive global
+    running sum for ANY block size — including block 1 (every doc its
+    own block) and a block larger than the corpus (single block,
+    phase 2 degenerate)."""
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok")
+    )
+    outs = [
+        sorted(
+            map(tuple, PK.pack_sequences(toks, budget=7, block_size=bs).collect())
+        )
+        for bs in (1, 2, 500, 10**9)
+    ]
+    assert outs[0] == outs[1] == outs[2] == outs[3]
+    by_id = {r[0]: r for r in outs[0]}
+    # offsets are the exclusive running sum in id order
+    running = 0
+    for did in sorted(by_id):
+        _, tok, offset, first, last = by_id[did]
+        assert offset == running
+        running += tok
+        assert first == offset // 7
+        assert last == (offset + max(tok, 1) - 1) // 7
+
+
+def test_pack_sequences_rejects_bad_budget(spark, docs):
+    toks = docs.select("doc_id", F.lit(1).cast("long").alias("tok"))
+    with pytest.raises(ValueError, match="budget"):
+        PK.pack_sequences(toks, budget=0)
+
+
+def test_bm25_ranks_term_heavy_doc_first(docs):
+    scores = {r.doc_id: r.score for r in LX.bm25_scores(docs, ["training", "data"]).collect()}
+    assert set(scores) == {2, 3, 6}  # docs containing a query term
+    assert scores[3] > scores[2]  # 3 repeats 'training' 3x
+    assert all(s > 0 for s in scores.values())
+
+
+def test_bm25_deterministic_across_runs(docs):
+    a = sorted(map(tuple, LX.bm25_scores(docs, ["training", "data"]).collect()))
+    b = sorted(map(tuple, LX.bm25_scores(docs, ["data", "training"]).collect()))
+    assert a == b  # term order in the query bag is irrelevant
+
+
+def test_bm25_rejects_empty_query(docs):
+    with pytest.raises(ValueError, match="non-empty"):
+        LX.bm25_scores(docs, [])
+
+
+def test_vocab_topk_deterministic_ties(docs):
+    rows = LX.vocab_topk(docs, k=5).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    # descending occurrences; ties broken by token ascending
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n_occurrences, b.token) >= (b.n_occurrences, a.token) or (
+            a.n_occurrences > b.n_occurrences
+        )
+    top = rows[0]
+    assert top.token in ("the", "training")  # 'the' x3 + 'training' x4
