@@ -28,8 +28,33 @@ def punct_count(text: Column | str) -> Column:
 
 
 def bpe_token_estimate(text: Column | str) -> Column:
-    """BPE-ish token estimate: chars/4, the standard quick heuristic."""
+    """BPE-ish token estimate: chars/4, the standard quick heuristic.
+    See ``pretoken_count`` for the structurally faithful upgrade."""
     return F.ceil(F.length(_c(text)) / 4.0).cast("long")
+
+
+# GPT-2-style pre-tokenization pattern (published in openai/gpt-2
+# encoder.py), minus the `\s+(?!\S)` lookahead alternative — RE2-based
+# engines (DuckDB) don't support lookahead, and dropping it only
+# changes how runs of trailing whitespace group, not counts of real
+# text pieces. Unicode classes \pL/\pN parse identically in Java regex
+# and RE2.
+PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\pL+| ?\pN+| ?[^\s\pL\pN]+|\s+"
+
+
+def pretokenize(text: Column | str) -> Column:
+    """GPT-2-style pre-token pieces (array<string>): contractions,
+    space-prefixed letter runs, digit runs, punctuation runs,
+    whitespace runs — the split a real BPE applies its merges INSIDE.
+    Piece count is therefore a structural lower bound on the true BPE
+    token count (merges only ever split pieces further), much closer
+    than chars/4 for code and punctuation-heavy text."""
+    return F.regexp_extract_all(_c(text), F.lit(PRETOKEN_PATTERN), F.lit(0))
+
+
+def pretoken_count(text: Column | str) -> Column:
+    """Count of GPT-2-style pre-token pieces (BIGINT, cross-engine)."""
+    return F.size(pretokenize(text)).cast("long")
 
 
 _STOPWORDS = {

@@ -15,6 +15,31 @@ from aoseventstreamer_spark.queries import query, t
 _BM25_TERMS = ["data", "model", "training"]
 
 
+def _pretoken_oracle() -> str:
+    from aoseventstreamer_spark.operators.text import PRETOKEN_PATTERN
+
+    pat = PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+             AS n_pretokens
+    FROM documents
+    """
+
+
+@query("q_pretoken_count", oracle=_pretoken_oracle())
+def q_pretoken_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-token piece counts (operators/text.pretokenize)
+    — the structural lower bound on true BPE token counts, replacing
+    chars/4 where fidelity matters. Java regex and RE2 agree on the
+    lookahead-free pattern (verified incl. unicode)."""
+    from aoseventstreamer_spark.operators.text import pretoken_count
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", pretoken_count("text").alias("n_pretokens")
+    )
+
+
 @query(
     "q_bm25_scores",
     oracle=LX.bm25_oracle_sql(_BM25_TERMS),

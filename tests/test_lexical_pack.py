@@ -83,3 +83,22 @@ def test_vocab_topk_deterministic_ties(docs):
         )
     top = rows[0]
     assert top.token in ("the", "training")  # 'the' x3 + 'training' x4
+
+
+def test_pretokenize_pieces_reconstruct_text(spark):
+    """Pre-token pieces must concatenate back to the original text
+    (nothing dropped, nothing duplicated) — the property that makes the
+    count a structural lower bound on BPE tokens."""
+    from aoseventstreamer_spark.operators.text import pretokenize
+
+    texts = [
+        "Hello world, it's a test!",
+        "def f(x): return x*2  # comment",
+        "  leading and trailing  ",
+        "unicode: café naïve 北京 42",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = df.select("id", "text", pretokenize("text").alias("p")).collect()
+    for r in rows:
+        assert "".join(r.p) == r.text
