@@ -426,10 +426,31 @@ def ngram_set(text_col: Column | str, n: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_docs: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard (use only on a pre-filtered candidate
-    set — this is the verify stage after LSH, not the discovery stage)."""
+    set — this is the verify stage after LSH, not the discovery stage).
+
+    ``max_docs`` guards against misuse as a discovery stage: more input
+    rows than the ceiling raises instead of silently launching an
+    O(n²) pair explosion (10k docs is already 50M pairs). The probe is
+    a bounded ``limit(max_docs+1).count()`` job; pass ``max_docs=None``
+    only when the caller has already bounded the input."""
+    if max_docs is not None:
+        probed = df.limit(max_docs + 1).count()
+        if probed > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs got > {max_docs} input docs — this "
+                "operator is all-pairs by construction (the verify stage "
+                "AFTER LSH candidate generation); use "
+                "verified_near_dup_pairs / minhash_dedup_pairs for "
+                "discovery, or pass max_docs=None if the input really is "
+                "a bounded candidate set"
+            )
     grams = df.select(F.col(id_col), ngram_set(text_col, n).alias("grams"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))

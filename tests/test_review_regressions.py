@@ -172,3 +172,15 @@ def test_curation_near_dedup_rejects_typod_param(spark):
     pipe = CurationPipeline([("near_dedup", {"num_hashs": 8})])  # typo'd key
     with pytest.raises(ValueError, match="unused params for step near_dedup"):
         pipe.apply(df, observe=False)
+
+
+def test_ngram_jaccard_guards_all_pairs_misuse(spark):
+    """Round-4 VERDICT note: the all-pairs verify helper must refuse
+    discovery-scale inputs instead of exploding O(n^2)."""
+    big = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("some document text here").alias("text")
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        D.ngram_jaccard_pairs(big, max_docs=20)
+    # bounded candidate sets still work
+    assert D.ngram_jaccard_pairs(big.filter("doc_id < 5"), max_docs=20).count() == 10
