@@ -308,6 +308,112 @@ def wrap_as_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossing_rate", T.DoubleType()),
+    ]
+)
+
+
+def decode_wav_pcm(payload: bytes):
+    """REAL audio decode for 16-bit PCM WAV (stdlib struct + numpy —
+    RIFF chunk walk, no media libs): returns
+    (sample_rate, n_channels, samples) with samples an int16 ndarray
+    of shape (n_frames, n_channels). Raises ValueError for non-WAV or
+    non-PCM16 payloads (compressed formats need a codec — that's the
+    fallback boundary, same tiering as PNG vs JPEG)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload or b"")
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"not PCM16 (format={audio_format}, bits={bits})")
+    if n_channels < 1:
+        raise ValueError("zero channels")
+    usable = len(data) - (len(data) % (2 * n_channels))
+    samples = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, n_channels)
+    return sample_rate, n_channels, samples
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio features for PCM16 WAV payloads (decode_wav_pcm):
+    duration, RMS, peak, zero-crossing rate over the actual samples —
+    the screen-before-transcribe pass of an audio ingest. Non-WAV /
+    compressed payloads yield a row with null features rather than a
+    task failure (same garbage-tolerance as every decode path here)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_channels",
+                                   "n_samples", "duration_ms", "rms", "peak",
+                                   "zero_crossing_rate")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    rate, ch, samples = decode_wav_pcm(payload)
+                    mono = samples.astype(np.float64).mean(axis=1)
+                    n = len(mono)
+                    zc = (
+                        float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        / (n - 1)
+                        if n > 1
+                        else 0.0
+                    )
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(ch)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(int(n * 1000 / rate) if rate else None)
+                    out["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
+                    out["peak"].append(int(np.abs(samples).max()) if n else 0)
+                    out["zero_crossing_rate"].append(zc)
+                except ValueError:
+                    for k in ("sample_rate", "n_channels", "n_samples",
+                              "duration_ms", "rms", "peak", "zero_crossing_rate"):
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int32"),
+                    "rms": pd.array(out["rms"], dtype="Float64"),
+                    "peak": pd.array(out["peak"], dtype="Int32"),
+                    "zero_crossing_rate": pd.array(
+                        out["zero_crossing_rate"], dtype="Float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def wrap_as_real_png(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_side_src: int = 48,

@@ -119,3 +119,55 @@ def test_resize_images_geometry_is_real(spark):
     assert (got[3].width, got[3].height) == (144, 256)
     assert got[4].width is None and bytes(got[4].payload) == b"garbage bytes"
     assert all(got[i].payload is not None for i in (1, 2, 3))
+
+
+def _pcm_wav(rate, samples_i16, channels=1):
+    """Assemble a real PCM16 WAV independently of the decoder."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, channels, rate,
+                         rate * channels * 2, channels * 2, 16))
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_audio_features_real_pcm_decode(spark):
+    """REAL WAV path: a synthesized sine wave must yield RMS ~ A/sqrt(2),
+    the true duration, and the analytic zero-crossing rate; non-audio
+    payloads yield null features, not task failures."""
+    import numpy as np
+
+    rate, freq, amp, secs = 8000, 440.0, 10000, 2
+    t = np.arange(rate * secs) / rate
+    sine = (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    rows = [
+        (1, _pcm_wav(rate, sine)),
+        (2, b"not audio at all......................................."),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in MM.extract_audio_features(df).collect()}
+    a = got[1]
+    assert a.sample_rate == rate and a.n_channels == 1
+    assert a.n_samples == rate * secs
+    assert a.duration_ms == secs * 1000
+    assert abs(a.rms - amp / 2**0.5) / (amp / 2**0.5) < 0.01
+    # sine at f Hz crosses zero ~2f times/sec -> rate-normalized 2f/rate
+    assert abs(a.zero_crossing_rate - 2 * freq / rate) < 0.01
+    assert amp * 0.98 <= a.peak <= amp
+    assert got[2].rms is None and got[2].sample_rate is None
+
+
+def test_audio_decode_rejects_non_pcm(spark):
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    wav = bytearray(_pcm_wav(8000, np.zeros(16, dtype=np.int16)))
+    wav[20:22] = struct.pack("<H", 85)  # audio_format = MP3
+    with _pytest.raises(ValueError, match="PCM16"):
+        MM.decode_wav_pcm(bytes(wav))

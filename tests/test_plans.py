@@ -226,3 +226,40 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark's runtime row-level filtering: a selective dim-side filter
+    on a shuffle join injects a bloom filter (bloom_filter_agg on the
+    creation side, might_contain on the fact scan) so fact rows that
+    cannot join are dropped BEFORE the exchange. At 100 TB the
+    application-side threshold (10 GB default) is met naturally; the
+    fixture lowers it to 0 to exercise the injection. Conf-scoped."""
+    from aoseventstreamer_spark.session import load_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
