@@ -356,7 +356,11 @@ def minhash_band_oracle_sql(
 
 
 def simhash_docs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash: per-token 64-bit hash, sign-vote per bit position,
     rendered as a 16-char hex string column ``simhash``.
@@ -372,7 +376,15 @@ def simhash_docs(
     partial-aggregation row carries 33 longs instead of 64, halving
     the agg-shuffle volume at cluster scale. Token multiplicity is
     part of SimHash's definition and is naturally preserved by
-    explode."""
+    explode.
+
+    ``portable=True`` swaps the per-token xxhash64 for the md5-derived
+    60-bit hash (``md5_long``) so the WHOLE simhash is value-comparable
+    against any engine with md5 (``simhash_oracle_sql`` emits the
+    matching DuckDB query); bit positions 60-63 are then always 0, so
+    the leading hex digit of the rendered hash is 0-7. Default stays
+    xxhash64 — one JVM hash call per token vs md5's digest + hex
+    parse."""
     from ..session import ensure_parallelism
 
     if n_bits != 64:
@@ -382,7 +394,7 @@ def simhash_docs(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     )
-    h = F.xxhash64(F.col("tok"))
+    h = md5_long(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
     PAIR_MASK = 0x0000000100000001
     votes = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -408,6 +420,86 @@ def simhash_docs(
         for n in range(n_bits // 4)
     ]
     return votes.select(F.col(id_col), F.concat(*nibbles).alias("simhash"))
+
+
+def verified_near_dup_oracle_sql(
+    threshold: float = 0.4,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    ngram_n: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL computing EXACTLY verified_near_dup_pairs(
+    portable=True): the portable LSH candidate set
+    (minhash_band_oracle_sql) joined back to char-n-gram Jaccard with
+    the same round-then-threshold rule, so (doc_a, doc_b, jaccard)
+    value-hashes identically across engines."""
+    cand = minhash_band_oracle_sql(
+        num_hashes, bands, shingle_k, table, text_col, id_col
+    )
+    return f"""
+    WITH cand AS (SELECT * FROM ({cand}) __c),
+    g AS (
+      SELECT {id_col},
+             CASE WHEN length({text_col}) >= {ngram_n}
+                  THEN list_distinct(list_transform(
+                         range(1, length({text_col}) - {ngram_n - 2}),
+                         i -> substr({text_col}, CAST(i AS INTEGER), {ngram_n})))
+                  ELSE [] END AS grams
+      FROM {table}
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(ga.grams, gb.grams)) AS i,
+             len(ga.grams) + len(gb.grams)
+               - len(list_intersect(ga.grams, gb.grams)) AS u
+      FROM cand c
+      JOIN g ga ON ga.{id_col} = c.doc_a
+      JOIN g gb ON gb.{id_col} = c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(i * 1.0 / greatest(u, 1), 4) AS jaccard
+    FROM j WHERE ROUND(i * 1.0 / greatest(u, 1), 4) >= {threshold}
+    """
+
+
+def simhash_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB SQL computing EXACTLY simhash_docs(portable=True): same
+    whitespace tokenization of trim(lower(text)), same md5-derived
+    60-bit token hash, same sign vote (popcount*2 > n_tokens, ties →
+    0), same bit→nibble→hex rendering — so the simhash column
+    value-hashes identically across engines."""
+    h_sql = MD5_LONG_SQL.format(c="tok")
+    sums = ",\n             ".join(
+        f"SUM((h >> {i}) & 1) AS c{i}" for i in range(60)
+    )
+    # bit i beyond the 60 md5-derived bits is always 0
+    def bit(i: int) -> str:
+        return f"(CASE WHEN c{i} * 2 > n THEN 1 ELSE 0 END)" if i < 60 else "0"
+
+    nibbles = ", ".join(
+        f"printf('%x', {bit(4 * k)} * 8 + {bit(4 * k + 1)} * 4 + "
+        f"{bit(4 * k + 2)} * 2 + {bit(4 * k + 3)})"
+        for k in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS tok
+      FROM {table}
+    ),
+    h AS (SELECT {id_col}, {h_sql} AS h FROM toks),
+    v AS (
+      SELECT {id_col}, COUNT(*) AS n,
+             {sums}
+      FROM h GROUP BY {id_col}
+    )
+    SELECT {id_col}, concat({nibbles}) AS simhash FROM v
+    """
 
 
 def ngram_set(text_col: Column | str, n: int = 3) -> Column:

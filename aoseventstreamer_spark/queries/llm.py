@@ -147,18 +147,26 @@ def q_doc_minhash_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(t(spark, sf_dir, "documents"), portable=True)
 
 
-@query("q_doc_simhash")  # rows-only: xxhash64 is Spark-specific
+@query("q_doc_simhash", oracle=D.simhash_oracle_sql())
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_docs(t(spark, sf_dir, "documents"))
+    """SimHash fingerprints in the PORTABLE md5-derived form so every
+    64-bit hash is value-checked against the DuckDB oracle
+    (dedup.simhash_oracle_sql replays the identical tokenize → hash →
+    sign-vote → hex pipeline). Production default stays xxhash64."""
+    return D.simhash_docs(t(spark, sf_dir, "documents"), portable=True)
 
 
-@query("q_near_dup_verified")  # rows-only: candidates come from xxhash64 LSH
+@query("q_near_dup_verified", oracle=D.verified_near_dup_oracle_sql())
 def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup pipeline: cheap LSH candidate
     generation (minhash bands) followed by exact n-gram-Jaccard
     verification of ONLY the candidates — precision without ever
-    scoring all O(n²) pairs."""
-    return D.verified_near_dup_pairs(t(spark, sf_dir, "documents"), threshold=0.4)
+    scoring all O(n²) pairs. PORTABLE md5-derived LSH so the entire
+    two-phase output (pairs + scores) is value-checked against the
+    DuckDB oracle."""
+    return D.verified_near_dup_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.4, portable=True
+    )
 
 
 @query(
