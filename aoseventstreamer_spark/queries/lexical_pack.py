@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aoseventstreamer_spark.operators import lexical as LX
+from aoseventstreamer_spark.operators import lm as LM
 from aoseventstreamer_spark.operators import packing as PK
 from aoseventstreamer_spark.queries import query, t
 
@@ -98,3 +99,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
     )
     return PK.pack_sequences(docs, budget=2048, block_size=500)
+
+
+@query(
+    "q_lm_perplexity",
+    oracle=LM.perplexity_oracle_sql(
+        train_where="doc_id % 2 = 0", score_where="doc_id % 2 = 1"
+    ),
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: bigram-LM perplexity of the odd
+    doc_ids under a model trained on the even doc_ids (cross-corpus,
+    so both the seen-bigram and the smoothed unseen paths execute).
+    Per-bigram log-probs round to integer micro-nats before the
+    per-doc sum — bitwise order-independent (operators/lm.py)."""
+    docs = t(spark, sf_dir, "documents")
+    return LM.perplexity_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train=docs.filter(F.col("doc_id") % 2 == 0),
+    )
