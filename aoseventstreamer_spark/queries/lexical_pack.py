@@ -118,3 +118,31 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         train=docs.filter(F.col("doc_id") % 2 == 0),
     )
+
+
+@query("q_bpe_merges")  # rows-only: iterative global-argmax training
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 50 BPE merges learned from the corpus
+    (operators/bpe.train_bpe): distributed piece counting, compact
+    driver merge loop — the HF-tokenizers trainer shape. Iterative
+    (each merge depends on a global argmax over the rewritten state),
+    so no SQL oracle exists; training is pinned to the BPE paper's
+    worked example in tests/test_bpe.py."""
+    from aoseventstreamer_spark.operators import bpe as B
+
+    merges = B.train_bpe(t(spark, sf_dir, "documents"), num_merges=50)
+    return B.merges_df(spark, merges)
+
+
+@query("q_bpe_token_count")  # rows-only: tokens under the learned merges
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token counts: encode every document under the 50
+    merges learned from this same corpus (Arrow-batched Pandas UDF,
+    merge ranks broadcast by closure, per-worker piece cache). The
+    exact count the chars/4 estimate and the pre-token lower bound
+    (q_pretoken_count) bracket."""
+    from aoseventstreamer_spark.operators import bpe as B
+
+    docs = t(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, num_merges=50)
+    return B.bpe_token_count(docs, merges)
