@@ -142,7 +142,9 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
     }
     # embedding similarity is the one surface allowed to use
     # Arrow-vectorized pandas_udf kernels (design stance, SURVEY §7.0)
-    arrow_ok = {"q_ann_lsh", "q_embed_near_dup", "q_ann_pq"}
+    # ... plus BPE encoding, whose merge loop is inherently
+    # per-piece iterative (Arrow-batched with per-worker caching)
+    arrow_ok = {"q_ann_lsh", "q_embed_near_dup", "q_ann_pq", "q_bpe_token_count"}
     offenders = {}
     for name, fn in QUERIES.items():
         plan = formatted_plan(fn(spark, sf_dir))
