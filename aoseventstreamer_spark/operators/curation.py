@@ -41,6 +41,11 @@ class CurationPipeline:
     - ``("near_dedup", {"threshold": 0.4})`` — minhash/LSH candidates
       verified by n-gram Jaccard; drops the higher doc_id of each
       verified pair (greedy, idempotent)
+    - ``("perplexity", {"max_ppl": 500.0})`` — CCNet-style bigram-LM
+      gate: keep docs whose perplexity under a model trained on the
+      CURRENT surviving frame (or a ``train`` reference frame) is at
+      most max_ppl. Docs with < 2 tokens have no score and are
+      dropped — a sub-2-token doc carries no trainable signal anyway
     - ``("weighted_sample", {"weight_col": "n_chars"})`` —
       deterministic Bernoulli, P = w / max(w)
     - ``("hash_sample", {"rate_pct": 10})`` — deterministic uniform
@@ -115,6 +120,17 @@ class CurationPipeline:
             p = {}
             losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
             out = df.join(losers, "doc_id", "left_anti")
+        elif step == "perplexity":
+            from aoseventstreamer_spark.operators import lm as LM
+
+            max_ppl = p.pop("max_ppl")
+            train = p.pop("train", None)
+            keep = (
+                LM.perplexity_scores(df, train=train)
+                .filter(F.col("ppl") <= max_ppl)
+                .select("doc_id")
+            )
+            out = df.join(keep, "doc_id", "left_semi")
         elif step == "weighted_sample":
             w = F.col(p.pop("weight_col"))
             # per-step salt decorrelates composed sampling steps: two

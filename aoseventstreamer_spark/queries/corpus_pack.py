@@ -422,3 +422,82 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe.apply(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+def _curation_full_oracle() -> str:
+    from aoseventstreamer_spark.operators.dedup import (
+        verified_near_dup_oracle_sql,
+    )
+    from aoseventstreamer_spark.operators.lm import perplexity_oracle_sql
+
+    near_dup = verified_near_dup_oracle_sql(table="deduped")
+    ppl = perplexity_oracle_sql(table="nd")
+    draw = _H_SQL.format(c="doc_id")
+    return f"""
+    WITH langed AS (
+      SELECT * FROM documents
+      WHERE CASE
+        WHEN position(' the ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' and ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' of ' IN ' ' || lower(text) || ' ') > 0 THEN 'en'
+        WHEN position(' der ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' und ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' die ' IN ' ' || lower(text) || ' ') > 0 THEN 'de'
+        WHEN position(' le ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' la ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' et ' IN ' ' || lower(text) || ' ') > 0 THEN 'fr'
+        WHEN position(' el ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' los ' IN ' ' || lower(text) || ' ') > 0
+             OR position(' que ' IN ' ' || lower(text) || ' ') > 0 THEN 'es'
+        ELSE 'und' END = 'en'
+    ), gated AS (
+      SELECT * FROM langed
+      WHERE 0.5 * LEAST(1.0, length(text)/500.0)
+          + 0.4 * LEAST(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)/80.0)
+          + 0.1 * (1.0 - CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+                         / GREATEST(length(text), 1)) >= 0.5
+    ), deduped AS (
+      SELECT g.* FROM gated g JOIN (
+        SELECT MIN(doc_id) AS doc_id FROM gated
+        GROUP BY sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+      ) k ON g.doc_id = k.doc_id
+    ), losers AS (
+      SELECT DISTINCT doc_b AS doc_id FROM ({near_dup}) v
+    ), nd AS (
+      SELECT * FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ), keep_ppl AS (
+      SELECT doc_id FROM ({ppl}) p WHERE ppl <= 29.5
+    ), survived AS (
+      SELECT nd.* FROM nd JOIN keep_ppl USING (doc_id)
+    ), mx AS (SELECT MAX(n_chars) AS m FROM survived)
+    SELECT doc_id, lang, source, n_chars
+    FROM survived, mx
+    WHERE {draw} * mx.m < n_chars * 4294967296
+    """
+
+
+@query("q_curation_full", oracle=_curation_full_oracle())
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production curation recipe, hash-exact end to end:
+    English gate -> composite quality gate -> exact dedup -> verified
+    near-dup prune (portable md5 LSH + n-gram-Jaccard >= 0.4) ->
+    CCNet-style self-trained bigram-LM perplexity gate (ppl <= 29.5,
+    the fixture median) -> length-weighted deterministic sample. Six
+    steps, ONE Spark plan, and a DuckDB oracle chaining the identical
+    CTEs — extends q_curation_pipeline, whose near-dup step predated
+    the portable hash form and was test-only."""
+    from aoseventstreamer_spark.operators.curation import CurationPipeline
+
+    docs = t(spark, sf_dir, "documents")
+    pipe = CurationPipeline(
+        [
+            ("lang", {"keep": ["en"]}),
+            ("quality", {"min_score": 0.5}),
+            ("exact_dedup", {}),
+            ("near_dedup", {"threshold": 0.4, "portable": True}),
+            ("perplexity", {"max_ppl": 29.5}),
+            ("weighted_sample", {"weight_col": "n_chars"}),
+        ]
+    )
+    return pipe.apply(docs).select("doc_id", "lang", "source", "n_chars")

@@ -96,3 +96,42 @@ def test_salted_sampling_steps_compose_independently(spark, sf_dir):
     ).apply(docs).count()
     assert abs(same / n - 0.5) < 0.1          # correlated: min(p, p) = p
     assert abs(salted / n - 0.25) < 0.1       # decorrelated: p * p
+
+
+def test_perplexity_step_filters_and_composes(spark, sf_dir):
+    """The perplexity gate keeps exactly the docs scoring <= max_ppl
+    under the self-trained model (and drops sub-2-token docs), and
+    composes with the other steps in one plan."""
+    from aoseventstreamer_spark.operators import lm as LM
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {r.doc_id: r.ppl for r in LM.perplexity_scores(docs).collect()}
+    cutoff = sorted(scores.values())[len(scores) // 2]
+    kept = CurationPipeline([("perplexity", {"max_ppl": cutoff})]).apply(docs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == {d for d, p in scores.items() if p <= cutoff}
+
+    tiny = spark.createDataFrame([(1, "solo"), (2, "two tokens")], ["doc_id", "text"])
+    kept2 = CurationPipeline([("perplexity", {"max_ppl": 1e9})]).apply(tiny)
+    assert {r.doc_id for r in kept2.collect()} == {2}  # 1-token doc dropped
+
+
+def test_registered_full_capstone(spark, sf_dir):
+    """The 6-step capstone runs and its pre-sample survivor set is a
+    strict subset of the 4-step one's (the near-dup + perplexity gates
+    only ever remove docs). The sampled outputs are NOT compared —
+    the weighted draw normalizes by each pipeline's own max weight."""
+    assert QUERIES["q_curation_full"](spark, sf_dir).count() > 0
+    docs = load_table(spark, sf_dir, "documents")
+    common = [("lang", {"keep": ["en"]}), ("quality", {"min_score": 0.5}),
+              ("exact_dedup", {})]
+    base = {r.doc_id for r in CurationPipeline(common).apply(docs).collect()}
+    full = {
+        r.doc_id
+        for r in CurationPipeline(
+            common
+            + [("near_dedup", {"threshold": 0.4, "portable": True}),
+               ("perplexity", {"max_ppl": 29.5})]
+        ).apply(docs).collect()
+    }
+    assert full and full < base

@@ -115,6 +115,21 @@ def main() -> None:
                 F.row_number().over(shard_w).alias("position"),
             ),
         )
+        from aoseventstreamer_spark.operators import bpe as B
+        from aoseventstreamer_spark.operators import lm as LM
+
+        probe("lm_perplexity_selftrained", LM.perplexity_scores(docs))
+
+        t0 = time.time()
+        merges = B.train_bpe(docs, num_merges=100)
+        print(
+            json.dumps(
+                {"factor": factor, "docs": n, "op": "bpe_train_100_merges",
+                 "rows": len(merges), "sec": round(time.time() - t0, 2)}
+            ),
+            flush=True,
+        )
+        probe("bpe_encode", B.bpe_token_count(docs, merges))
         docs.unpersist()
 
 
