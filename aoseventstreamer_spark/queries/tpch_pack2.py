@@ -658,3 +658,237 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_value_2dp("c_acctbal", "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the synthetic schema has no partsupp table, so the
+# three queries that need one (Q2, Q11, Q20) derive it from lineitem:
+# availqty := total observed shipped quantity per (part, supplier);
+# supplycost := the supplier's minimum observed extended price for the
+# part. Both are exact integers (cents), so every downstream
+# comparison cross-multiplies instead of dividing. The derivation is
+# itself the canonical partsupp plan shape: ONE hash aggregate on
+# (partkey, suppkey) — the same key the consuming joins use.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS ps_availqty_c,
+             MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS ps_supplycost_c
+      FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(cents("l_quantity")).alias("ps_availqty_c"),
+            F.min(cents("l_extendedprice")).alias("ps_supplycost_c"),
+        )
+    )
+
+
+def _ps_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """Derived partsupp restricted to suppliers of one region, with
+    s_acctbal and n_name carried along (dims broadcast)."""
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == r_name)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return _ps(spark, sf_dir).join(
+        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    pse AS (
+      SELECT ps.*, s.s_name, CAST(ROUND(s.s_acctbal*100) AS BIGINT) AS bal_c,
+             n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mc AS (
+      SELECT ps_partkey, MIN(ps_supplycost_c) AS min_cost_c
+      FROM pse GROUP BY ps_partkey
+    )
+    SELECT * FROM (
+      SELECT pse.bal_c / 100.0 AS s_acctbal, pse.s_name, pse.n_name,
+             p.p_partkey, p.p_name
+      FROM pse
+      JOIN part p ON p.p_partkey = pse.ps_partkey
+      JOIN mc ON mc.ps_partkey = pse.ps_partkey
+            AND mc.min_cost_c = pse.ps_supplycost_c
+      WHERE p.p_size = 3 AND p.p_type LIKE '%OMY'
+    ) ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost-supplier: for every EUROPE-sourced part of
+    one size/type, the supplier(s) achieving the regional minimum
+    supply cost (adapted to the derived partsupp; p_type LIKE '%OMY'
+    stands in for '%BRASS'). The correlated MIN subquery decorrelates
+    into a per-part aggregate re-joined on (partkey, cost) — both
+    sides share the partkey shuffle; part/supplier/nation/region all
+    broadcast. Top-100 is TakeOrderedAndProject."""
+    pse = _ps_region(spark, sf_dir, "EUROPE")
+    mc = pse.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost_c").alias("min_cost_c")
+    )
+    part = F.broadcast(
+        t(spark, sf_dir, "part").filter(
+            (F.col("p_size") == 3) & F.col("p_type").like("%OMY")
+        )
+    )
+    return (
+        pse.join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            mc,
+            (F.col("mc_partkey") == F.col("ps_partkey"))
+            & (F.col("min_cost_c") == F.col("ps_supplycost_c")),
+        )
+        .select(
+            (cents("s_acctbal") / 100.0).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    nat AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost_c * ps.ps_availqty_c AS v
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+    ),
+    tot AS (SELECT SUM(v) AS total_v FROM nat)
+    SELECT ps_partkey, SUM(v) AS value_c
+    FROM nat, tot
+    GROUP BY ps_partkey, total_v
+    HAVING SUM(v) * 1000 > total_v
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important-stock identification: per-part inventory
+    value among one nation's suppliers, keeping parts holding more
+    than 0.1% of the nation's total. The scalar total is a broadcast
+    single-row aggregate; the HAVING cross-multiplies (value*1000 >
+    total) so both engines compare exact integers. value_c is in
+    cents x quantity-cents — exact by construction."""
+    ps = _ps(spark, sf_dir)
+    sup = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey")
+    )
+    nat = ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_c") * F.col("ps_availqty_c")).alias("v"),
+    )
+    tot = nat.agg(F.sum("v").alias("total_v"))
+    return (
+        nat.join(F.broadcast(tot))
+        .groupBy("ps_partkey", "total_v")
+        .agg(F.sum("v").alias("value_c"))
+        .filter(F.col("value_c") * 1000 > F.col("total_v"))
+        .select("ps_partkey", "value_c")
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    q95 AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty95_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-01-01'
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+      LEFT JOIN q95 ON q95.l_partkey = ps.ps_partkey
+                   AND q95.l_suppkey = ps.ps_suppkey
+      WHERE 2 * ps.ps_availqty_c > COALESCE(q95.qty95_c, 0)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN cand ON cand.ps_suppkey = s.s_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_1'
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential-part-promotion: suppliers in one nation
+    whose availability of 'red%' parts exceeds half of what they
+    shipped in 1995 (derived partsupp; availability = all-time shipped
+    quantity). The 'availqty > 0.5*qty' correlated subquery becomes a
+    (partkey, suppkey)-keyed aggregate LEFT-joined back — the same
+    shuffle key as the partsupp derivation, so AQE reuses the
+    exchange; the 0.5 factor cross-multiplies to exact integers. The
+    candidate set semi-joins into supplier."""
+    li = t(spark, sf_dir, "lineitem")
+    q95 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("q_partkey"),
+            F.col("l_suppkey").alias("q_suppkey"),
+        )
+        .agg(F.sum(cents("l_quantity")).alias("qty95_c"))
+    )
+    part = F.broadcast(
+        t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    cand = (
+        _ps(spark, sf_dir)
+        .join(part, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            q95,
+            (F.col("q_partkey") == F.col("ps_partkey"))
+            & (F.col("q_suppkey") == F.col("ps_suppkey")),
+            "left",
+        )
+        .filter(2 * F.col("ps_availqty_c") > F.coalesce(F.col("qty95_c"), F.lit(0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_1")
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
