@@ -501,3 +501,42 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe.apply(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "q_train_val_test",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN draw * 10 < 4294967296 * 8 THEN 'train'
+             WHEN draw * 10 < 4294967296 * 9 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'))), 1, 15)) AS BIGINT)
+               % 4294967296 AS draw
+      FROM documents
+    )
+    """,
+)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-safe 80/10/10 train/val/test assignment: the split draw
+    hashes the normalized-content FINGERPRINT, not the row id, so
+    exact duplicates always land in the same split — the standard
+    guard against train->eval leakage (splitting on doc_id would put
+    two copies of one document on both sides). Deterministic, no RNG,
+    zero shuffles (pure per-row expressions), cross-engine exact.
+    Thresholds compare via integer cross-multiplication (draw*10 <
+    M32*8), never float rates."""
+    from aoseventstreamer_spark.operators.text import fingerprint
+
+    draw = F.conv(F.substring(fingerprint("text"), 1, 15), 16, 10).cast("long") % _M32
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(draw * 10 < _M32 * 8, "train")
+        .when(draw * 10 < _M32 * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

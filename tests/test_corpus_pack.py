@@ -303,3 +303,29 @@ def test_short_docs_do_not_crash_gram_ops(spark):
     ).otherwise(F2.array().cast("array<string>"))
     got = docs.select(F2.explode(pairs).alias("p")).collect()
     assert len(got) == 3 + 5  # 4-token doc: 3 pairs; 6-token doc: 5
+
+
+def test_train_val_test_dedup_safe(spark):
+    """Exact duplicates (even with different whitespace/punctuation)
+    are assigned to the SAME split — the leakage guard the query
+    exists for."""
+    docs = spark.createDataFrame(
+        [(1, "The cat sat."), (2, "the   cat sat"), (3, "something else")],
+        ["doc_id", "text"],
+    )
+    from aoseventstreamer_spark.operators.text import fingerprint
+    from pyspark.sql import functions as F
+    from aoseventstreamer_spark.operators.sampling import M32
+
+    draw = (
+        F.conv(F.substring(fingerprint("text"), 1, 15), 16, 10).cast("long") % M32
+    )
+    out = docs.select(
+        "doc_id",
+        F.when(draw * 10 < M32 * 8, "train")
+        .when(draw * 10 < M32 * 9, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).collect()
+    by_id = {r.doc_id: r.split for r in out}
+    assert by_id[1] == by_id[2]  # normalization-equal docs stay together
