@@ -104,8 +104,11 @@ def perplexity_scores(
         .join(F.broadcast(vstats))
         .withColumn(
             "p",
+            # greatest(v,1): an EMPTY training corpus gives V=0, where
+            # a zero denominator is NULL in Spark but inf in DuckDB —
+            # pin both to the V=1 degenerate model instead
             (F.coalesce(F.col("c2"), F.lit(0)) + 1)
-            / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")),
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.greatest(F.col("v"), F.lit(1))),
         )
         # integer micro-nats: long sums are exact in any order
         .withColumn("lp_u", F.round(F.log("p") * 1_000_000).cast("long"))
@@ -162,7 +165,7 @@ def perplexity_oracle_sql(
       SELECT d.{id_col},
              CAST(ROUND(ln(
                (COALESCE(c2.c2, 0) + 1) * 1.0
-               / (COALESCE(c1.c1, 0) + vstats.v)
+               / (COALESCE(c1.c1, 0) + GREATEST(vstats.v, 1))
              ) * 1000000) AS BIGINT) AS lp_u
       FROM doc_bi d
       LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
