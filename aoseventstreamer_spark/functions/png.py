@@ -77,7 +77,12 @@ def decode_png(data: bytes) -> np.ndarray:
     if w == 0 or h == 0:
         raise PNGError("zero dimension")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # zlib.error is a direct Exception subclass — without this it
+        # would escape the PNGError contract both call sites catch on
+        raise PNGError(f"corrupt IDAT stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise PNGError(

@@ -38,12 +38,66 @@ from pyspark.sql import functions as F
 
 from .text import pretokenize
 
-# Python re equivalent of text.PRETOKEN_PATTERN (Java regex): \pL ->
-# [^\W\d_] (word chars minus digits minus underscore), \pN -> \d
-# (unicode digits), [^\s\pL\pN] -> non-space non-word plus underscore.
-_PY_PRETOKEN = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+"
+# Worker-side equivalent of text.PRETOKEN_PATTERN. Python's re cannot
+# express Java's \pL / \pN / ASCII-\s exactly: [^\W\d_] also matches
+# category-No/Nl numerics (², ½, Ⅻ) that Java sends to the \pN branch,
+# and Python \s is unicode-wide where Java's default \s is ASCII-only
+# (NBSP is punctuation to Java). So: an exact regex FAST PATH for
+# ASCII-only text (where the classes coincide) and a unicodedata
+# category scanner replaying the Java alternation order for the rest.
+_ASCII_PRETOKEN = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^ \t\n\x0b\f\rA-Za-z0-9]+|[ \t\n\x0b\f\r]+"
 )
+_JAVA_WS = frozenset(" \t\n\x0b\x0c\r")
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def py_pretokenize(text: str) -> list[str]:
+    """Split exactly like Spark's regexp_extract_all(PRETOKEN_PATTERN):
+    contraction literals, optional-space-prefixed letter (\\pL+) /
+    numeric (\\pN+) / other runs, ASCII-whitespace runs — alternation
+    tried in that order at every position, Java semantics bit-for-bit
+    (asserted against the JVM in tests/test_bpe.py incl. No/Nl
+    numerics and NBSP)."""
+    if text.isascii():
+        return _ASCII_PRETOKEN.findall(text)
+    import unicodedata
+
+    cat = unicodedata.category
+    pieces: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        for con in _CONTRACTIONS:
+            if text.startswith(con, i):
+                pieces.append(con)
+                i += len(con)
+                break
+        else:
+            k = i + 1 if text[i] == " " else i
+            c0 = cat(text[k])[0] if k < n else ""
+            if c0 in ("L", "N"):
+                e = k
+                while e < n and cat(text[e])[0] == c0:
+                    e += 1
+                pieces.append(text[i:e])
+                i = e
+            elif k < n and text[k] not in _JAVA_WS:
+                e = k
+                while (
+                    e < n and text[e] not in _JAVA_WS and cat(text[e])[0] not in ("L", "N")
+                ):
+                    e += 1
+                pieces.append(text[i:e])
+                i = e
+            else:
+                # optional-space branches found nothing: whitespace run
+                e = i
+                while e < n and text[e] in _JAVA_WS:
+                    e += 1
+                pieces.append(text[i:e])
+                i = e
+    return pieces
 
 
 def piece_counts(
@@ -177,10 +231,7 @@ def bpe_token_count(
 
         encode = state.setdefault("enc", _encode_piece_fn(ranks))
         return pd.Series(
-            [
-                sum(encode(m.group(0)) for m in _PY_PRETOKEN.finditer(t or ""))
-                for t in texts
-            ],
+            [sum(encode(p) for p in py_pretokenize(t or "")) for t in texts],
             dtype="int64",
         )
 

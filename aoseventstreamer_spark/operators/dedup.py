@@ -390,9 +390,10 @@ def simhash_docs(
     if n_bits != 64:
         raise ValueError("packed simhash supports n_bits=64 only")
     df = ensure_parallelism(df)
+    from .text import whitespace_tokens
+
     toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("tok")
     )
     h = md5_long(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
     PAIR_MASK = 0x0000000100000001

@@ -20,7 +20,9 @@ B = 0.75
 
 
 def _tokens(text_col: str) -> F.Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    from .text import whitespace_tokens
+
+    return whitespace_tokens(text_col)
 
 
 def vocab_counts(

@@ -36,13 +36,17 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str) -> Column:
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    from .text import whitespace_tokens
+
+    return whitespace_tokens(text_col)
 
 
-def _bigrams(text_col: str) -> Column:
-    """array<struct<w1,w2>> of adjacent token pairs. Caller must filter
-    size(tokens) >= 2 first: Spark's sequence(1, 0) is the DESCENDING
-    [1, 0], not empty, and would fabricate a reversed pair."""
+def _bigrams() -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs over the __toks
+    alias (callers select _tokens(...) AS __toks first). Caller must
+    also filter size(__toks) >= 2: Spark's sequence(1, 0) is the
+    DESCENDING [1, 0], not empty, and would fabricate a reversed
+    pair."""
     return F.expr(
         f"transform(sequence(1, size({_TOKS_ALIAS}) - 1), "
         f"i -> struct(element_at({_TOKS_ALIAS}, i) AS w1, "
@@ -66,7 +70,7 @@ def bigram_lm_counts(
     toks = train.select(_tokens(text_col).alias(_TOKS_ALIAS))
     bi = (
         toks.filter(F.size(F.col(_TOKS_ALIAS)) >= 2)
-        .select(F.explode(_bigrams(text_col)).alias("b"))
+        .select(F.explode(_bigrams()).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
@@ -95,7 +99,7 @@ def perplexity_scores(
     doc_bi = (
         docs.select(F.col(id_col), _tokens(text_col).alias(_TOKS_ALIAS))
         .filter(F.size(F.col(_TOKS_ALIAS)) >= 2)
-        .select(F.col(id_col), F.explode(_bigrams(text_col)).alias("b"))
+        .select(F.col(id_col), F.explode(_bigrams()).alias("b"))
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     scored = (

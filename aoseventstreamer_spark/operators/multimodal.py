@@ -390,7 +390,11 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     out["n_samples"].append(n)
                     out["duration_ms"].append(int(n * 1000 / rate) if rate else None)
                     out["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
-                    out["peak"].append(int(np.abs(samples).max()) if n else 0)
+                    # int32 first: np.abs wraps at int16 -32768, which
+                    # would report clipped full-scale audio as quiet
+                    out["peak"].append(
+                        int(np.abs(samples.astype(np.int32)).max()) if n else 0
+                    )
                     out["zero_crossing_rate"].append(zc)
                 except ValueError:
                     for k in ("sample_rate", "n_channels", "n_samples",
@@ -432,7 +436,8 @@ def wrap_as_real_png(
         for pdf in batches:
             ids, payloads = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                w = (len(text) % max_side_src) + 2
+                # NULL text must not kill the task (module contract)
+                w = (len(text or "") % max_side_src) + 2
                 h = (int(did) % max_side_src) + 2
                 yy, xx = np.mgrid[0:h, 0:w]
                 r = (xx * 255 // max(1, w - 1)).astype(np.uint8)

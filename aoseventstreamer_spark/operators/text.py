@@ -27,6 +27,16 @@ def punct_count(text: Column | str) -> Column:
     return F.length(F.regexp_replace(_c(text), r"[^.,!?;:]", "")).cast("long")
 
 
+def whitespace_tokens(text: Column | str) -> Column:
+    """THE shared whitespace tokenization — split(trim(lower(x)), \\s+)
+    — used by lexical (BM25/vocab), lm (bigram LM) and dedup (simhash).
+    Every DuckDB oracle replays it as
+    regexp_split_to_array(trim(lower(x)), '\\s+'); keeping one copy
+    means a tweak here can't silently desynchronize the operators from
+    each other while their individual oracles still pass."""
+    return F.split(F.trim(F.lower(_c(text))), r"\s+")
+
+
 def bpe_token_estimate(text: Column | str) -> Column:
     """BPE-ish token estimate: chars/4, the standard quick heuristic.
     See ``pretoken_count`` for the structurally faithful upgrade."""

@@ -57,11 +57,16 @@ def test_python_pretokenizer_matches_spark(spark):
         "  leading and trailing  ",
         "",
         "数字123 and UNITS-99%",
+        # category-No/Nl numerics: Java \pN matches them, \pL does not
+        "km² and ½ cup and Ⅻ12 mixed",
+        # NBSP: punctuation to Java's ASCII \s, whitespace to Python's
+        "a\xa0b c",
+        "it's 'l odd' trailing'",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
     spark_pieces = {
         r.i: r.p for r in df.select("i", pretokenize("text").alias("p")).collect()
     }
     for i, t in enumerate(texts):
-        py = [m.group(0) for m in B._PY_PRETOKEN.finditer(t)]
+        py = B.py_pretokenize(t)
         assert py == spark_pieces[i], (t, py, spark_pieces[i])

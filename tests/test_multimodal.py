@@ -171,3 +171,32 @@ def test_audio_decode_rejects_non_pcm(spark):
     wav[20:22] = struct.pack("<H", 85)  # audio_format = MP3
     with _pytest.raises(ValueError, match="PCM16"):
         MM.decode_wav_pcm(bytes(wav))
+
+
+def test_audio_peak_survives_int16_min(spark):
+    """np.abs wraps at int16 -32768; the peak must be computed in
+    int32 so clipped full-scale audio reports 32768, not a small or
+    negative value."""
+    import struct
+
+    from aoseventstreamer_spark.operators.multimodal import extract_audio_features
+
+    samples = struct.pack("<3h", -32768, 100, -5)
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+           + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+           + (16).to_bytes(2, "little"))
+    data = b"data" + len(samples).to_bytes(4, "little") + samples
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    df = spark.createDataFrame([(1, wav)], ["media_id", "payload"])
+    [r] = extract_audio_features(df).collect()
+    assert r.peak == 32768
+
+
+def test_wrap_as_real_png_tolerates_null_text(spark):
+    from aoseventstreamer_spark.operators.multimodal import wrap_as_real_png
+
+    df = spark.createDataFrame([(1, None), (2, "some text")], "doc_id long, text string")
+    rows = wrap_as_real_png(df).collect()
+    assert len(rows) == 2 and all(r.payload[:8] == b"\x89PNG\r\n\x1a\n" for r in rows)

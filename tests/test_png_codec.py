@@ -126,3 +126,15 @@ def test_extract_image_features_uses_decoded_pixels(spark):
     # compressed payload's bytes would spread across buckets
     assert feats[1][7] > 0.99
     assert abs(sum(feats[1]) - 1.0) < 1e-6
+
+
+def test_corrupt_idat_raises_pngerror_not_zlib_error():
+    """zlib.error is a direct Exception subclass; if it escaped, the
+    garbage-tolerance handlers at both call sites (resize_images,
+    extract_image_features) would miss it and the task would die."""
+    img = _gradient(5, 7, 3)
+    data = bytearray(PNG.encode_png(img))
+    idat = data.find(b"IDAT")
+    data[idat + 8 : idat + 16] = b"\xde\xad\xbe\xef\xde\xad\xbe\xef"
+    with pytest.raises(PNG.PNGError):
+        PNG.decode_png(bytes(data))
