@@ -57,8 +57,43 @@ def _bigrams() -> Column:
 _TOKS_ALIAS = "__toks"
 
 
+UNK = "<unk>"
+
+
+def _vocab(train: DataFrame, text_col: str, vocab_size: int) -> DataFrame:
+    """Top-``vocab_size`` training tokens by (count desc, token asc) —
+    the deterministic tie-break makes the pruned model reproducible
+    across partitionings and engines. One column: ``w``."""
+    return (
+        train.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(vocab_size)
+        .select("w")
+    )
+
+
+def _map_unk(bi: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Replace OOV w1/w2 with the <unk> symbol via two broadcast
+    left-semi-style joins (the vocab is bounded by vocab_size, so it
+    always broadcasts — this is exactly what makes the pruned model
+    100 TB-viable)."""
+    va = vocab.select(F.col("w").alias("__v1"))
+    vb = vocab.select(F.col("w").alias("__v2"))
+    return (
+        bi.join(F.broadcast(va), bi.w1 == F.col("__v1"), "left")
+        .join(F.broadcast(vb), bi.w2 == F.col("__v2"), "left")
+        .select(
+            *[c for c in bi.columns if c not in ("w1", "w2")],
+            F.coalesce(F.col("__v1"), F.lit(UNK)).alias("w1"),
+            F.coalesce(F.col("__v2"), F.lit(UNK)).alias("w2"),
+        )
+    )
+
+
 def bigram_lm_counts(
-    train: DataFrame, text_col: str = "text"
+    train: DataFrame, text_col: str = "text", vocab_size: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the bigram LM: returns (c2, c1, vstats).
 
@@ -66,18 +101,32 @@ def bigram_lm_counts(
     derived from c2 (no second pass over the corpus); vstats = a
     single-row frame with the training vocabulary size V. All three
     stay DataFrames so scoring composes into ONE plan — no driver
-    collect of model tables."""
+    collect of model tables.
+
+    ``vocab_size`` enables the CCNet-style scale path: tokens outside
+    the top-k vocabulary (count desc, token asc) collapse into one
+    ``<unk>`` symbol BEFORE counting, so the model tables are bounded
+    by vocab_size² regardless of corpus size — small enough to
+    broadcast at any scale. V then counts the mapped alphabet
+    (min(vocab_size, distinct) + 1 for <unk> when any token is OOV)."""
     toks = train.select(_tokens(text_col).alias(_TOKS_ALIAS))
     bi = (
         toks.filter(F.size(F.col(_TOKS_ALIAS)) >= 2)
         .select(F.explode(_bigrams()).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
+    unig = toks.select(F.explode(F.col(_TOKS_ALIAS)).alias("w"))
+    if vocab_size is not None:
+        vocab = _vocab(train, text_col, vocab_size)
+        bi = _map_unk(bi, vocab)
+        unig = unig.join(
+            F.broadcast(vocab.select(F.col("w").alias("__v1"))),
+            unig.w == F.col("__v1"),
+            "left",
+        ).select(F.coalesce(F.col("__v1"), F.lit(UNK)).alias("w"))
     c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vstats = toks.select(F.explode(F.col(_TOKS_ALIAS)).alias("w")).agg(
-        F.count_distinct("w").cast("long").alias("v")
-    )
+    vstats = unig.agg(F.count_distinct("w").cast("long").alias("v"))
     return c2, c1, vstats
 
 
@@ -86,15 +135,18 @@ def perplexity_scores(
     train: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Per-document bigram perplexity under a model trained on
     ``train`` (default: score the corpus under itself). Returns
     (id, n_bigrams, ppl) for docs with >= 2 tokens, ppl rounded to
     4dp. Lower ppl = more like the training corpus — filter on it the
-    way CCNet keeps its low-perplexity head."""
+    way CCNet keeps its low-perplexity head. With ``vocab_size``,
+    scored tokens outside the TRAINING vocabulary map to the same
+    ``<unk>`` the model was trained with (see bigram_lm_counts)."""
     if train is None:
         train = docs
-    c2, c1, vstats = bigram_lm_counts(train, text_col)
+    c2, c1, vstats = bigram_lm_counts(train, text_col, vocab_size)
 
     doc_bi = (
         docs.select(F.col(id_col), _tokens(text_col).alias(_TOKS_ALIAS))
@@ -102,6 +154,8 @@ def perplexity_scores(
         .select(F.col(id_col), F.explode(_bigrams()).alias("b"))
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
+    if vocab_size is not None:
+        doc_bi = _map_unk(doc_bi, _vocab(train, text_col, vocab_size))
     scored = (
         doc_bi.join(c2, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
@@ -141,16 +195,42 @@ def perplexity_oracle_sql(
     score_where: str = "TRUE",
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab_size: int | None = None,
 ) -> str:
     """DuckDB SQL replaying perplexity_scores exactly (same
-    tokenization, same add-1 smoothing, same micro-nat rounding and
-    non-negative integer division)."""
+    tokenization, same optional <unk> vocabulary mapping, same add-1
+    smoothing, same micro-nat rounding and non-negative integer
+    division)."""
     toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    if vocab_size is None:
+        vocab_ctes = ""
+        map1 = map2 = lambda col: col  # noqa: E731
+        v_expr = (
+            f"SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS v"
+            f" FROM tr, UNNEST(arr) AS t(w)"
+        )
+    else:
+        vocab_ctes = f"""vocab AS (
+      SELECT w FROM (
+        SELECT t.w, COUNT(*) AS c
+        FROM tr, UNNEST(arr) AS t(w)
+        GROUP BY t.w ORDER BY c DESC, t.w ASC LIMIT {vocab_size}
+      )
+    ), """
+        map1 = lambda col: (  # noqa: E731
+            f"COALESCE((SELECT v.w FROM vocab v WHERE v.w = {col}), '{UNK}')"
+        )
+        map2 = map1
+        v_expr = (
+            f"SELECT CAST(COUNT(DISTINCT COALESCE(v.w, '{UNK}')) AS BIGINT) AS v"
+            f" FROM (SELECT t.w AS uw FROM tr, UNNEST(arr) AS t(w)) u"
+            f" LEFT JOIN vocab v ON v.w = u.uw"
+        )
     return f"""
     WITH tr AS (
       SELECT {toks} AS arr FROM {table} WHERE {train_where}
-    ), tr_bi AS (
-      SELECT arr[i] AS w1, arr[i + 1] AS w2
+    ), {vocab_ctes}tr_bi AS (
+      SELECT {map1('arr[i]')} AS w1, {map2('arr[i + 1]')} AS w2
       FROM tr, UNNEST(range(1, len(arr))) AS t(i)
       WHERE len(arr) >= 2
     ), c2 AS (
@@ -158,10 +238,9 @@ def perplexity_oracle_sql(
     ), c1 AS (
       SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
     ), vstats AS (
-      SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS v
-      FROM tr, UNNEST(arr) AS t(w)
+      {v_expr}
     ), doc_bi AS (
-      SELECT {id_col}, arr[i] AS w1, arr[i + 1] AS w2
+      SELECT {id_col}, {map1('arr[i]')} AS w1, {map2('arr[i + 1]')} AS w2
       FROM (SELECT {id_col}, {toks} AS arr FROM {table} WHERE {score_where}),
            UNNEST(range(1, len(arr))) AS t(i)
       WHERE len(arr) >= 2

@@ -146,3 +146,25 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     merges = B.train_bpe(docs, num_merges=50)
     return B.bpe_token_count(docs, merges)
+
+
+@query(
+    "q_lm_perplexity_unk",
+    oracle=LM.perplexity_oracle_sql(
+        train_where="doc_id % 2 = 0",
+        score_where="doc_id % 2 = 1",
+        vocab_size=200,
+    ),
+)
+def q_lm_perplexity_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_lm_perplexity: a top-200 training
+    vocabulary with every OOV token collapsed to <unk> BEFORE
+    counting, bounding the model tables by vocab_size² regardless of
+    corpus size (broadcastable model — the CCNet trick). Exercises
+    the OOV path heavily while staying hash-exact."""
+    docs = t(spark, sf_dir, "documents")
+    return LM.perplexity_scores(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train=docs.filter(F.col("doc_id") % 2 == 0),
+        vocab_size=200,
+    )

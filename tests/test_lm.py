@@ -44,3 +44,23 @@ def test_self_trained_corpus_ranks_repetition_low(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     ppl = {r.doc_id: r.ppl for r in LM.perplexity_scores(docs).collect()}
     assert ppl[0] < ppl[100]
+
+
+def test_vocab_pruned_unk_hand_computed(spark):
+    """vocab_size=2 over 'a b a b a c': vocab {a, b} (count desc, token
+    asc), c collapses to <unk>; mapped alphabet size V=3. Scoring 'c b'
+    gives the unseen-context bigram (<unk>, b): P = (0+1)/(0+3)."""
+    train = spark.createDataFrame([(0, "a b a b a c")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(10, "c b")], ["doc_id", "text"])
+    [r] = LM.perplexity_scores(docs, train=train, vocab_size=2).collect()
+    assert r.n_bigrams == 1
+    lp_u = round(math.log(1 / 3) * 1_000_000)
+    assert r.ppl == round(math.exp(-lp_u / 1_000_000), 4)
+
+    # seen path under the same pruned model: 'a b' -> (a,b), c2=2, c1=3
+    [s] = LM.perplexity_scores(
+        spark.createDataFrame([(11, "a b")], ["doc_id", "text"]),
+        train=train, vocab_size=2,
+    ).collect()
+    lp_s = round(math.log((2 + 1) / (3 + 3)) * 1_000_000)
+    assert s.ppl == round(math.exp(-lp_s / 1_000_000), 4)
