@@ -105,3 +105,87 @@ def cluster_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x: Column | str,
+    y: Column | str,
+    bits: int = 8,
+    out: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve clustering key over a 2^bits x 2^bits grid — the
+    published xy2d algorithm (Wikipedia, public domain) unrolled into
+    ``bits`` per-level projections.
+
+    Why offer it next to zorder_key: the Hilbert curve never makes the
+    long diagonal jumps Morton order does (every consecutive key step
+    is one grid step), so per-file min/max envelopes on the raw
+    columns are tighter at the same file count — measurably fewer
+    false-positive file reads under range filters at 100 TB. Costs a
+    few more integer ops per row; both are zero-shuffle codegen
+    arithmetic.
+
+    Implemented as a withColumn chain (one projection per level, state
+    columns reused) rather than one nested Column: each level reads
+    x AND y of the previous level, so a single expression tree would
+    double per level — 2^bits leaves by the end — while the chained
+    form stays linear and Catalyst's CollapseProject keeps multi-use
+    references intact. Inputs must already be ints in [0, 2^bits)
+    (use quantile_buckets)."""
+    n = 1 << bits
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    df = df.withColumns({"__hx": xc, "__hy": yc, "__hd": F.lit(0).cast("long")})
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        hx, hy = F.col("__hx"), F.col("__hy")
+        rx = F.when(hx.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(hy.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        fx = F.when(rx == 1, F.lit(n - 1) - hx).otherwise(hx)
+        fy = F.when(rx == 1, F.lit(n - 1) - hy).otherwise(hy)
+        df = df.withColumns(
+            {
+                "__hd": F.col("__hd")
+                + F.lit(s * s) * (rx * 3).bitwiseXOR(ry).cast("long"),
+                # rot: only when ry == 0 — flip (if rx) then swap x/y
+                "__hx": F.when(ry == 0, fy).otherwise(hx),
+                "__hy": F.when(ry == 0, fx).otherwise(hy),
+            }
+        )
+    return df.withColumnRenamed("__hd", out).drop("__hx", "__hy")
+
+
+def hilbert_oracle_sql(
+    table: str,
+    x_sql: str,
+    y_sql: str,
+    select_sql: str,
+    bits: int = 8,
+    out: str = "hkey",
+) -> str:
+    """DuckDB SQL replaying with_hilbert_key exactly: the same
+    per-level state updates as chained CTEs, generated from the same
+    algorithm spec, so the key column value-matches bit-for-bit."""
+    n = 1 << bits
+    ctes = [
+        f"h{bits} AS (SELECT {select_sql}, CAST({x_sql} AS BIGINT) AS hx,"
+        f" CAST({y_sql} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {table})"
+    ]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        fx = f"(CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END)"
+        fy = f"(CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END)"
+        ctes.append(
+            f"h{level} AS (SELECT * REPLACE ("
+            f"hd + {s * s} * CAST(xor({rx} * 3, {ry}) AS BIGINT) AS hd, "
+            f"CASE WHEN {ry} = 0 THEN {fy} ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN {fx} ELSE hy END AS hy"
+            f") FROM h{level + 1})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {select_sql}, hd AS {out} FROM h0"
+    )

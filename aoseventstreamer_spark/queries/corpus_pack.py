@@ -540,3 +540,35 @@ def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _hilbert_oracle() -> str:
+    from aoseventstreamer_spark.operators.layout import hilbert_oracle_sql
+
+    return hilbert_oracle_sql(
+        table="events",
+        x_sql="user_id % 256",
+        y_sql="CAST(FLOOR(value) AS BIGINT) % 256",
+        select_sql="event_id",
+        bits=8,
+    )
+
+
+@query("q_hilbert_key", oracle=_hilbert_oracle())
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same two scan dimensions
+    as q_zorder_key: consecutive keys are always ONE grid step apart
+    (no Morton diagonal jumps), so per-file min/max envelopes stay
+    tighter at the same file count — fewer false-positive file reads
+    under range filters. Spark unrolls the published xy2d per-level
+    state updates as chained projections; the oracle replays the
+    identical levels as chained CTEs generated from the same spec
+    (operators/layout.py)."""
+    from aoseventstreamer_spark.operators.layout import with_hilbert_key
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("__x"),
+        (F.floor("value").cast("long") % 256).alias("__y"),
+    )
+    return with_hilbert_key(ev, "__x", "__y", bits=8).select("event_id", "hkey")

@@ -77,3 +77,41 @@ def test_zorder_key_is_monotone_per_axis(spark):
     )
     zs = [r.z for r in rows]
     assert zs == sorted(zs)
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    """with_hilbert_key == the published xy2d for every cell of a
+    16x16 grid, covers 0..255 exactly once, and consecutive keys are
+    grid-neighbors (the locality property Z-order lacks)."""
+    from aoseventstreamer_spark.operators.layout import with_hilbert_key
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    n = 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    rows = with_hilbert_key(grid, "x", "y", bits=4).collect()
+    pos = {}
+    for r in rows:
+        assert r.hkey == xy2d(n, r.x, r.y), (r.x, r.y)
+        pos[r.hkey] = (r.x, r.y)
+    assert sorted(pos) == list(range(n * n))
+    for d in range(1, n * n):
+        (a, b), (c, e) = pos[d - 1], pos[d]
+        assert abs(a - c) + abs(b - e) == 1
