@@ -115,3 +115,33 @@ def test_hilbert_key_matches_reference_and_is_bijective(spark):
     for d in range(1, n * n):
         (a, b), (c, e) = pos[d - 1], pos[d]
         assert abs(a - c) + abs(b - e) == 1
+
+
+def test_cluster_write_hilbert_prunes_and_roundtrips(spark, sf_dir, tmp_path):
+    """curve='hilbert' through the same production API: lossless
+    rewrite and point-query pruning on BOTH clustered columns via
+    real footers; 3+ columns rejected loudly."""
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_int", F.col("value").cast("long")
+    )
+    path = str(tmp_path / "hclustered")
+    cluster_write(ev, path, ["event_id", "value_int"], n_files=16, curve="hilbert")
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) >= 8
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    for col in ("event_id", "value_int"):
+        ranges = _file_ranges(path, col)
+        lo = min(mn for mn, _ in ranges.values())
+        hi = max(mx for _, mx in ranges.values())
+        q = lo + 0.25 * ((hi - lo) or 1)
+        overlapping = [f for f, (mn, mx) in ranges.items() if mn <= q <= mx]
+        assert len(overlapping) <= len(files) // 2, (col, len(overlapping))
+
+    with pytest.raises(ValueError, match="exactly 2 columns"):
+        cluster_write(ev, path, ["event_id", "value_int", "user_id"], curve="hilbert")
+    with pytest.raises(ValueError, match="unknown curve"):
+        cluster_write(ev, path, ["event_id", "value_int"], curve="peano")
