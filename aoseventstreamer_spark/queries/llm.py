@@ -287,11 +287,24 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # rows-only: mapInPandas, not SQL-expressible
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN text IS NULL OR text = '' THEN NULL
+                ELSE md5(text) END AS checksum
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode/feature plumbing (Arrow-batched
-    mapInPandas); decode itself is a deterministic stub — see
-    operators/multimodal.py."""
+    """Binary-column feature plumbing (Arrow-batched mapInPandas),
+    value-checked end to end: the payload is the UTF-8 encoding of the
+    text column, so the worker-computed byte length and md5 checksum
+    must hash-match DuckDB computing them straight from the source
+    table — proving the binary round-trips through Arrow/pandas
+    unmodified. The feat histogram column (PNG pixel decode or byte
+    stub) is exercised by tests and q_media_sniff instead."""
     from aoseventstreamer_spark.operators import multimodal as MM
 
     media = MM.attach_binary_payload(t(spark, sf_dir, "documents"))
