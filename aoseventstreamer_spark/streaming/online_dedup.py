@@ -193,3 +193,63 @@ class OnlineDeduper:
             .trigger(**(trigger or {"processingTime": "250 milliseconds"}))
             .start()
         )
+
+
+# Steps a per-batch gate may use: they depend only on the row itself
+# (or on a FIXED reference frame), never on the accumulating stream —
+# corpus-wide steps (exact_dedup, near_dedup, weighted_sample) would
+# silently compute against one micro-batch instead of everything seen,
+# which is exactly the bug class this allowlist exists to refuse.
+# near-dup across batches is the OnlineDeduper's job; perplexity is
+# admitted ONLY with an explicit pre-trained reference frame.
+_STATELESS_STEPS = {"lang", "quality", "min_words", "max_words", "hash_sample"}
+
+
+class OnlineCurator:
+    """Ingest-time curation: stateless quality gates, then persistent
+    near-dup admission — the streaming form of CurationPipeline.
+
+    ``steps`` uses CurationPipeline's step vocabulary, restricted to
+    per-row gates (see _STATELESS_STEPS); ``("perplexity", {...})`` is
+    allowed iff the params carry a ``train`` reference DataFrame (a
+    FROZEN quality model — CCNet scores a crawl against wikipedia, not
+    against itself). Everything surviving the gates goes through the
+    OnlineDeduper's band-store admission, inheriting its replay
+    idempotence. ``counts`` after each batch reports
+    (arrived, gated, admitted) for audit."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_root: str,
+        steps: list[tuple[str, dict]],
+        **dedup_kwargs,
+    ):
+        from aoseventstreamer_spark.operators.curation import CurationPipeline
+
+        for step, params in steps:
+            if step == "perplexity":
+                if params.get("train") is None:
+                    raise ValueError(
+                        "online perplexity gating needs a pre-trained reference "
+                        "frame: pass ('perplexity', {'max_ppl': ..., 'train': ref_df})"
+                    )
+            elif step not in _STATELESS_STEPS:
+                raise ValueError(
+                    f"step {step!r} is not per-row-stateless; online near-dup "
+                    "is handled by the band store, corpus-wide steps belong in "
+                    "the batch CurationPipeline"
+                )
+        self._pipe = CurationPipeline(steps)
+        self._deduper = OnlineDeduper(spark, state_root, **dedup_kwargs)
+        self.counts: dict[str, int] = {}
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        gated = self._pipe.apply(batch_df)
+        admitted = self._deduper.process_batch(gated, batch_id)
+        self.counts = {
+            "arrived": batch_df.count(),
+            "gated": gated.count(),
+            "admitted": admitted.count(),
+        }
+        return admitted

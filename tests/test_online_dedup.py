@@ -71,3 +71,44 @@ def test_streaming_run_end_to_end(spark, tmp_path):
 def test_validates_band_division(spark, tmp_path):
     with pytest.raises(ValueError, match="divide"):
         OnlineDeduper(spark, str(tmp_path / "x"), num_hashes=16, bands=5)
+
+
+def test_online_curator_gates_then_dedups(spark, tmp_path):
+    from aoseventstreamer_spark.streaming.online_dedup import OnlineCurator
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat again and again") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    cur = OnlineCurator(
+        spark,
+        str(tmp_path / "state"),
+        steps=[
+            ("min_words", {"n": 4}),
+            ("perplexity", {"max_ppl": 1e6, "train": ref}),
+        ],
+    )
+    good = "the cat sat on the mat again and again today"
+    b1 = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, good + " extra tail")],
+        ["doc_id", "text"],
+    )
+    a1 = {r.doc_id for r in cur.process_batch(b1, 0).collect()}
+    # 2 gated out (min_words); 3 near-dups 1 within the batch -> 1 wins
+    assert a1 == {1}
+    assert cur.counts == {"arrived": 3, "gated": 2, "admitted": 1}
+
+    # next batch: replaying the same content is rejected by the store
+    b2 = spark.createDataFrame([(9, good)], ["doc_id", "text"])
+    assert cur.process_batch(b2, 1).count() == 0
+
+
+def test_online_curator_refuses_corpus_wide_steps(spark, tmp_path):
+    from aoseventstreamer_spark.streaming.online_dedup import OnlineCurator
+
+    with pytest.raises(ValueError, match="not per-row-stateless"):
+        OnlineCurator(spark, str(tmp_path / "s"), steps=[("exact_dedup", {})])
+    with pytest.raises(ValueError, match="pre-trained reference"):
+        OnlineCurator(
+            spark, str(tmp_path / "s2"), steps=[("perplexity", {"max_ppl": 10.0})]
+        )
