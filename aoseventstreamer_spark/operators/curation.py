@@ -125,8 +125,9 @@ class CurationPipeline:
 
             max_ppl = p.pop("max_ppl")
             train = p.pop("train", None)
+            model = p.pop("model", None)  # pre-built PerplexityModel
             keep = (
-                LM.perplexity_scores(df, train=train)
+                LM.perplexity_scores(df, train=train, model=model)
                 .filter(F.col("ppl") <= max_ppl)
                 .select("doc_id")
             )

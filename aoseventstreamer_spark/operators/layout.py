@@ -102,18 +102,20 @@ def cluster_write(
     filters (tools/layout_probe.py: 8/16 vs 12/16 at 10%
     selectivity) at the same write cost.
     """
+    # validate BEFORE the quantile pass — approxQuantile is a sampled
+    # corpus scan; misuse must fail instantly, not after minutes
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError("curve='hilbert' supports exactly 2 columns")
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve: {curve!r} (zorder | hilbert)")
     buckets = quantile_buckets(df, cols, bits=bits)
     if curve == "hilbert":
-        if len(cols) != 2:
-            raise ValueError("curve='hilbert' supports exactly 2 columns")
         keyed = with_hilbert_key(
             df.withColumns({"__bx": buckets[0], "__by": buckets[1]}),
             "__bx", "__by", bits=bits, out="__zkey",
         ).drop("__bx", "__by")
-    elif curve == "zorder":
-        keyed = df.withColumn("__zkey", zorder_key(buckets, bits=bits))
     else:
-        raise ValueError(f"unknown curve: {curve!r} (zorder | hilbert)")
+        keyed = df.withColumn("__zkey", zorder_key(buckets, bits=bits))
     (
         keyed.repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")

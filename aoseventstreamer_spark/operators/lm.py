@@ -31,6 +31,8 @@ only then does one exp land back in float space.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +94,43 @@ def _map_unk(bi: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+@dataclass
+class PerplexityModel:
+    """A frozen bigram LM: the three count frames plus the optional
+    pruned vocabulary used to map OOV tokens at scoring time. Build
+    with ``train_bigram_model``; pass to ``perplexity_scores(...,
+    model=...)`` to score many frames/batches WITHOUT re-deriving the
+    model each time (persist() the members for streaming use)."""
+
+    c2: DataFrame
+    c1: DataFrame
+    vstats: DataFrame
+    vocab: DataFrame | None = None
+
+    def persist(self) -> "PerplexityModel":
+        for f in (self.c2, self.c1, self.vstats, self.vocab):
+            if f is not None:
+                f.persist()
+        return self
+
+    def unpersist(self) -> None:
+        for f in (self.c2, self.c1, self.vstats, self.vocab):
+            if f is not None:
+                f.unpersist()
+
+
+def train_bigram_model(
+    train: DataFrame, text_col: str = "text", vocab_size: int | None = None
+) -> PerplexityModel:
+    """Train once, score many: the PerplexityModel packages c2/c1/V
+    (and the pruned vocab, computed a single time) so repeated scoring
+    — per micro-batch, per corpus shard — reuses one model instead of
+    re-aggregating the training corpus per call."""
+    vocab = _vocab(train, text_col, vocab_size) if vocab_size is not None else None
+    c2, c1, vstats = _bigram_lm_counts_with_vocab(train, text_col, vocab)
+    return PerplexityModel(c2, c1, vstats, vocab)
+
+
 def bigram_lm_counts(
     train: DataFrame, text_col: str = "text", vocab_size: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -109,6 +148,13 @@ def bigram_lm_counts(
     by vocab_size² regardless of corpus size — small enough to
     broadcast at any scale. V then counts the mapped alphabet
     (min(vocab_size, distinct) + 1 for <unk> when any token is OOV)."""
+    vocab = _vocab(train, text_col, vocab_size) if vocab_size is not None else None
+    return _bigram_lm_counts_with_vocab(train, text_col, vocab)
+
+
+def _bigram_lm_counts_with_vocab(
+    train: DataFrame, text_col: str, vocab: DataFrame | None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     toks = train.select(_tokens(text_col).alias(_TOKS_ALIAS))
     bi = (
         toks.filter(F.size(F.col(_TOKS_ALIAS)) >= 2)
@@ -116,8 +162,7 @@ def bigram_lm_counts(
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
     unig = toks.select(F.explode(F.col(_TOKS_ALIAS)).alias("w"))
-    if vocab_size is not None:
-        vocab = _vocab(train, text_col, vocab_size)
+    if vocab is not None:
         bi = _map_unk(bi, vocab)
         unig = unig.join(
             F.broadcast(vocab.select(F.col("w").alias("__v1"))),
@@ -136,6 +181,7 @@ def perplexity_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_size: int | None = None,
+    model: PerplexityModel | None = None,
 ) -> DataFrame:
     """Per-document bigram perplexity under a model trained on
     ``train`` (default: score the corpus under itself). Returns
@@ -143,10 +189,15 @@ def perplexity_scores(
     4dp. Lower ppl = more like the training corpus — filter on it the
     way CCNet keeps its low-perplexity head. With ``vocab_size``,
     scored tokens outside the TRAINING vocabulary map to the same
-    ``<unk>`` the model was trained with (see bigram_lm_counts)."""
-    if train is None:
-        train = docs
-    c2, c1, vstats = bigram_lm_counts(train, text_col, vocab_size)
+    ``<unk>`` the model was trained with — the vocabulary is computed
+    ONCE and shared between training and scoring. Pass a pre-built
+    ``model`` (train_bigram_model) to score repeatedly without
+    re-deriving it."""
+    if model is None:
+        model = train_bigram_model(
+            docs if train is None else train, text_col, vocab_size
+        )
+    c2, c1, vstats = model.c2, model.c1, model.vstats
 
     doc_bi = (
         docs.select(F.col(id_col), _tokens(text_col).alias(_TOKS_ALIAS))
@@ -154,8 +205,8 @@ def perplexity_scores(
         .select(F.col(id_col), F.explode(_bigrams()).alias("b"))
         .select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    if vocab_size is not None:
-        doc_bi = _map_unk(doc_bi, _vocab(train, text_col, vocab_size))
+    if model.vocab is not None:
+        doc_bi = _map_unk(doc_bi, model.vocab)
     scored = (
         doc_bi.join(c2, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")

@@ -291,7 +291,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n_bytes,
            CASE WHEN text IS NULL OR text = '' THEN NULL
                 ELSE md5(text) END AS checksum
     FROM documents

@@ -213,43 +213,82 @@ class OnlineCurator:
     per-row gates (see _STATELESS_STEPS); ``("perplexity", {...})`` is
     allowed iff the params carry a ``train`` reference DataFrame (a
     FROZEN quality model — CCNet scores a crawl against wikipedia, not
-    against itself). Everything surviving the gates goes through the
+    against itself). The reference LM is trained ONCE at construction
+    and its model tables persisted, so per-batch gating is a broadcast
+    join against cached counts — never a re-scan of the reference
+    corpus. Everything surviving the gates goes through the
     OnlineDeduper's band-store admission, inheriting its replay
-    idempotence. ``counts`` after each batch reports
-    (arrived, gated, admitted) for audit."""
+    idempotence.
+
+    With ``observe=True``, ``counts`` after each batch reports
+    (arrived, gated, admitted): arrived/gated ride the admission
+    action as Observation metrics (no extra pass over the gate chain);
+    admitted is one count on the deduper's already-cached id frame.
+    Default off — a hot 250 ms-trigger loop should not pay even that."""
 
     def __init__(
         self,
         spark: SparkSession,
         state_root: str,
         steps: list[tuple[str, dict]],
+        observe: bool = False,
         **dedup_kwargs,
     ):
+        from aoseventstreamer_spark.operators import lm as LM
         from aoseventstreamer_spark.operators.curation import CurationPipeline
 
+        frozen_steps: list[tuple[str, dict]] = []
+        self._models: list[LM.PerplexityModel] = []
         for step, params in steps:
             if step == "perplexity":
-                if params.get("train") is None:
+                params = dict(params)
+                train = params.pop("train", None)
+                if train is None:
                     raise ValueError(
                         "online perplexity gating needs a pre-trained reference "
                         "frame: pass ('perplexity', {'max_ppl': ..., 'train': ref_df})"
                     )
+                model = LM.train_bigram_model(
+                    train, vocab_size=params.pop("vocab_size", None)
+                ).persist()
+                self._models.append(model)
+                params["model"] = model
             elif step not in _STATELESS_STEPS:
                 raise ValueError(
                     f"step {step!r} is not per-row-stateless; online near-dup "
                     "is handled by the band store, corpus-wide steps belong in "
                     "the batch CurationPipeline"
                 )
-        self._pipe = CurationPipeline(steps)
+            frozen_steps.append((step, params))
+        self._pipe = CurationPipeline(frozen_steps)
+        self._observe = observe
         self._deduper = OnlineDeduper(spark, state_root, **dedup_kwargs)
         self.counts: dict[str, int] = {}
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
-        gated = self._pipe.apply(batch_df)
+        gated = self._pipe.apply(batch_df, observe=self._observe)
         admitted = self._deduper.process_batch(gated, batch_id)
-        self.counts = {
-            "arrived": batch_df.count(),
-            "gated": gated.count(),
-            "admitted": admitted.count(),
-        }
+        if self._observe:
+            # the deduper's store write was the action the Observation
+            # metrics rode on; admitted_ids is cached inside it
+            try:
+                piped = self._pipe.counts()
+                arrived, gated_n = piped["input"], list(piped.values())[-1]
+            except Exception:
+                # when a batch admits NOTHING, AQE's empty-relation
+                # propagation replaces the store-write plan with an
+                # empty relation, pruning the CollectMetrics nodes —
+                # the metrics never fire and retrieval raises. Pay two
+                # explicit counts for that (rare) batch instead.
+                arrived, gated_n = batch_df.count(), gated.count()
+            self.counts = {
+                "arrived": arrived,
+                "gated": gated_n,
+                "admitted": admitted.count(),
+            }
         return admitted
+
+    def close(self) -> None:
+        """Release the persisted reference-model frames."""
+        for m in self._models:
+            m.unpersist()

@@ -87,6 +87,7 @@ def test_online_curator_gates_then_dedups(spark, tmp_path):
             ("min_words", {"n": 4}),
             ("perplexity", {"max_ppl": 1e6, "train": ref}),
         ],
+        observe=True,
     )
     good = "the cat sat on the mat again and again today"
     b1 = spark.createDataFrame(
@@ -98,9 +99,13 @@ def test_online_curator_gates_then_dedups(spark, tmp_path):
     assert a1 == {1}
     assert cur.counts == {"arrived": 3, "gated": 2, "admitted": 1}
 
-    # next batch: replaying the same content is rejected by the store
+    # next batch: replaying the same content is rejected by the store.
+    # Nothing is admitted, so AQE prunes the observed plan — counts
+    # must still be right via the fallback path.
     b2 = spark.createDataFrame([(9, good)], ["doc_id", "text"])
     assert cur.process_batch(b2, 1).count() == 0
+    assert cur.counts == {"arrived": 1, "gated": 1, "admitted": 0}
+    cur.close()
 
 
 def test_online_curator_refuses_corpus_wide_steps(spark, tmp_path):

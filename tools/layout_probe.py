@@ -19,11 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from aoseventstreamer_spark.operators.layout import (
-    quantile_buckets,
-    with_hilbert_key,
-    zorder_key,
-)
+from aoseventstreamer_spark.operators.layout import cluster_write
 from aoseventstreamer_spark.session import get_spark, load_table
 
 
@@ -52,21 +48,13 @@ def main() -> None:
         "event_id", F.col("user_id").cast("long").alias("user_id"),
         F.col("value").cast("double").alias("value"),
     )
-    bx, by = quantile_buckets(ev, ["user_id", "value"], bits=8)
-
     base = tempfile.mkdtemp(prefix="layout_probe_")
     zpath, hpath = os.path.join(base, "z"), os.path.join(base, "h")
-    (
-        ev.withColumn("__k", zorder_key([bx, by], bits=8))
-        .repartitionByRange(n_files, "__k").sortWithinPartitions("__k").drop("__k")
-        .write.mode("overwrite").parquet(zpath)
-    )
-    (
-        with_hilbert_key(ev.withColumns({"__bx": bx, "__by": by}), "__bx", "__by", bits=8, out="__k")
-        .drop("__bx", "__by")
-        .repartitionByRange(n_files, "__k").sortWithinPartitions("__k").drop("__k")
-        .write.mode("overwrite").parquet(hpath)
-    )
+    # the PRODUCTION write path for both layouts — the probe must
+    # measure what cluster_write actually does, not a re-implementation
+    # (quantile_buckets is deterministic, so both calls see one grid)
+    cluster_write(ev, zpath, ["user_id", "value"], n_files=n_files, curve="zorder")
+    cluster_write(ev, hpath, ["user_id", "value"], n_files=n_files, curve="hilbert")
 
     stats = {c: ev.approxQuantile(c, [0.45, 0.55, 0.25, 0.75], 0.001)
              for c in ("user_id", "value")}
