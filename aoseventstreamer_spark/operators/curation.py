@@ -49,6 +49,14 @@ class CurationPipeline:
     - ``("weighted_sample", {"weight_col": "n_chars"})`` —
       deterministic Bernoulli, P = w / max(w)
     - ``("hash_sample", {"rate_pct": 10})`` — deterministic uniform
+    - ``("materialize", {})`` — persist the frame AT THIS POINT in the
+      recipe (MEMORY_AND_DISK). Place it before a step that consumes
+      its input more than once — ``perplexity`` with ``train=None``
+      derives the model's c2/c1/vocab aggregates AND the scoring pass
+      from the same frame, so everything upstream (e.g. a near-dedup
+      chain) would otherwise be recomputed per consumer. Results are
+      identical either way; call ``release()`` when done with the
+      output to drop the cached blocks
 
     ``apply(docs, observe=True)`` returns the surviving frame;
     ``counts()`` (after the caller runs an action) returns the
@@ -57,9 +65,11 @@ class CurationPipeline:
 
     steps: list[tuple[str, dict]]
     _obs: list[tuple[str, Observation]] = field(default_factory=list, repr=False)
+    _cached: list[DataFrame] = field(default_factory=list, repr=False)
 
     def apply(self, docs: DataFrame, observe: bool = False) -> DataFrame:
         df = docs
+        self.release()  # a re-apply must not leak the prior run's cache
         self._obs = []
         if observe:
             df = self._tap(df, "input")
@@ -68,6 +78,13 @@ class CurationPipeline:
             if observe:
                 df = self._tap(df, f"{i}:{step}")
         return df
+
+    def release(self) -> None:
+        """Unpersist every frame cached by ``materialize`` steps in the
+        most recent ``apply`` (safe to call repeatedly / before any
+        action — unpersist on an unmaterialized frame is a no-op)."""
+        while self._cached:
+            self._cached.pop().unpersist()
 
     def counts(self) -> dict[str, int]:
         """Per-step retained counts; call after an action on apply()'s
@@ -148,6 +165,11 @@ class CurationPipeline:
             rate = p.pop("rate_pct")
             draw = uniform_draw("doc_id", salt=p.pop("salt", 0))
             out = df.filter(draw * 100 < F.lit(rate * _M32))
+        elif step == "materialize":
+            from pyspark import StorageLevel
+
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cached.append(out)
         else:
             raise ValueError(f"unknown curation step: {step}")
         if p:

@@ -60,6 +60,15 @@ def get_spark(
         # box; size for the machine (≤ half physical RAM, capped at
         # 32g so smaller hosts aren't OOM-killed), overridable via env
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY") or _default_driver_memory())
+        # Spark's codegen source formatter runs loop-regexes over the
+        # generated-Java string; on a wide plan (the protobuf decode +
+        # subject parse stream) that string exceeds 1 MiB and the
+        # default 1 MiB thread stack dies with StackOverflowError in
+        # java.util.regex on the stream-execution thread (observed once
+        # under full-box contention). 16 MiB stacks are virtual-only
+        # cost and remove the failure mode on both driver and executors.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
+        .config("spark.executor.extraJavaOptions", "-Xss16m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -116,6 +116,25 @@ def test_perplexity_step_filters_and_composes(spark, sf_dir):
     assert {r.doc_id for r in kept2.collect()} == {2}  # 1-token doc dropped
 
 
+def test_materialize_step_is_transparent_and_releasable(spark, sf_dir):
+    """``materialize`` changes the result in no way — it only persists
+    the frame at its recipe position (so a multi-consumer step like
+    self-trained perplexity reads the upstream chain once). release()
+    drops the cached blocks and is idempotent."""
+    docs = load_table(spark, sf_dir, "documents")
+    recipe_tail = [("perplexity", {"max_ppl": 29.5})]
+    head = [("lang", {"keep": ["en"]}), ("exact_dedup", {})]
+    plain = CurationPipeline(head + recipe_tail)
+    cached = CurationPipeline(head + [("materialize", {})] + recipe_tail)
+    a = {r.doc_id for r in plain.apply(docs).select("doc_id").collect()}
+    b = {r.doc_id for r in cached.apply(docs).select("doc_id").collect()}
+    assert a == b and a
+    assert cached._cached and cached._cached[0].is_cached
+    cached.release()
+    assert not cached._cached
+    cached.release()  # idempotent
+
+
 def test_registered_full_capstone(spark, sf_dir):
     """The 6-step capstone runs and its pre-sample survivor set is a
     strict subset of the 4-step one's (the near-dup + perplexity gates

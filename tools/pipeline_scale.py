@@ -95,6 +95,30 @@ def main() -> None:
             .filter(~F.col("is_keeper"))
             .count(),
         )
+
+        # the FULL 6-step curation recipe in one plan (round-4 form:
+        # portable near-dup + self-trained perplexity gate). The
+        # amplified corpus is near-dup-dense, so the near_dedup step
+        # does real work at every factor.
+        from aoseventstreamer_spark.operators.curation import CurationPipeline
+
+        pipe = CurationPipeline(
+            [
+                ("lang", {"keep": ["en"]}),
+                ("quality", {"min_score": 0.5}),
+                ("exact_dedup", {}),
+                ("near_dedup", {"threshold": 0.4, "max_bucket_size": 200}),
+                # perplexity with train=None reads its input ~5x (model
+                # aggregates + scoring); cache the near-dedup survivors
+                # so the LSH chain above runs once, not five times
+                ("materialize", {}),
+                ("perplexity", {"max_ppl": 35.0}),
+                ("weighted_sample", {"weight_col": "n_chars"}),
+            ]
+        )
+        cdocs = docs.withColumn("n_chars", F.length("text").cast("long"))
+        probe("curation_full_6step", lambda: pipe.apply(cdocs).count())
+        pipe.release()
         docs.unpersist()
     spark.stop()
 
