@@ -64,3 +64,83 @@ DRAW_SQL = (
     "       * 2654435761) % 65536) * 65536"
     ") % 4294967296)"
 )
+
+
+def domain_mix(
+    docs,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Deterministic target-proportion domain mixing: downsample each
+    source so the RETAINED corpus matches the integer weight ratio
+    ``weights`` exactly, keeping as many rows as the scarcest source
+    allows (the standard 'data recipe' step in published pretraining
+    mixes — fixed sampling proportions per domain, e.g. GPT-3 §2.2 /
+    Gopher table A1 — expressed as an exact integer allocation instead
+    of rand() draws).
+
+    With W = sum(weights) and N_s rows available per source, the
+    budget is B = min_s(N_s * W div w_s) — the largest total size
+    whose per-source quota k_s = B * w_s div W never exceeds N_s (all
+    BIGINT arithmetic, so Spark and an oracle engine agree bit-for-bit;
+    div truncation equals floor on these non-negative operands).
+    Within a source, the quota picks the k_s rows with the smallest
+    (uniform_draw(id), id) — a deterministic uniform subsample,
+    idempotent under re-runs and crash-replays.
+
+    Sources absent from ``weights`` are dropped (weight 0); a weighted
+    source missing from the corpus makes the mix infeasible and raises.
+
+    Scale shape: one map-side-combined count per source (tiny output),
+    driver-free quota derivation (min-aggregate joined back by
+    broadcast), then ONE shuffle partitioned by source for the
+    rank-within-source filter — the same per-stratum top-k shape as
+    reservoir sampling. A 100 TB corpus with a handful of domains is
+    skewed by construction; the rank sort is per-partition on a long
+    key, and AQE skew-split applies to the exchange. Rows:
+    (source, id, rn) with rn <= quota.
+    """
+    if not weights:
+        raise ValueError("domain_mix needs at least one weighted source")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("domain_mix weights must be positive integers")
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    W = int(sum(weights.values()))
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())], f"{source_col} string, w long"
+    )
+    counts = docs.groupBy(source_col).count().withColumnRenamed("count", "n")
+    # left join from the weight table keeps every WEIGHTED source; one
+    # with no corpus rows (n null) makes the mix infeasible — fail the
+    # job loudly at execution time (lazy, in-plan) rather than zeroing
+    # every quota. counts is post-aggregation (one row per distinct
+    # source), so it is the broadcastable side.
+    avail = wdf.join(F.broadcast(counts), source_col, "left").withColumn(
+        "n",
+        F.when(
+            F.col("n").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("domain_mix: weighted source absent from corpus: "),
+                    F.col(source_col),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n")),
+    )
+    budget = avail.agg(F.min(F.expr(f"n * {W} div w")).alias("b"))
+    quota = (
+        avail.crossJoin(F.broadcast(budget))
+        .select(source_col, F.expr(f"b * w div {W}").alias("k"))
+    )
+    rn_w = Window.partitionBy(source_col).orderBy(
+        uniform_draw(id_col), F.col(id_col)
+    )
+    return (
+        docs.join(F.broadcast(quota), source_col)
+        .withColumn("rn", F.row_number().over(rn_w).cast("long"))
+        .filter(F.col("rn") <= F.col("k"))
+        .select(source_col, id_col, "rn")
+    )

@@ -572,3 +572,40 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor("value").cast("long") % 256).alias("__y"),
     )
     return with_hilbert_key(ev, "__x", "__y", bits=8).select("event_id", "hkey")
+
+
+_MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+_MIX_W = sum(_MIX_WEIGHTS.values())
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+
+
+@query(
+    "q_target_mix",
+    oracle=f"""
+    WITH wts(source, w) AS (VALUES {_MIX_VALUES}),
+    counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    avail AS (SELECT w.source, c.n, w.w FROM wts w JOIN counts c USING (source)),
+    budget AS (SELECT MIN(n * {_MIX_W} // w) AS b FROM avail),
+    quota AS (SELECT source, (b * w) // {_MIX_W} AS k FROM avail, budget),
+    ranked AS (SELECT source, doc_id,
+                      CAST(ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY {_H_SQL.format(c='doc_id')}, doc_id) AS BIGINT) AS rn
+               FROM documents)
+    SELECT r.source, r.doc_id, r.rn
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.k
+    """,
+)
+def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion domain mixing (operators/sampling.domain_mix):
+    downsample sources to an exact 5:3:2:1:1 retained ratio, sized by
+    the scarcest source — the published pretraining-recipe step (fixed
+    per-domain sampling proportions a la GPT-3 §2.2 / Gopher A1) as an
+    exact integer allocation instead of rand() draws. The oracle
+    replays the identical BIGINT quota arithmetic and hash-rank
+    selection as chained CTEs; `div`-vs-`//` agree because every
+    operand is non-negative."""
+    from aoseventstreamer_spark.operators.sampling import domain_mix
+
+    return domain_mix(t(spark, sf_dir, "documents"), _MIX_WEIGHTS)

@@ -329,3 +329,57 @@ def test_train_val_test_dedup_safe(spark):
     ).collect()
     by_id = {r.doc_id: r.split for r in out}
     assert by_id[1] == by_id[2]  # normalization-equal docs stay together
+
+
+def test_domain_mix_exact_quotas_and_ratio(spark, sf_dir):
+    """domain_mix keeps exactly B*w div W rows per source (B sized by
+    the scarcest source), the kept set is the hash-rank prefix within
+    each source, and re-running selects the identical rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.operators.sampling import domain_mix, uniform_draw
+    from aoseventstreamer_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+    out = domain_mix(docs, weights)
+    got = {(r.source, r.doc_id) for r in out.collect()}
+
+    # independently derive the expected allocation in Python
+    counts = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    W = sum(weights.values())
+    budget = min(counts[s] * W // w for s, w in weights.items())
+    quotas = {s: budget * w // W for s, w in weights.items()}
+    draws = {
+        (r.source, r.doc_id): r.d
+        for r in docs.select(
+            "source", "doc_id", uniform_draw("doc_id").alias("d")
+        ).collect()
+        if r.source in weights
+    }
+    expect = set()
+    for s, k in quotas.items():
+        ranked = sorted(
+            (d for d in draws if d[0] == s), key=lambda t: (draws[t], t[1])
+        )
+        expect |= set(ranked[:k])
+    assert got == expect
+    # per-source retained counts realize the 5:3:2:1:1 allocation
+    per = {s: sum(1 for x in got if x[0] == s) for s in weights}
+    assert per == quotas and sum(per.values()) > 0
+    # unweighted sources are dropped entirely
+    assert {s for s, _ in got} == set(weights)
+    # determinism: a second run returns the identical set
+    assert {(r.source, r.doc_id) for r in domain_mix(docs, weights).collect()} == got
+
+    # infeasible mix (weighted source absent) fails loudly, not empty
+    with pytest.raises(Exception, match="absent from corpus"):
+        domain_mix(docs, {"src0": 1, "no_such_source": 1}).collect()
+    with pytest.raises(ValueError, match="positive"):
+        domain_mix(docs, {"src0": 0})
+    with pytest.raises(ValueError, match="at least one"):
+        domain_mix(docs, {})
