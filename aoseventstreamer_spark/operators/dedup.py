@@ -616,23 +616,35 @@ def verified_near_dup_pairs(
     gram array twice. Shared by q_near_dup_verified and the
     CurationPipeline near_dedup step, so the two stay in lockstep.
 
-    Gram arrays are computed AFTER the candidate join (on the melted
-    (pair, text) rows), not for the whole corpus: candidates are
-    sparse by construction (that is the point of LSH), so at corpus
-    scale this grams only the handful of docs that appear in a pair —
-    measured 2.3 s → 1.5 s at sf0.1, and the ratio grows with corpus
-    size. A doc in k pairs re-derives its grams k times; that is the
-    right trade until pair multiplicity rivals corpus size, which
-    would mean the LSH thresholds are wrong anyway.
+    Gram arrays are computed once per CANDIDATE doc (semi-join of the
+    corpus against the melted pair ids), never for the whole corpus
+    and never per pair: candidates are sparse by construction at
+    corpus scale, but on a near-dup-DENSE corpus one doc sits in tens
+    of pairs, and the previous per-melted-row shape re-derived (and
+    re-shuffled) its grams once per pair side — measured 255 s for a
+    30k-doc / 152k-pair adversarial amplification. Grams are also
+    hashed to 8-byte longs before the pair join: set SIZES — all
+    Jaccard needs — survive xxhash64 short of a 2^-64 collision,
+    while the shuffled gram payload drops ~4x vs distinct 3-char
+    strings and array_intersect compares longs, not strings. Same
+    probe: 255 s → 14 s, identical pair set; sparse-regime sf0.1
+    runtime unchanged.
     """
     candidates = minhash_dedup_pairs(df, text_col=text_col, id_col=id_col, **minhash_kwargs)
-    texts = df.select(F.col(id_col), F.col(text_col).alias("__text"))
     melted = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
+    gram_tbl = (
+        df.join(melted.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.transform(
+                ngram_set(text_col, ngram_n), lambda g: F.xxhash64(g)
+            ).alias("grams"),
+        )
+    )
     per_pair = (
-        melted.join(texts, id_col)
-        .withColumn("grams", ngram_set("__text", ngram_n))
+        melted.join(gram_tbl, id_col)
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(
