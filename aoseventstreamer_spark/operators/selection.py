@@ -1,0 +1,372 @@
+"""Model-based data selection: DSIR importance resampling and a
+multinomial Naive Bayes text classifier.
+
+Two public-method selection operators a pretraining pipeline runs
+after heuristic filtering (the Gopher/quality suite in
+queries/pipeline_pack.py) and before tokenization:
+
+- **DSIR** (Data Selection via Importance Resampling, Xie et al.
+  2023, public): score every raw document by how target-like its
+  hashed n-gram feature distribution is — log importance weight
+  ``w(x) = Σ_f ln(p_target(f) / p_raw(f))`` over hashed unigram +
+  bigram features — then resample k documents WITHOUT replacement via
+  the Gumbel top-k trick (add independent Gumbel(0,1) noise to each
+  log weight and take the k largest). The feature hash space is a
+  fixed ``buckets``-sized table, so the fitted model is O(buckets)
+  regardless of corpus size and always broadcasts; scoring is one
+  explode + one broadcast join + one per-doc aggregate — the same
+  100 TB shape as BM25/perplexity scoring in this repo.
+
+- **Multinomial Naive Bayes** (the fastText-style linear-classifier
+  slot in CCNet/DCLM-like pipelines, trained here as closed-form
+  counts instead of SGD so it is exactly reproducible): per-class
+  token log-likelihoods with add-1 smoothing, argmax over classes.
+  The model is (num_classes × vocab) counts — Heaps-law bounded,
+  broadcastable — and scoring is explode + broadcast join +
+  per-(doc, class) aggregate + one window argmax.
+
+Cross-engine determinism (the repo-wide discipline from
+operators/lm.py and lexical.py): every ln lands in integer
+micro-nats (``round(ln(x) * 1e6)`` as BIGINT) BEFORE any sum, so
+aggregation order cannot drift; the only floats that survive are
+single deterministic double divisions. Hashes are md5-derived
+(``dedup.md5_long``) so DuckDB reproduces them bit-for-bit.
+
+Scale notes:
+- One shuffle per aggregation, all keyed on (bucket) / (doc_id) /
+  (doc_id, class) — never a global sort in the scoring path; the
+  final top-k in ``dsir_select`` is rank-over-score on the SCORED
+  frame (16 bytes/doc), and Catalyst turns the deterministic
+  ``ORDER BY … LIMIT k`` form into TakeOrderedAndProject when k is
+  a literal.
+- The NB cross join against the class list multiplies the exploded
+  token stream by num_classes — fine for the handful of classes a
+  lang-id / quality head has; for hundreds of classes, invert to a
+  join on (token) against the model and pivot, which this module's
+  model layout already supports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import MD5_LONG_SQL, md5_long
+from .text import whitespace_tokens
+
+M32 = 2**32
+_U = 1_000_000  # micro-nat fixed-point scale
+
+
+def _lnu(c: Column) -> Column:
+    """round(ln(c) * 1e6) as BIGINT — integer micro-nats."""
+    return F.round(F.log(c) * _U).cast("long")
+
+
+def _doc_features(
+    df: DataFrame, text_col: str, id_col: str, buckets: int, extra: list[str]
+) -> DataFrame:
+    """(id, extra..., b): one row per hashed unigram AND bigram
+    feature instance. Bigrams are the space-joined adjacent pair (the
+    DSIR paper's hashed n-gram featurization); both feature kinds
+    share one hash space of ``buckets`` ids. md5_long is >= 0, so
+    plain ``%`` matches DuckDB."""
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in extra], whitespace_tokens(text_col).alias("__t")
+    )
+    uni = toks.select(id_col, *extra, F.explode("__t").alias("f"))
+    bi = toks.filter(F.size("__t") >= 2).select(
+        F.col(id_col),
+        *extra,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+            )
+        ).alias("f"),
+    )
+    return uni.unionByName(bi).select(
+        id_col, *extra, (md5_long("f") % buckets).alias("b")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR log importance weight.
+
+    ``target_filter`` marks the target (high-quality) subset of
+    ``df``; the raw distribution is all of ``df`` (the scored corpus
+    itself, so every scored feature bucket is present in the raw
+    counts by construction — no unseen-bucket default is needed).
+    Both bucket-count vectors come out of ONE aggregation over the
+    feature stream (conditional count for the target side).
+
+    Returns (id_col, n_feats, logw_u, logw): logw_u is the exact
+    integer micro-nat sum (use it for any downstream arithmetic);
+    logw = logw_u / 1e6 is the same value as a double (one exact
+    decimal scaling, no rounding step to tie-break).
+    """
+    feats = _doc_features(
+        df.withColumn("__is_t", target_filter), text_col, id_col, buckets, ["__is_t"]
+    )
+    per_bucket = feats.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.count_if(F.col("__is_t")).cast("long").alias("ct"),
+    )
+    tot = per_bucket.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    # ln(p_t / p_r) with add-1 smoothing over the bucket alphabet:
+    # p_t(b) = (ct+1)/(tt+B), p_r(b) = (cr+1)/(tr+B). One ln of one
+    # double ratio, then micro-nat rounding — the doubles are products
+    # of exact counts, identical in any engine.
+    model = per_bucket.join(F.broadcast(tot)).select(
+        "b",
+        _lnu(
+            ((F.col("ct") + 1.0) * (F.col("tr") + F.lit(buckets)))
+            / ((F.col("cr") + 1.0) * (F.col("tt") + F.lit(buckets)))
+        ).alias("lr_u"),
+    )
+    return (
+        feats.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr_u").alias("logw_u"),
+        )
+        .withColumn("logw", F.col("logw_u") / float(_U))
+    )
+
+
+def gumbel_key_u(id_col: str, salt: str = "g") -> Column:
+    """Deterministic micro-nat Gumbel(0,1) draw per id: the md5-hash
+    of the salted id gives u ∈ (0,1) (offset by +0.5/2^32 so u is
+    never 0 or 1), and g = -ln(-ln(u)) is the standard inverse-CDF
+    Gumbel. Hash-derived, so both engines draw the same noise —
+    deterministic resampling, the same trick as sampling.uniform_draw."""
+    u = (
+        F.pmod(md5_long(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(M32))
+        + 0.5
+    ) / float(M32)
+    return F.round(-F.log(-F.log(u)) * _U).cast("long")
+
+
+def dsir_select(
+    df: DataFrame,
+    k: int,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Gumbel top-k importance resampling: keep the k documents with
+    the largest ``logw_u + Gumbel_u`` — a draw WITHOUT replacement
+    from the softmax of the importance weights (the Gumbel-max
+    argument, public folklore; DSIR §2.2 uses exactly this). Ties
+    (measure-zero but the oracle must agree) break on id.
+
+    Returns (id_col, n_feats, logw, rank), rank 1..k by descending
+    perturbed score. The corpus-wide selection is ``ORDER BY … LIMIT
+    k`` — Catalyst plans TakeOrderedAndProject (per-partition top-k
+    heaps, no global sort, no single-partition shuffle of the corpus);
+    only the k survivors enter the rank window."""
+    scored = dsir_log_weights(df, target_filter, text_col, id_col, buckets)
+    keyed = scored.withColumn("__s", F.col("logw_u") + gumbel_key_u(id_col))
+    top = keyed.orderBy(F.desc("__s"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+    return top.select(
+        id_col,
+        "n_feats",
+        "logw",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+def dsir_oracle_sql(
+    table: str = "documents",
+    target_where: str = "source = 'src0'",
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> str:
+    """DuckDB SQL replaying dsir_log_weights / dsir_select exactly
+    (same tokenization, hash buckets, smoothing, micro-nat rounding,
+    Gumbel keys and tie-break)."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    h = MD5_LONG_SQL.format(c="f")
+    g_u = (
+        "CAST(ROUND(-ln(-ln((("
+        + MD5_LONG_SQL.format(c=f"'g:' || CAST({id_col} AS VARCHAR)")
+        + f" % {M32}) + 0.5) / {M32}.0)) * {_U}) AS BIGINT)"
+    )
+    select = (
+        f"SELECT {id_col}, n_feats, logw_u / {_U}.0 AS logw FROM scored"
+        if k is None
+        else f"""SELECT {id_col}, n_feats, logw, rank FROM (
+      SELECT {id_col}, n_feats, logw_u / {_U}.0 AS logw,
+             CAST(ROW_NUMBER() OVER (ORDER BY logw_u + {g_u} DESC, {id_col} ASC)
+                  AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}"""
+    )
+    return f"""
+    WITH docs AS (
+      SELECT {id_col}, ({target_where}) AS is_t, {toks} AS arr FROM {table}
+    ), feats AS (
+      SELECT {id_col}, is_t, {h} % {buckets} AS b FROM (
+        SELECT {id_col}, is_t, t.w AS f FROM docs, UNNEST(arr) AS t(w)
+        UNION ALL
+        SELECT {id_col}, is_t, arr[i] || ' ' || arr[i + 1] AS f
+        FROM docs, UNNEST(range(1, len(arr))) AS t(i) WHERE len(arr) >= 2
+      )
+    ), per_bucket AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS ct
+      FROM feats GROUP BY b
+    ), tot AS (
+      SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM per_bucket
+    ), model AS (
+      SELECT b, CAST(ROUND(ln(
+        ((ct + 1.0) * (tr + {buckets})) / ((cr + 1.0) * (tt + {buckets}))
+      ) * {_U}) AS BIGINT) AS lr_u
+      FROM per_bucket CROSS JOIN tot
+    ), scored AS (
+      SELECT f.{id_col}, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             SUM(m.lr_u) AS logw_u
+      FROM feats f JOIN model m USING (b) GROUP BY f.{id_col}
+    )
+    {select}
+    """
+
+
+def nb_train(
+    train: DataFrame, class_col: str, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Closed-form multinomial NB fit: returns (ctk, cls, vstats).
+
+    ctk = (cls, w, c) per-class token counts; cls = per-class token
+    totals AND ln-prior (doc-count based, micro-nats); vstats = the
+    1-row training vocabulary size. All three stay DataFrames so
+    classify composes into one plan; ctk is (classes × vocab) rows —
+    prune the vocabulary upstream (lm._vocab style) if it ever
+    threatens the broadcast threshold."""
+    toks = train.select(
+        F.col(class_col).alias("cls"), whitespace_tokens(text_col).alias("__t")
+    )
+    tok = toks.select("cls", F.explode("__t").alias("w"))
+    ctk = tok.groupBy("cls", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_docs = train.count()  # scalar: priors need the corpus size once
+    cls = (
+        toks.groupBy("cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_c"))
+        .join(ctk.groupBy("cls").agg(F.sum("c").alias("n_tok_c")), "cls")
+        .select(
+            "cls",
+            "n_tok_c",
+            _lnu(F.col("n_docs_c") / float(n_docs)).alias("prior_u"),
+        )
+    )
+    vstats = tok.agg(F.count_distinct("w").cast("long").alias("v"))
+    return ctk, cls, vstats
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Argmax-class NB prediction: score(doc, cls) = prior_u +
+    Σ_tokens round(ln((c+1)/(n_tok_c+V))·1e6). The exploded token
+    stream is crossed with the (small) class list, left-joined against
+    the broadcast model, partially aggregated per (doc, class), and
+    the argmax is one row_number window partitioned by doc (ties
+    break on class ascending, so both engines pick the same label).
+
+    Returns (id_col, pred, score) — score is the winning class's
+    mean per-token log-likelihood in nats (exact integer division by
+    token count at micro-scale, then one double scaling)."""
+    ctk, cls, vstats = model
+    dtok = docs.select(F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("w"))
+    per = (
+        dtok.crossJoin(F.broadcast(cls))
+        .join(F.broadcast(ctk), ["cls", "w"], "left")
+        .join(F.broadcast(vstats))
+        .withColumn(
+            "lp_u",
+            _lnu(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("n_tok_c") + F.greatest(F.col("v"), F.lit(1)))
+            ),
+        )
+        .groupBy(id_col, "cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            (F.first("prior_u") + F.sum("lp_u")).alias("score_u"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_u"), F.asc("cls"))
+    return (
+        per.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        # negate before integer division: score_u < 0, and Spark div
+        # truncates while DuckDB // floors — they agree on >= 0 only
+        .select(
+            F.col(id_col),
+            F.col("cls").alias("pred"),
+            (-F.expr("(-score_u) div n_tok") / float(_U)).alias("score"),
+        )
+    )
+
+
+def nb_oracle_sql(
+    table: str = "documents",
+    class_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB SQL replaying nb_train + nb_classify (self-train on
+    ``table``, predict every row)."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    return f"""
+    WITH docs AS (
+      SELECT {id_col}, {class_col} AS cls, {toks} AS arr FROM {table}
+    ), tok AS (
+      SELECT {id_col}, cls, t.w FROM docs, UNNEST(arr) AS t(w)
+    ), ctk AS (
+      SELECT cls, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY cls, w
+    ), cls AS (
+      SELECT d.cls, k.n_tok_c,
+             CAST(ROUND(ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM docs))
+                  * {_U}) AS BIGINT) AS prior_u
+      FROM docs d
+      JOIN (SELECT cls, SUM(c) AS n_tok_c FROM ctk GROUP BY cls) k USING (cls)
+      GROUP BY d.cls, k.n_tok_c
+    ), vstats AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tok
+    ), per AS (
+      SELECT d.{id_col}, c.cls,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             ANY_VALUE(c.prior_u) + SUM(CAST(ROUND(ln(
+               (COALESCE(ctk.c, 0) + 1.0) / (c.n_tok_c + GREATEST(v.v, 1))
+             ) * {_U}) AS BIGINT)) AS score_u
+      FROM (SELECT {id_col}, t.w FROM docs, UNNEST(arr) AS t(w)) d
+      CROSS JOIN cls c
+      LEFT JOIN ctk ON ctk.cls = c.cls AND ctk.w = d.w
+      CROSS JOIN vstats v
+      GROUP BY d.{id_col}, c.cls
+    )
+    SELECT {id_col}, cls AS pred,
+           -((-score_u) // n_tok) / {_U}.0 AS score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                   ORDER BY score_u DESC, cls ASC) AS r
+      FROM per
+    ) WHERE r = 1
+    """
