@@ -261,7 +261,10 @@ def nb_train(
     )
     tok = toks.select("cls", F.explode("__t").alias("w"))
     ctk = tok.groupBy("cls", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    n_docs = train.count()  # scalar: priors need the corpus size once
+    # priors without a driver-side count(): the total is a window sum
+    # over the (num_classes)-row class frame, so the fit stays one
+    # lazy plan (persist the three frames for train-once/score-many)
+    w_all = Window.partitionBy()
     cls = (
         toks.groupBy("cls")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs_c"))
@@ -269,7 +272,7 @@ def nb_train(
         .select(
             "cls",
             "n_tok_c",
-            _lnu(F.col("n_docs_c") / float(n_docs)).alias("prior_u"),
+            _lnu(F.col("n_docs_c") / F.sum("n_docs_c").over(w_all)).alias("prior_u"),
         )
     )
     vstats = tok.agg(F.count_distinct("w").cast("long").alias("v"))
