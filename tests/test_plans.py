@@ -265,3 +265,37 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dsir_select_plans_take_ordered_and_broadcast_model(spark, sf_dir):
+    """The DSIR resample's corpus-wide top-k must be
+    TakeOrderedAndProject (per-partition heaps), and the O(buckets)
+    model must reach the feature stream via broadcast — never a
+    shuffle of the exploded features for the model join."""
+    from aoseventstreamer_spark.plans.inspect import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+
+    df = QUERIES["q_dsir_select"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_nb_classify_model_joins_broadcast(spark, sf_dir):
+    """NB scoring: the (classes x vocab) model and the class/vocab
+    stats frames all broadcast against the exploded token stream; the
+    per-doc argmax is a WindowGroupLimit (rank<=1 pushed into the
+    shuffle), not a full window materialization."""
+    from aoseventstreamer_spark.plans.inspect import (
+        broadcast_join_count,
+        formatted_plan,
+    )
+
+    df = QUERIES["q_nb_classify"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert broadcast_join_count(df) >= 2
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
