@@ -118,3 +118,76 @@ def merge_scd2(
         .drop("__close_at")
     )
     return closed.unionByName(new_rows)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Corpus-version diff: classify every key across two snapshots as
+    ``added`` / ``removed`` / ``changed`` (unchanged rows are dropped —
+    at snapshot scale they are the overwhelming majority and carrying
+    them would make the diff as large as the corpus).
+
+    Change detection compares an md5 fingerprint of the concatenated
+    ``compare_cols`` (null-tagged, unit-separated) instead of the
+    columns themselves, so wide rows diff by exchanging 16-byte
+    hashes, not payloads. One full-outer shuffle join on the key — the
+    minimal cost of any diff; at 100 TB co-partition both snapshots on
+    the key (bucketed writes) and the join is shuffle-free.
+
+    Returns (key, status) with status in {'added','removed','changed'}.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
+        ]
+        return df.select(F.col(key), F.md5(F.concat_ws("\x1f", *tagged)).alias("__fp"))
+
+    o = fp(old).withColumnRenamed("__fp", "__fp_old")
+    n = fp(new).withColumnRenamed("__fp", "__fp_new")
+    return (
+        o.join(n, key, "full_outer")
+        .withColumn(
+            "status",
+            F.when(F.col("__fp_old").isNull(), F.lit("added"))
+            .when(F.col("__fp_new").isNull(), F.lit("removed"))
+            .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed")),
+        )
+        .filter(F.col("status").isNotNull())
+        .select(key, "status")
+    )
+
+
+def incremental_admit(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time exact-dedup admission for a NEW batch against an
+    EXISTING corpus (the batch-mode sibling of
+    streaming/online_dedup.OnlineDeduper's exact tier): admit each
+    batch document unless its text fingerprint already exists in the
+    corpus OR an earlier (smaller-id) batch document claims it —
+    min-id-wins within the batch, matching operators/dedup.exact_dedup.
+
+    Scale shape: the corpus side is reduced to DISTINCT fingerprints
+    before the join (16-byte md5 rows, aggregated map-side), then one
+    left-anti equi-join on the fingerprint plus one within-batch
+    min-id aggregation — no corpus rewrite, no pairwise term. At
+    100 TB keep the corpus fingerprint table materialized and bucketed
+    on the fingerprint (or front it with a bloom filter, see
+    tests/test_plans.py's runtime bloom gate) so per-batch admission
+    never rescans the text.
+
+    Returns the admitted batch rows (id, fingerprint).
+    """
+    fp = F.md5(F.col(text_col))
+    seen = corpus.select(fp.alias("fp")).distinct()
+    cand = batch.select(F.col(id_col), fp.alias("fp"))
+    fresh = cand.join(seen, "fp", "left_anti")
+    keeper = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return keeper.select(id_col, "fp")

@@ -1,0 +1,104 @@
+"""Corpus-versioning pack: snapshot diff and incremental admission.
+
+A training corpus is rebuilt in snapshots (crawl v1, v2, …); the two
+operations between snapshots are "what changed" (diff drives
+incremental re-tokenization — only added/changed docs re-enter the
+pipeline) and "admit only genuinely new text" (exact-dedup a new
+batch against everything already ingested, without rewriting the
+corpus). Both queries derive their two corpus versions
+deterministically from the fixture table (the same convention as the
+TPC-H partsupp derivation) and are hash-exact against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators.merge import incremental_admit, snapshot_diff
+from aoseventstreamer_spark.queries import query, t
+
+
+def _old(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("doc_id") % 7 != 0)
+
+
+def _new(docs: DataFrame) -> DataFrame:
+    # v2 snapshot: every 5th doc was dropped, every 11th rewritten
+    return docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, text, source, lang FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+             source, lang
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN (o.text, o.source, o.lang) IS DISTINCT FROM
+                     (n.text, n.source, n.lang) THEN 'changed'
+           END AS status
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN (o.text, o.source, o.lang) IS DISTINCT FROM
+                    (n.text, n.source, n.lang) THEN 'changed'
+          END IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff (operators/merge.snapshot_diff):
+    classify every doc_id as added / removed / changed between the v1
+    and v2 corpus versions, comparing 16-byte md5 fingerprints of the
+    (text, source, lang) payload instead of shipping the payload
+    through the join. The oracle compares the tuples directly — same
+    semantics, which is the point of fingerprinting: equality of the
+    hash IS equality of the row (mod md5 collisions). One full-outer
+    join on the key; bucket both snapshots on doc_id at scale and it
+    is shuffle-free."""
+    docs = t(spark, sf_dir, "documents")
+    return snapshot_diff(
+        _old(docs), _new(docs), "doc_id", ["text", "source", "lang"]
+    )
+
+
+@query(
+    "q_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT text FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+    ), seen AS (
+      SELECT DISTINCT md5(text) AS fp FROM corpus
+    ), fresh AS (
+      SELECT b.doc_id, b.fp FROM batch b ANTI JOIN seen s USING (fp)
+    )
+    SELECT MIN(doc_id) AS doc_id, fp FROM fresh GROUP BY fp
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup admission
+    (operators/merge.incremental_admit): a new ingest batch (every 5th
+    doc) is admitted only where its text fingerprint is absent from
+    the existing corpus (the other 4/5), min-id-wins within the batch
+    — the batch-mode sibling of the streaming OnlineDeduper's exact
+    tier. The corpus collapses to DISTINCT 16-byte fingerprints
+    map-side before the anti-join; no corpus rewrite, no text
+    shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return incremental_admit(
+        docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+    )

@@ -167,3 +167,47 @@ def test_engine_fresh_log_reads_empty(spark, tmp_path):
     eng = EventStreamerEngine(spark, str(tmp_path / "fresh"), secret="t")
     assert eng.event_log().count() == 0
     assert eng.query_events(["p1"], True).count() == 0
+
+
+def test_snapshot_diff_classifies_all_three_statuses(spark):
+    from aoseventstreamer_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "x"), (4, "d", "x")],
+        "id long, text string, meta string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "x"), (3, "c-EDITED", "x"), (4, "d", "y"), (5, "e", "x")],
+        "id long, text string, meta string",
+    )
+    got = {r.id: r.status for r in snapshot_diff(old, new, "id", ["text", "meta"]).collect()}
+    # 1 removed; 2 unchanged (absent); 3 text-changed; 4 meta-changed; 5 added
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_are_distinct(spark):
+    from aoseventstreamer_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, text string")
+    new = spark.createDataFrame([(1, "")], "id long, text string")
+    got = snapshot_diff(old, new, "id", ["text"]).collect()
+    assert [(r.id, r.status) for r in got] == [(1, "changed")]
+
+
+def test_incremental_admit_min_id_wins_and_corpus_blocks(spark):
+    from aoseventstreamer_spark.operators.merge import incremental_admit
+
+    corpus = spark.createDataFrame(
+        [(100, "already ingested")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new"),
+            (7, "brand new"),        # within-batch dup of 1 -> dropped
+            (3, "already ingested"),  # corpus dup -> dropped
+            (5, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in incremental_admit(corpus, batch).collect())
+    assert got == [1, 5]
