@@ -106,3 +106,63 @@ def test_nb_classify_matches_oracle_on_random_corpora(spark, rows):
     got = _rows(nb_classify(sdf, nb_train(sdf, "lang")), ["doc_id", "pred", "score"])
     want = _oracle(con, nb_oracle_sql(class_col="lang"), ["doc_id", "pred", "score"])
     assert got == want
+
+
+from aoseventstreamer_spark.operators.dedup import (  # noqa: E402
+    minhash_dedup_pairs,
+    minhash_band_oracle_sql,
+    simhash_docs,
+    simhash_oracle_sql,
+)
+from aoseventstreamer_spark.operators.sampling import (  # noqa: E402
+    DRAW_SQL,
+    uniform_draw,
+)
+
+
+@given(rows=_corpus)
+@_FUZZ
+def test_portable_simhash_matches_oracle_on_random_corpora(spark, rows):
+    sdf, con = _frames(spark, rows)
+    got = _rows(simhash_docs(sdf, portable=True), ["doc_id", "simhash"])
+    want = _oracle(con, simhash_oracle_sql(), ["doc_id", "simhash"])
+    assert got == want
+
+
+@given(rows=_corpus)
+@_FUZZ
+def test_portable_minhash_bands_match_oracle_on_random_corpora(spark, rows):
+    sdf, con = _frames(spark, rows)
+    got = _rows(minhash_dedup_pairs(sdf, portable=True), ["doc_a", "doc_b"])
+    want = _oracle(con, minhash_band_oracle_sql(), ["doc_a", "doc_b"])
+    assert got == want
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@_FUZZ
+def test_uniform_draw_matches_oracle_over_full_int64(spark, ids):
+    """The exact trap ADVICE r3 flagged: draws must agree (and stay in
+    [0, 2^32)) for EVERY int64 id, negatives and near-overflow
+    included."""
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(
+        tuple(r)
+        for r in sdf.select("doc_id", uniform_draw("doc_id").alias("d")).collect()
+    )
+    con = duckdb.connect()
+    con.register("ids", pd.DataFrame({"doc_id": pd.array(ids, dtype="Int64")}))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"SELECT doc_id, {DRAW_SQL.format(c='doc_id')} AS d FROM ids"
+        ).df()[["doc_id", "d"]].itertuples(index=False)
+    )
+    assert got == want
+    assert all(0 <= d < 2**32 for _, d in got)
