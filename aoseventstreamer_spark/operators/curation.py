@@ -46,6 +46,12 @@ class CurationPipeline:
       CURRENT surviving frame (or a ``train`` reference frame) is at
       most max_ppl. Docs with < 2 tokens have no score and are
       dropped — a sub-2-token doc carries no trainable signal anyway
+    - ``("dsir", {"target_filter": <Column>, "min_logw": 0.0})`` or
+      ``{"target_filter": <Column>, "top_k": 10000}`` — DSIR
+      importance gate (operators/selection.py): keep docs at least
+      ``min_logw`` nats more target-like than raw, or Gumbel-resample
+      the best ``top_k``. The target subset is marked by the filter
+      Column ON THE CURRENT FRAME; exactly one of min_logw/top_k
     - ``("weighted_sample", {"weight_col": "n_chars"})`` —
       deterministic Bernoulli, P = w / max(w)
     - ``("hash_sample", {"rate_pct": 10})`` — deterministic uniform
@@ -148,6 +154,30 @@ class CurationPipeline:
                 .filter(F.col("ppl") <= max_ppl)
                 .select("doc_id")
             )
+            out = df.join(keep, "doc_id", "left_semi")
+        elif step == "dsir":
+            from aoseventstreamer_spark.operators import selection as SEL
+
+            target = p.pop("target_filter")
+            min_logw = p.pop("min_logw", None)
+            top_k = p.pop("top_k", None)
+            buckets = p.pop("buckets", 4096)
+            if (min_logw is None) == (top_k is None):
+                raise ValueError(
+                    "dsir step needs exactly one of min_logw / top_k"
+                )
+            if min_logw is not None:
+                # threshold on the exact integer micro-nat sum — the
+                # same quantity the oracle reproduces
+                keep = (
+                    SEL.dsir_log_weights(df, target, buckets=buckets)
+                    .filter(F.col("logw_u") >= int(round(min_logw * 1_000_000)))
+                    .select("doc_id")
+                )
+            else:
+                keep = SEL.dsir_select(df, top_k, target, buckets=buckets).select(
+                    "doc_id"
+                )
             out = df.join(keep, "doc_id", "left_semi")
         elif step == "weighted_sample":
             w = F.col(p.pop("weight_col"))

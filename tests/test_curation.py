@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aoseventstreamer_spark.operators.curation import CurationPipeline
@@ -154,3 +155,34 @@ def test_registered_full_capstone(spark, sf_dir):
         ).apply(docs).collect()
     }
     assert full and full < base
+
+
+def test_dsir_step_gates_on_target_likeness(spark):
+    from aoseventstreamer_spark.operators.curation import CurationPipeline
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "alpha beta alpha beta gamma alpha", "tgt"))
+        else:
+            rows.append((i, "delta epsilon delta epsilon zeta delta", "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = CurationPipeline(
+        [("dsir", {"target_filter": F.col("source") == "tgt", "min_logw": 0.0})]
+    ).apply(docs)
+    assert sorted(r.doc_id for r in out.collect()) == list(range(0, 20, 2))
+    # survivors keep the full input schema (semi-join, not projection)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+
+    top = CurationPipeline(
+        [("dsir", {"target_filter": F.col("source") == "tgt", "top_k": 5})]
+    ).apply(docs)
+    assert top.count() == 5
+
+    with pytest.raises(ValueError, match="exactly one"):
+        CurationPipeline([("dsir", {"target_filter": F.lit(True)})]).apply(docs)
+    with pytest.raises(ValueError, match="unused params"):
+        CurationPipeline(
+            [("dsir", {"target_filter": F.lit(True), "top_k": 3, "typo": 1})]
+        ).apply(docs).collect()
