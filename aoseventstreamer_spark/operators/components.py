@@ -125,3 +125,43 @@ def dedup_components(
         )
         .withColumn("is_keeper", F.col(id_col) == F.col("component"))
     )
+
+
+def keep_best_per_component(
+    docs: DataFrame,
+    edges: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster dedup keeping the BEST doc per near-dup cluster instead
+    of the smallest id: every doc gets its component label, and
+    ``is_keeper`` marks the component's argmax of ``quality_col``
+    (ties break on ascending id — deterministic and engine-portable).
+
+    This is the RefinedWeb/SlimPajama-style refinement of
+    ``dedup_components``: when a cluster holds a page and its
+    boilerplate-stripped copy, min-id keeps whichever crawled first;
+    quality-argmax keeps the one worth training on. Cost over
+    dedup_components is one window argmax partitioned by component —
+    a shuffle of (id, component, quality) triples only, never text.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(edges, src=src, dst=dst)
+    labeled = (
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            quality_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return labeled.withColumn(
+        "is_keeper", F.row_number().over(w) == 1
+    ).select(id_col, "component", quality_col, "is_keeper")

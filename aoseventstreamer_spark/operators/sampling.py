@@ -144,3 +144,60 @@ def domain_mix(
         .filter(F.col("rn") <= F.col("k"))
         .select(source_col, id_col, "rn")
     )
+
+
+def temperature_mix(
+    docs,
+    total: int,
+    alpha: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Temperature-based domain mixing: retain ~``total`` documents
+    with per-source quotas proportional to ``N_s^alpha`` — the
+    multilingual rebalancing rule of mBERT/XLM-R/mT5 (alpha < 1
+    up-weights scarce domains relative to their natural share;
+    alpha=1 is proportional, alpha=0 uniform). Complements
+    ``domain_mix`` (exact target ratios) for the case where the
+    recipe is a temperature, not a ratio table.
+
+    Determinism discipline: the only float op is one
+    ``round(N^alpha * 1e6)`` per SOURCE (micro-units; engines agree
+    short of a representability tie on a handful of values), then all
+    allocation is BIGINT: ``k_s = least(total * p_u(s) div Σp_u,
+    N_s)`` — the cap makes infeasible totals degrade gracefully to
+    taking a scarce source whole (quota-capped subsampling, no
+    replacement; epoch-level oversampling is ``epoch_shuffle``'s
+    job). Row selection is the same hash-rank prefix as
+    ``domain_mix``: smallest (uniform_draw(id), id) per source —
+    idempotent under re-runs.
+
+    Scale shape: one map-side-combined count per source, a broadcast
+    quota join, one shuffle for the per-source rank. Returns
+    (source, id, rn), rn <= k_s.
+    """
+    if total <= 0:
+        raise ValueError("temperature_mix total must be positive")
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("temperature_mix alpha must be in [0, 1]")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(source_col).count().withColumnRenamed("count", "n")
+    p = counts.withColumn(
+        "p_u", F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))) * 1_000_000).cast("long")
+    )
+    tot = p.agg(F.sum("p_u").alias("sp"))
+    quota = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(F.expr(f"{int(total)} * p_u div sp"), F.col("n")).alias("k"),
+        )
+    )
+    rn_w = Window.partitionBy(source_col).orderBy(uniform_draw(id_col), F.col(id_col))
+    return (
+        docs.join(F.broadcast(quota), source_col)
+        .withColumn("rn", F.row_number().over(rn_w).cast("long"))
+        .filter(F.col("rn") <= F.col("k"))
+        .select(source_col, id_col, "rn")
+    )

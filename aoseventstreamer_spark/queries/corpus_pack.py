@@ -609,3 +609,38 @@ def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aoseventstreamer_spark.operators.sampling import domain_mix
 
     return domain_mix(t(spark, sf_dir, "documents"), _MIX_WEIGHTS)
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ), p AS (
+      SELECT source, n, CAST(ROUND(POWER(n, 0.5) * 1000000) AS BIGINT) AS p_u
+      FROM counts
+    ), tot AS (SELECT SUM(p_u) AS sp FROM p),
+    quota AS (
+      SELECT source, LEAST((300 * p_u) // sp, n) AS k FROM p, tot
+    ), ranked AS (
+      SELECT source, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_H_SQL.format(c='doc_id')}, doc_id) AS BIGINT) AS rn
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.rn
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rn <= q.k
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing
+    (operators/sampling.temperature_mix): retain ~300 docs with
+    per-source quotas ∝ N_s^0.5 — the mBERT/XLM-R/mT5 rebalancing
+    rule (alpha=0.5 up-weights scarce sources). One float op per
+    SOURCE (micro-unit-rounded N^alpha), all allocation BIGINT, row
+    selection by hash-rank prefix — idempotent and hash-exact."""
+    from aoseventstreamer_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(t(spark, sf_dir, "documents"), total=300, alpha=0.5)

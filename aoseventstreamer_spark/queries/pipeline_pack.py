@@ -774,3 +774,67 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("q") * 1.0 / F.count("*")).cast("long").alias("centroid_micro")
         )
     )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 2),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 200
+    ), e AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) * 20 >=
+            13 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+    ), sym AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM e
+      UNION SELECT doc_b, doc_a FROM e
+    ), reach(node, r) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+      UNION
+      SELECT s.node, r.r FROM sym s JOIN reach r ON s.nbr = r.node
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_keeper
+    FROM labeled
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup keeping the BEST doc per near-dup cluster
+    (operators/components.keep_best_per_component): same 3-gram
+    Jaccard ≥ 0.65 clusters as q_dedup_components, but the keeper is
+    the component's longest document (n_chars argmax, RefinedWeb-style
+    'keep the copy worth training on'), ties on ascending id. The
+    oracle extends the recursive-CTE closure with the identical
+    argmax window."""
+    from aoseventstreamer_spark.operators.components import keep_best_per_component
+    from aoseventstreamer_spark.operators.dedup import ngram_set
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = docs.select("doc_id", ngram_set("text", 3).alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("i"),
+            union.alias("u"),
+        )
+        .filter(F.col("i") * 20 >= 13 * F.col("u"))
+        .select("doc_a", "doc_b")
+    )
+    return keep_best_per_component(docs, edges, quality_col="n_chars")

@@ -105,3 +105,22 @@ def test_components_match_python_bfs_on_random_graphs(spark):
                 expected[node] = root
         got = _comp_map(connected_components(_edges(spark, edges)))
         assert got == expected, (seed, edges)
+
+
+def test_keep_best_per_component_argmax_and_ties(spark):
+    from aoseventstreamer_spark.operators.components import keep_best_per_component
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "doc_id long, quality long",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: (r.component, r.is_keeper)
+           for r in keep_best_per_component(docs, edges, "quality").collect()}
+    # cluster {1,2,3,4}: quality argmax is 30 shared by 2 and 3 — the
+    # smaller id (2) wins the tie; isolated 9 keeps itself
+    assert out == {
+        1: (1, False), 2: (1, True), 3: (1, False), 4: (1, False), 9: (9, True),
+    }

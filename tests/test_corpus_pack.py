@@ -383,3 +383,27 @@ def test_domain_mix_exact_quotas_and_ratio(spark, sf_dir):
         domain_mix(docs, {"src0": 0})
     with pytest.raises(ValueError, match="at least one"):
         domain_mix(docs, {})
+
+
+def test_temperature_mix_alpha_extremes(spark):
+    from aoseventstreamer_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "srcA" if i < 90 else "srcB") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    # alpha=1: proportional quotas (90:10 of total 50 -> 45:5)
+    prop = temperature_mix(docs, total=50, alpha=1.0)
+    by_src = {r.source: r.cnt for r in
+              prop.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_src == {"srcA": 45, "srcB": 5}
+
+    # alpha=0: uniform per-source quotas, capped at availability
+    unif = temperature_mix(docs, total=40, alpha=0.0)
+    by_src = {r.source: r.cnt for r in
+              unif.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_src == {"srcA": 20, "srcB": 10}  # srcB capped at its 10 docs
+
+    # deterministic: identical selection on re-run
+    a = sorted(map(tuple, temperature_mix(docs, 50, 0.5).collect()))
+    b = sorted(map(tuple, temperature_mix(docs, 50, 0.5).collect()))
+    assert a == b
