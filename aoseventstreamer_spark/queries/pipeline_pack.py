@@ -838,3 +838,86 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return keep_best_per_component(docs, edges, quality_col="n_chars")
+
+
+@query(
+    "q_split_cluster_safe",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 2),
+                                          i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id < 200
+    ), e AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams)) * 20 >=
+            13 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+    ), sym AS (
+      SELECT doc_a AS node, doc_b AS nbr FROM e
+      UNION SELECT doc_b, doc_a FROM e
+    ), reach(node, r) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+      UNION
+      SELECT s.node, r.r FROM sym s JOIN reach r ON s.nbr = r.node
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component,
+           CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS h
+      FROM labeled
+    )
+    """,
+)
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-safe train/val/test split: the split key is the
+    near-dup CLUSTER label, not the document — every member of a
+    near-dup cluster lands in the same split, so paraphrased copies
+    can never leak train→test (the guarantee q_train_val_test's exact
+    fingerprint can't give; same 3-gram Jaccard ≥ 0.65 clusters as
+    q_dedup_components). 80/10/10 by md5-derived hash of the
+    component id — deterministic, engine-portable, and stable under
+    corpus growth (adding docs can merge clusters but never
+    reassigns an unchanged cluster's split)."""
+    from aoseventstreamer_spark.operators.components import connected_components
+    from aoseventstreamer_spark.operators.dedup import md5_long, ngram_set
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    g = docs.select("doc_id", ngram_set("text", 3).alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    edges = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("i"),
+            union.alias("u"),
+        )
+        .filter(F.col("i") * 20 >= 13 * F.col("u"))
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges).withColumnRenamed("node", "doc_id")
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    h = md5_long(F.concat(F.lit("split:"), F.col("component").cast("string"))) % 100
+    return labeled.select(
+        "doc_id",
+        "component",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )

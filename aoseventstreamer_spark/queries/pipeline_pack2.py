@@ -252,3 +252,52 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("uniform_weight"),
     )
+
+
+_LB_BATCH = 8  # sequences per batch in the length-bucketed manifest
+
+
+@query(
+    "q_length_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tok,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_tok DESC, doc_id ASC) - 1)
+               // {_LB_BATCH} AS batch_id
+      FROM tok
+    )
+    SELECT doc_id, source, n_tok, batch_id,
+           MAX(n_tok) OVER (PARTITION BY source, batch_id) - n_tok AS pad
+    FROM ranked
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch manifest: within each source shard, sort
+    documents by token count (desc, id-tiebreak) and cut into
+    fixed-size batches — the standard padding-minimization batching
+    for training/inference (similar-length sequences share a batch,
+    so pad-to-max waste collapses; the ``pad`` column makes the
+    saving auditable). Per-shard windows only — one shuffle on
+    source, no global sort; at 100 TB shards are the parallel unit
+    exactly as in q_seq_packing."""
+    from aoseventstreamer_spark.operators.text import whitespace_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    n_tok = F.size(whitespace_tokens("text")).cast("long")
+    ranked = docs.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "batch_id", F.expr(f"(row_number() OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id ASC) - 1) div {_LB_BATCH}")
+    )
+    w_b = Window.partitionBy("source", "batch_id")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "batch_id",
+        (F.max("n_tok").over(w_b) - F.col("n_tok")).alias("pad"),
+    )
