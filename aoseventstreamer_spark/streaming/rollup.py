@@ -88,7 +88,16 @@ class IncrementalRollup:
 
     def current(self) -> DataFrame:
         """The rollup as of all committed partials: one merge
-        aggregation over the partial table (map-side combinable)."""
+        aggregation over the partial table (map-side combinable).
+        Raises a clear error before any batch has committed — only the
+        genuinely-missing-path case, anything else propagates (the
+        engine.event_log discipline: never mask real read failures as
+        'no data yet')."""
+        if not os.path.exists(self.path):
+            raise FileNotFoundError(
+                f"no rollup partials at {self.path}: process_batch/attach "
+                "has not committed any batch yet"
+            )
         partials = self.spark.read.parquet(self.path)
         return partials.groupBy(*self.keys).agg(
             *[self._merge(name) for name in self.aggs]

@@ -94,3 +94,9 @@ def test_empty_batch_is_harmless(spark, tmp_path):
     r.process_batch(_events(spark, []).limit(0), 1)
     got = r.current().collect()
     assert [(t.etype, t.cnt) for t in got] == [("a", 1)]
+
+
+def test_current_before_any_batch_raises_clearly(spark, tmp_path):
+    r = _rollup(spark, tmp_path / "never")
+    with pytest.raises(FileNotFoundError, match="no rollup partials"):
+        r.current()
