@@ -166,3 +166,88 @@ def test_uniform_draw_matches_oracle_over_full_int64(spark, ids):
     )
     assert got == want
     assert all(0 <= d < 2**32 for _, d in got)
+
+
+from aoseventstreamer_spark.operators.sampling import (  # noqa: E402
+    domain_mix,
+    temperature_mix,
+)
+
+_mix_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.sampled_from(["s0", "s1", "s2", "s3"]),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+_weights = st.dictionaries(
+    st.sampled_from(["s0", "s1", "s2", "s3"]), st.integers(1, 9), min_size=1
+)
+
+
+@given(rows=_mix_corpus, weights=_weights)
+@_FUZZ
+def test_domain_mix_matches_oracle_on_random_corpora(spark, rows, weights):
+    from hypothesis import assume
+
+    present = {s for _, s in rows}
+    assume(set(weights) <= present)  # infeasible mixes raise by design
+    sdf = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(tuple(r) for r in domain_mix(sdf, weights).collect())
+
+    W = sum(weights.values())
+    values = ", ".join(f"('{s}', {w})" for s, w in sorted(weights.items()))
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "source"]))
+    want = sorted(
+        tuple(r)
+        for r in con.sql(f"""
+        WITH wts(source, w) AS (VALUES {values}),
+        counts AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
+        avail AS (SELECT w.source, c.n, w.w FROM wts w JOIN counts c USING (source)),
+        budget AS (SELECT MIN(n * {W} // w) AS b FROM avail),
+        quota AS (SELECT source, (b * w) // {W} AS k FROM avail, budget),
+        ranked AS (SELECT source, doc_id,
+                          CAST(ROW_NUMBER() OVER (
+                            PARTITION BY source
+                            ORDER BY {DRAW_SQL.format(c='doc_id')}, doc_id) AS BIGINT) AS rn
+                   FROM docs)
+        SELECT r.source, r.doc_id, r.rn
+        FROM ranked r JOIN quota q USING (source)
+        WHERE r.rn <= q.k
+        """).df()[["source", "doc_id", "rn"]].itertuples(index=False)
+    )
+    assert got == want
+    # quota law: retained per-source counts follow B*w div W exactly
+    by_src = {}
+    for s, _, _ in got:
+        by_src[s] = by_src.get(s, 0) + 1
+    n_by = {}
+    for _, s in rows:
+        n_by[s] = n_by.get(s, 0) + 1
+    B = min(n_by[s] * W // w for s, w in weights.items())
+    for s, w in weights.items():
+        assert by_src.get(s, 0) == B * w // W
+
+
+@given(rows=_mix_corpus, alpha=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+@_FUZZ
+def test_temperature_mix_quota_law_and_determinism(spark, rows, alpha):
+    sdf = spark.createDataFrame(rows, "doc_id long, source string")
+    total = 10
+    got = sorted(tuple(r) for r in temperature_mix(sdf, total, alpha).collect())
+    again = sorted(tuple(r) for r in temperature_mix(sdf, total, alpha).collect())
+    assert got == again
+    # quota law: k_s = least(total * p_u div sum_p_u, n_s), p_u = round(n^a*1e6)
+    n_by = {}
+    for _, s in rows:
+        n_by[s] = n_by.get(s, 0) + 1
+    p_u = {s: round((n ** alpha) * 1_000_000) for s, n in n_by.items()}
+    sp = sum(p_u.values())
+    by_src = {}
+    for s, _, _ in got:
+        by_src[s] = by_src.get(s, 0) + 1
+    for s, n in n_by.items():
+        assert by_src.get(s, 0) == min(total * p_u[s] // sp, n)
