@@ -681,20 +681,50 @@ def q_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_edges_verify_set(docs):
+    """All-pairs char-3-gram Jaccard >= 0.65 edges over the bounded
+    verify set (docs already filtered to doc_id < 200): shared by the
+    three cluster queries below. Grams are hashed to 8-byte longs
+    before the pair join — set SIZES are all Jaccard needs, and
+    array_intersect over longs beats string compares ~4x (same trick
+    as verified_near_dup_pairs, operators/dedup.py); the oracle keeps
+    string lists, equal short of a 2^-64 xxhash64 collision."""
+    from aoseventstreamer_spark.operators.dedup import ngram_set
+
+    g = docs.select(
+        "doc_id",
+        F.transform(ngram_set("text", 3), lambda s: F.xxhash64(s)).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("i"),
+            union.alias("u"),
+        )
+        .filter(F.col("i") * 20 >= 13 * F.col("u"))
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "q_dedup_components",
     oracle="""
-    WITH RECURSIVE g AS (
+    WITH RECURSIVE g AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(text) - 2),
                                           i -> substr(text, i, 3))) AS grams
       FROM documents WHERE doc_id < 200
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM g a JOIN g b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.grams, b.grams)) * 20 >=
             13 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT doc_a AS node, doc_b AS nbr FROM e
       UNION SELECT doc_b, doc_a FROM e
     ), reach(node, r) AS (
@@ -720,20 +750,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the edges come from LSH (q_near_dup_verified), and only
     the component resolution runs on the full pair list."""
     from aoseventstreamer_spark.operators.components import dedup_components
-    from aoseventstreamer_spark.operators.dedup import ngram_set
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    g = docs.select("doc_id", ngram_set("text", 3).alias("grams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    edges = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        inter.alias("i"),
-        union.alias("u"),
-    ).filter(F.col("i") * 20 >= 13 * F.col("u")).select("doc_a", "doc_b")
-    return dedup_components(docs, edges)
+    return dedup_components(docs, _jaccard_edges_verify_set(docs))
 
 
 @query(
@@ -779,17 +798,17 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_keep_best",
     oracle="""
-    WITH RECURSIVE g AS (
+    WITH RECURSIVE g AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(text) - 2),
                                           i -> substr(text, i, 3))) AS grams
       FROM documents WHERE doc_id < 200
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM g a JOIN g b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.grams, b.grams)) * 20 >=
             13 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT doc_a AS node, doc_b AS nbr FROM e
       UNION SELECT doc_b, doc_a FROM e
     ), reach(node, r) AS (
@@ -819,41 +838,27 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle extends the recursive-CTE closure with the identical
     argmax window."""
     from aoseventstreamer_spark.operators.components import keep_best_per_component
-    from aoseventstreamer_spark.operators.dedup import ngram_set
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    g = docs.select("doc_id", ngram_set("text", 3).alias("grams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.alias("i"),
-            union.alias("u"),
-        )
-        .filter(F.col("i") * 20 >= 13 * F.col("u"))
-        .select("doc_a", "doc_b")
+    return keep_best_per_component(
+        docs, _jaccard_edges_verify_set(docs), quality_col="n_chars"
     )
-    return keep_best_per_component(docs, edges, quality_col="n_chars")
 
 
 @query(
     "q_split_cluster_safe",
     oracle="""
-    WITH RECURSIVE g AS (
+    WITH RECURSIVE g AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(generate_series(1, len(text) - 2),
                                           i -> substr(text, i, 3))) AS grams
       FROM documents WHERE doc_id < 200
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM g a JOIN g b ON a.doc_id < b.doc_id
       WHERE len(list_intersect(a.grams, b.grams)) * 20 >=
             13 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
-    ), sym AS (
+    ), sym AS MATERIALIZED (
       SELECT doc_a AS node, doc_b AS nbr FROM e
       UNION SELECT doc_b, doc_a FROM e
     ), reach(node, r) AS (
@@ -889,25 +894,12 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus growth (adding docs can merge clusters but never
     reassigns an unchanged cluster's split)."""
     from aoseventstreamer_spark.operators.components import connected_components
-    from aoseventstreamer_spark.operators.dedup import md5_long, ngram_set
+    from aoseventstreamer_spark.operators.dedup import md5_long
 
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    g = docs.select("doc_id", ngram_set("text", 3).alias("grams"))
-    a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    edges = (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            inter.alias("i"),
-            union.alias("u"),
-        )
-        .filter(F.col("i") * 20 >= 13 * F.col("u"))
-        .select("doc_a", "doc_b")
+    comp = connected_components(_jaccard_edges_verify_set(docs)).withColumnRenamed(
+        "node", "doc_id"
     )
-    comp = connected_components(edges).withColumnRenamed("node", "doc_id")
     labeled = (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
