@@ -149,9 +149,15 @@ class CurationPipeline:
             max_ppl = p.pop("max_ppl")
             train = p.pop("train", None)
             model = p.pop("model", None)  # pre-built PerplexityModel
+            # gate on the exact integer avg micro-nats, not the derived
+            # float ppl: ppl <= max_ppl  <=>  avg_nll_u <= ln(max_ppl)*1e6
+            # (floor at integer micro-nats; same constant in the oracle)
+            import math
+
+            max_nll_u = math.floor(math.log(max_ppl) * 1_000_000)
             keep = (
                 LM.perplexity_scores(df, train=train, model=model)
-                .filter(F.col("ppl") <= max_ppl)
+                .filter(F.col("avg_nll_u") <= F.lit(max_nll_u))
                 .select("doc_id")
             )
             out = df.join(keep, "doc_id", "left_semi")

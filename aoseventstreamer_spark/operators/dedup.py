@@ -436,7 +436,7 @@ def verified_near_dup_oracle_sql(
     """DuckDB SQL computing EXACTLY verified_near_dup_pairs(
     portable=True): the portable LSH candidate set
     (minhash_band_oracle_sql) joined back to char-n-gram Jaccard with
-    the same round-then-threshold rule, so (doc_a, doc_b, jaccard)
+    the same integer micro-unit round + threshold, so (doc_a, doc_b, jaccard)
     value-hashes identically across engines."""
     cand = minhash_band_oracle_sql(
         num_hashes, bands, shingle_k, table, text_col, id_col
@@ -461,8 +461,9 @@ def verified_near_dup_oracle_sql(
       JOIN g ga ON ga.{id_col} = c.doc_a
       JOIN g gb ON gb.{id_col} = c.doc_b
     )
-    SELECT doc_a, doc_b, ROUND(i * 1.0 / greatest(u, 1), 4) AS jaccard
-    FROM j WHERE ROUND(i * 1.0 / greatest(u, 1), 4) >= {threshold}
+    SELECT doc_a, doc_b,
+           (i * 10000) // greatest(u, 1) / 10000.0 AS jaccard
+    FROM j WHERE (i * 10000) // greatest(u, 1) >= {round(threshold * 10000)}
     """
 
 
@@ -546,12 +547,20 @@ def ngram_jaccard_pairs(
             )
     grams = df.select(F.col(id_col), ngram_set(text_col, n).alias("grams"))
     a, b = grams.alias("a"), grams.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    return a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")).select(
-        F.col(f"a.{id_col}").alias("doc_a"),
-        F.col(f"b.{id_col}").alias("doc_b"),
-        F.round(inter / union, 4).alias("jaccard"),
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("long")
+    union = F.size(F.col("a.grams")).cast("long") + F.size(F.col("b.grams")) - inter
+    # integer micro-unit rounding — see verified_near_dup_pairs
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            inter.alias("i"),
+            F.greatest(union, F.lit(1)).alias("u"),
+        )
+        .select(
+            "doc_a", "doc_b", (F.expr("i * 10000 div u") / 10000.0).alias("jaccard")
+        )
     )
 
 
@@ -657,12 +666,23 @@ def verified_near_dup_pairs(
             ).alias("grams_b"),
         )
     )
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size("grams_a") + F.size("grams_b") - inter
+    inter = F.size(F.array_intersect("grams_a", "grams_b")).cast("long")
+    union = F.size("grams_a").cast("long") + F.size("grams_b") - inter
+    # round ONCE at integer micro-units (the BM25 score_u discipline):
+    # (i * 10000) div u is exact BIGINT on both engines, where a float
+    # ROUND(i/u, 4) diverges at .xxxx5 representability ties (Spark
+    # rounds the shortest decimal HALF_UP, DuckDB the binary double);
+    # the threshold test on jaccard_u is the cross-multiplied integer
+    # comparison i*10000 >= thr_u*u in disguise
+    thr_u = round(threshold * 10000)
     return (
-        per_pair.withColumn(
-            "jaccard", F.round(inter / F.greatest(union, F.lit(1)), 4)
+        per_pair.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("i"),
+            F.greatest(union, F.lit(1)).alias("u"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .withColumn("jaccard_u", F.expr("i * 10000 div u"))
+        .filter(F.col("jaccard_u") >= F.lit(int(thr_u)))
+        .select("doc_a", "doc_b", (F.col("jaccard_u") / 10000.0).alias("jaccard"))
     )

@@ -229,13 +229,21 @@ def perplexity_scores(
             (-F.sum("lp_u")).alias("nll_u"),
         )
         # nll_u >= 0 (ln P <= 0 always: numerator <= denominator), so
-        # truncating div and floor div agree with DuckDB's //
+        # truncating div and floor div agree with DuckDB's //.
+        # avg_nll_u (average micro-nats per bigram) is the EXACT
+        # integer quantity — the column cross-engine comparisons and
+        # threshold filters should use. ppl = exp(avg_nll_u/1e6) is a
+        # DERIVED display value: exp() is not correctly rounded (JVM
+        # Math.exp vs libm can differ by 1 ulp) and ROUND(x,4) has the
+        # decimal-vs-binary tie hazard, so it is deliberately excluded
+        # from registered-query projections.
         .select(
             id_col,
             "n_bigrams",
-            F.round(F.exp(F.expr("nll_u div n_bigrams") / 1_000_000.0), 4).alias(
-                "ppl"
-            ),
+            F.expr("nll_u div n_bigrams").alias("avg_nll_u"),
+        )
+        .withColumn(
+            "ppl", F.round(F.exp(F.col("avg_nll_u") / 1_000_000.0), 4)
         )
     )
 
@@ -251,7 +259,10 @@ def perplexity_oracle_sql(
     """DuckDB SQL replaying perplexity_scores exactly (same
     tokenization, same optional <unk> vocabulary mapping, same add-1
     smoothing, same micro-nat rounding and non-negative integer
-    division)."""
+    division). Emits the exact integer ``avg_nll_u`` only — the
+    derived float ``ppl`` is intentionally absent (exp() + ROUND(x,4)
+    are the two cross-engine hazards this column exists to avoid), so
+    callers compare ``SELECT ... EXCEPT ppl`` shapes."""
     toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
     if vocab_size is None:
         vocab_ctes = ""
@@ -307,6 +318,6 @@ def perplexity_oracle_sql(
       CROSS JOIN vstats
     )
     SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(exp(((-SUM(lp_u)) // COUNT(*)) / 1000000.0), 4) AS ppl
+           (-SUM(lp_u)) // COUNT(*) AS avg_nll_u
     FROM scored GROUP BY {id_col}
     """

@@ -164,13 +164,26 @@ def temperature_mix(
     Determinism discipline: the only float op is one
     ``round(N^alpha * 1e6)`` per SOURCE (micro-units; engines agree
     short of a representability tie on a handful of values), then all
-    allocation is BIGINT: ``k_s = least(total * p_u(s) div Σp_u,
+    allocation is BIGINT: ``k_s = least(total * p_s(s) div Σp_s,
     N_s)`` — the cap makes infeasible totals degrade gracefully to
     taking a scarce source whole (quota-capped subsampling, no
     replacement; epoch-level oversampling is ``epoch_shuffle``'s
     job). Row selection is the same hash-rank prefix as
     ``domain_mix``: smallest (uniform_draw(id), id) per source —
     idempotent under re-runs.
+
+    Overflow guard (the limb-split-uniform_draw lesson applied to the
+    quota product): ``total * p_u`` silently wraps in non-ANSI Spark
+    once ``N_s^alpha * 1e6 * total`` crosses 2^63 (e.g. N_s ~ 1e10,
+    alpha 0.5, total ~ 1e8), while DuckDB raises — so ``p_u`` is
+    first downscaled by ``g = ceil(pmax / L)`` with ``L = 2^62 div
+    total`` (a plan-time literal), guaranteeing ``total * p_s <=
+    total * L <= 2^62``. ``g == 1`` whenever ``pmax * total < 2^62``
+    — every realistic configuration — where quotas are bit-identical
+    to the unscaled formula; beyond that the allocation loses at most
+    ``g`` micro-units of weight resolution per source,
+    deterministically and identically in the DuckDB oracle (which
+    replays the same ``g``).
 
     Scale shape: one map-side-combined count per source, a broadcast
     quota join, one shuffle for the per-source rank. Returns
@@ -182,16 +195,30 @@ def temperature_mix(
         raise ValueError("temperature_mix alpha must be in [0, 1]")
     from pyspark.sql import Window
 
+    if total >= 1 << 62:
+        raise ValueError("temperature_mix total must be < 2^62")
     counts = docs.groupBy(source_col).count().withColumnRenamed("count", "n")
     p = counts.withColumn(
         "p_u", F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))) * 1_000_000).cast("long")
     )
-    tot = p.agg(F.sum("p_u").alias("sp"))
+    cap = (1 << 62) // int(total)  # p_s <= cap keeps total * p_s <= 2^62
+    mx = p.agg(F.max("p_u").alias("pmax"))
+    ps = (
+        p.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "g",
+            F.expr(
+                f"pmax div {cap} + (CASE WHEN pmax % {cap} > 0 THEN 1 ELSE 0 END)"
+            ),
+        )
+        .select(source_col, "n", F.expr("p_u div g").alias("p_s"))
+    )
+    tot = ps.agg(F.sum("p_s").alias("sp"))
     quota = (
-        p.crossJoin(F.broadcast(tot))
+        ps.crossJoin(F.broadcast(tot))
         .select(
             source_col,
-            F.least(F.expr(f"{int(total)} * p_u div sp"), F.col("n")).alias("k"),
+            F.least(F.expr(f"{int(total)} * p_s div sp"), F.col("n")).alias("k"),
         )
     )
     rn_w = Window.partitionBy(source_col).orderBy(uniform_draw(id_col), F.col(id_col))

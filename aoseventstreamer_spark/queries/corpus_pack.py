@@ -18,6 +18,8 @@ for rand() (which would be neither reproducible nor comparable).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -467,7 +469,11 @@ def _curation_full_oracle() -> str:
       SELECT * FROM deduped
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
     ), keep_ppl AS (
-      SELECT doc_id FROM ({ppl}) p WHERE ppl <= 29.5
+      -- ppl <= 29.5 stated in exact integer micro-nats:
+      -- avg_nll_u <= floor(ln(29.5) * 1e6), same constant as the
+      -- CurationPipeline perplexity step computes
+      SELECT doc_id FROM ({ppl}) p
+      WHERE avg_nll_u <= {math.floor(math.log(29.5) * 1_000_000)}
     ), survived AS (
       SELECT nd.* FROM nd JOIN keep_ppl USING (doc_id)
     ), mx AS (SELECT MAX(n_chars) AS m FROM survived)
@@ -619,9 +625,18 @@ def q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), p AS (
       SELECT source, n, CAST(ROUND(POWER(n, 0.5) * 1000000) AS BIGINT) AS p_u
       FROM counts
-    ), tot AS (SELECT SUM(p_u) AS sp FROM p),
+    ), mx AS (SELECT MAX(p_u) AS pmax FROM p),
+    ps AS (
+      -- overflow guard replayed from sampling.temperature_mix:
+      -- g = ceil(pmax / (2^62 // total)); g = 1 at any sane scale
+      SELECT source, n,
+             p_u // (pmax // {(1 << 62) // 300}
+                     + CASE WHEN pmax % {(1 << 62) // 300} > 0 THEN 1 ELSE 0 END)
+               AS p_s
+      FROM p, mx
+    ), tot AS (SELECT SUM(p_s) AS sp FROM ps),
     quota AS (
-      SELECT source, LEAST((300 * p_u) // sp, n) AS k FROM p, tot
+      SELECT source, LEAST((300 * p_s) // sp, n) AS k FROM ps, tot
     ), ranked AS (
       SELECT source, doc_id,
              CAST(ROW_NUMBER() OVER (

@@ -112,12 +112,14 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids under a model trained on the even doc_ids (cross-corpus,
     so both the seen-bigram and the smoothed unseen paths execute).
     Per-bigram log-probs round to integer micro-nats before the
-    per-doc sum — bitwise order-independent (operators/lm.py)."""
+    per-doc sum — bitwise order-independent (operators/lm.py). The
+    compared column is the exact integer avg_nll_u; the derived float
+    ppl is dropped from the projection (exp()/ROUND hazards)."""
     docs = t(spark, sf_dir, "documents")
     return LM.perplexity_scores(
         docs.filter(F.col("doc_id") % 2 == 1),
         train=docs.filter(F.col("doc_id") % 2 == 0),
-    )
+    ).drop("ppl")
 
 
 @query("q_bpe_merges")  # rows-only: iterative global-argmax training
@@ -167,4 +169,4 @@ def q_lm_perplexity_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         train=docs.filter(F.col("doc_id") % 2 == 0),
         vocab_size=200,
-    )
+    ).drop("ppl")

@@ -180,9 +180,10 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 30 AND length(text) >= 3
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0
-                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
-                 4) AS jaccard
+           (len(list_intersect(a.grams, b.grams)) * 10000)
+             // greatest(len(a.grams) + len(b.grams)
+                         - len(list_intersect(a.grams, b.grams)), 1)
+             / 10000.0 AS jaccard
     FROM d a JOIN d b ON a.doc_id < b.doc_id
     """,
 )

@@ -88,30 +88,33 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ccnet_buckets",
     oracle=f"""
-    WITH ppl AS ({perplexity_oracle_sql(vocab_size=24)})
-    SELECT doc_id, ppl,
-           CASE NTILE(3) OVER (ORDER BY ppl ASC, doc_id ASC)
+    WITH scores AS ({perplexity_oracle_sql(vocab_size=24)})
+    SELECT doc_id, avg_nll_u,
+           CASE NTILE(3) OVER (ORDER BY avg_nll_u ASC, doc_id ASC)
              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
            END AS bucket
-    FROM ppl
+    FROM scores
     """,
 )
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity terciles (Wenzek et al.
     2020): score every document under the pruned-vocab bigram LM,
     then NTILE(3) by ascending perplexity — 'head' is the most
-    fluent third that CCNet keeps. The ranked frame is (doc_id, ppl)
-    — two longs per doc, NOT the text — so the exact global tercile
-    is a narrow single sort; at 100 TB the production path replaces
-    it with fixed thresholds read off the training distribution's
-    quantiles (as CCNet itself does), turning the bucket into a pure
-    codegen CASE with no shuffle at all."""
+    fluent third that CCNet keeps. Ranking and comparison use the
+    EXACT integer avg_nll_u (avg micro-nats per bigram — monotone in
+    ppl), never the derived float ppl, so the tercile is cross-engine
+    exact. The ranked frame is (doc_id, avg_nll_u) — two longs per
+    doc, NOT the text — so the exact global tercile is a narrow
+    single sort; at 100 TB the production path replaces it with fixed
+    thresholds read off the training distribution's quantiles (as
+    CCNet itself does), turning the bucket into a pure codegen CASE
+    with no shuffle at all."""
     docs = t(spark, sf_dir, "documents")
-    ppl = perplexity_scores(docs, vocab_size=24).select("doc_id", "ppl")
-    w = Window.orderBy(F.asc("ppl"), F.asc("doc_id"))
+    scores = perplexity_scores(docs, vocab_size=24).select("doc_id", "avg_nll_u")
+    w = Window.orderBy(F.asc("avg_nll_u"), F.asc("doc_id"))
     n = F.ntile(3).over(w)
-    return ppl.select(
+    return scores.select(
         "doc_id",
-        "ppl",
+        "avg_nll_u",
         F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail").alias("bucket"),
     )

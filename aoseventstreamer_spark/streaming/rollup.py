@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,13 +93,18 @@ class IncrementalRollup:
         Raises a clear error before any batch has committed — only the
         genuinely-missing-path case, anything else propagates (the
         engine.event_log discipline: never mask real read failures as
-        'no data yet')."""
-        if not os.path.exists(self.path):
-            raise FileNotFoundError(
-                f"no rollup partials at {self.path}: process_batch/attach "
-                "has not committed any batch yet"
-            )
-        partials = self.spark.read.parquet(self.path)
+        'no data yet'). The probe is the read itself, not an
+        os.path.exists check: state_root may be HDFS/S3, where a local
+        filesystem stat is meaningless."""
+        try:
+            partials = self.spark.read.parquet(self.path)
+        except AnalysisException as e:
+            if (e.getErrorClass() or "").startswith("PATH_NOT_FOUND"):
+                raise FileNotFoundError(
+                    f"no rollup partials at {self.path}: process_batch/attach "
+                    "has not committed any batch yet"
+                ) from e
+            raise
         return partials.groupBy(*self.keys).agg(
             *[self._merge(name) for name in self.aggs]
         )

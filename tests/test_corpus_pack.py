@@ -407,3 +407,34 @@ def test_temperature_mix_alpha_extremes(spark):
     a = sorted(map(tuple, temperature_mix(docs, 50, 0.5).collect()))
     b = sorted(map(tuple, temperature_mix(docs, 50, 0.5).collect()))
     assert a == b
+
+
+def test_temperature_mix_huge_total_no_overflow(spark):
+    """Regression for the r4 advice: total * p_u used to wrap int64
+    once total * N^alpha * 1e6 crossed 2^63 (negative quota -> empty
+    selection in non-ANSI Spark, a raise in DuckDB). The adaptive
+    downscale (g = ceil(pmax / (2^62 div total))) must keep the
+    allocation pure-BIGINT and match a pure-Python replay."""
+    from aoseventstreamer_spark.operators.sampling import temperature_mix
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string")
+    total = 1 << 50
+    got = temperature_mix(sdf, total, 0.5).collect()
+    assert len(got) == 60  # quota >> n: every source taken whole
+
+    # pure-python replay of the scaled BIGINT allocation
+    n_by = {"s0": 20, "s1": 20, "s2": 20}
+    p_u = {s: round((n ** 0.5) * 1_000_000) for s, n in n_by.items()}
+    cap = (1 << 62) // total
+    pmax = max(p_u.values())
+    g = pmax // cap + (1 if pmax % cap else 0)
+    assert g > 1  # the guard regime is actually exercised
+    p_s = {s: v // g for s, v in p_u.items()}
+    sp = sum(p_s.values())
+    by_src = {}
+    for r in got:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    for s, n in n_by.items():
+        assert total * p_s[s] <= 1 << 62  # product provably in range
+        assert by_src[s] == min(total * p_s[s] // sp, n)

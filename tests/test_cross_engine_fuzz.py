@@ -78,8 +78,8 @@ def _oracle(con, sql, cols):
 @_FUZZ
 def test_perplexity_matches_oracle_on_random_corpora(spark, rows):
     sdf, con = _frames(spark, rows)
-    got = _rows(perplexity_scores(sdf), ["doc_id", "n_bigrams", "ppl"])
-    want = _oracle(con, perplexity_oracle_sql(), ["doc_id", "n_bigrams", "ppl"])
+    got = _rows(perplexity_scores(sdf), ["doc_id", "n_bigrams", "avg_nll_u"])
+    want = _oracle(con, perplexity_oracle_sql(), ["doc_id", "n_bigrams", "avg_nll_u"])
     assert got == want
 
 

@@ -105,12 +105,18 @@ def test_perplexity_step_filters_and_composes(spark, sf_dir):
     composes with the other steps in one plan."""
     from aoseventstreamer_spark.operators import lm as LM
 
+    import math
+
     docs = load_table(spark, sf_dir, "documents")
-    scores = {r.doc_id: r.ppl for r in LM.perplexity_scores(docs).collect()}
-    cutoff = sorted(scores.values())[len(scores) // 2]
+    rows = LM.perplexity_scores(docs).collect()
+    cutoff = sorted(r.ppl for r in rows)[len(rows) // 2]
     kept = CurationPipeline([("perplexity", {"max_ppl": cutoff})]).apply(docs)
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
-    assert kept_ids == {d for d, p in scores.items() if p <= cutoff}
+    # the gate compares the EXACT integer avg micro-nats against
+    # floor(ln(max_ppl)*1e6) — the display ppl is derived, so the
+    # expected set is stated over avg_nll_u, not the rounded float
+    max_nll_u = math.floor(math.log(cutoff) * 1_000_000)
+    assert kept_ids == {r.doc_id for r in rows if r.avg_nll_u <= max_nll_u}
 
     tiny = spark.createDataFrame([(1, "solo"), (2, "two tokens")], ["doc_id", "text"])
     kept2 = CurationPipeline([("perplexity", {"max_ppl": 1e9})]).apply(tiny)
