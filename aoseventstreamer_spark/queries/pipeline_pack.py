@@ -913,3 +913,52 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
     )
+
+
+def _near_dup_cluster_full_oracle() -> str:
+    from aoseventstreamer_spark.operators.dedup import verified_near_dup_oracle_sql
+
+    v = verified_near_dup_oracle_sql()
+    return f"""
+    WITH RECURSIVE v AS MATERIALIZED ({v}),
+    sym AS MATERIALIZED (
+      SELECT doc_a AS node, doc_b AS nbr FROM v
+      UNION SELECT doc_b, doc_a FROM v
+    ), reach(node, r) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+      UNION
+      SELECT s.node, r.r FROM sym s JOIN reach r ON s.nbr = r.node
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) = 1 AS is_keeper
+    FROM labeled
+    """
+
+
+@query("q_near_dup_cluster_full", oracle=_near_dup_cluster_full_oracle())
+def q_near_dup_cluster_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production near-dup clustering path, end to end over the
+    WHOLE corpus: portable minhash-LSH candidate generation -> exact
+    n-gram-Jaccard verification of candidates only
+    (operators/dedup.verified_near_dup_pairs) -> connected-component
+    resolution -> keep-best-per-cluster (n_chars argmax). This is the
+    composition the bounded all-pairs queries (q_dedup_components /
+    q_dedup_keep_best, doc_id < 200) stand in for at verify scale —
+    here the edge list is banded LSH, never O(n^2), so the same plan
+    runs at 100 TB. The oracle chains the minhash-band CTE replay
+    into the recursive-CTE closure and the identical argmax window,
+    hash-exact."""
+    from aoseventstreamer_spark.operators.components import keep_best_per_component
+    from aoseventstreamer_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents")
+    edges = D.verified_near_dup_pairs(docs, threshold=0.4, portable=True).select(
+        "doc_a", "doc_b"
+    )
+    return keep_best_per_component(docs, edges, quality_col="n_chars")

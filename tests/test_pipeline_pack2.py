@@ -102,3 +102,42 @@ def test_domain_mix_shares_sum_to_one(spark, sf_dir):
         if r.actual_share > 0:
             approx = (1.0 / 20) / r.actual_share
             assert abs(r.uniform_weight - approx) < 1e-3
+
+
+def test_near_dup_cluster_full_matches_all_pairs_on_verify_set(spark, sf_dir):
+    """The registered production composition (LSH candidates ->
+    verify -> components -> keep-best) must agree with the bounded
+    all-pairs ground truth on the doc_id < 200 verify set, in the
+    similarity regime banding is DESIGNED to catch: at 16 hashes / 4
+    bands the OR-construction collision probability at jaccard 0.75+
+    is ~0.79-0.99 (0.67 at 0.70 — a fixture pair at 0.7012 is indeed
+    missed, exactly on theory), while at 0.4 it is ~0.1 by design
+    (the synthetic shared-vocabulary soup of thousands of pairs at
+    0.4-0.6 is noise the banded join intentionally rejects — exact
+    0.4-threshold equality is theoretically impossible for ANY
+    sub-quadratic LSH). So: every all-pairs pair with jaccard >=
+    0.75 must be found, and the component labels from the LSH edge
+    set must equal labels from the union edge set."""
+    from aoseventstreamer_spark.operators import dedup as D
+    from aoseventstreamer_spark.operators.components import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.verified_near_dup_pairs(docs, threshold=0.4, portable=True).collect()
+    }
+    ap = D.ngram_jaccard_pairs(docs).filter(F.expr("jaccard >= 0.75"))
+    ap_pairs = {(r.doc_a, r.doc_b) for r in ap.collect()}
+    assert ap_pairs, "fixture must contain planted near-dups"
+    assert ap_pairs <= lsh_pairs  # full recall in the target regime
+
+    def labels(edge_pairs):
+        edges = spark.createDataFrame(
+            sorted(edge_pairs), "doc_a long, doc_b long"
+        )
+        return {
+            r.doc_id: r.component
+            for r in dedup_components(docs, edges).collect()
+        }
+
+    assert labels(lsh_pairs) == labels(ap_pairs | lsh_pairs)
