@@ -132,12 +132,9 @@ class EventStreamerEngine:
     ) -> DataFrame:
         """Batch query with the same exact-level / subtree semantics as
         a stream group filter; partition-prunes on project_id when the
-        log is partitioned."""
+        log carries the partition column. Delegates to
+        subjects.scoped_filter — the same rewrite now works facade-free
+        on any frame (SURVEY §4's subtree→partition-filter hint)."""
         base = S.base_subject(ids, is_object_group)
-        df = self.event_log()
-        pred = S.query_predicate("subject", base, include_subresources)
-        if ids:
-            # redundant with the subject predicate, but lets the file
-            # index prune whole project partitions before any read
-            pred = pred & (F.col("project_id") == ids[0]) if self.partition_log else pred
-        return df.filter(pred)
+        subject = S.query(base, include_subresources)
+        return S.scoped_filter(self.event_log(), subject)

@@ -194,6 +194,57 @@ def query_predicate(subject_col: Column | str, base: str, include_subresources: 
     return exact_level_predicate(subject_col, base)
 
 
+def filter_subject_predicate(subject_col: Column | str, filter_subject: str) -> Column:
+    """Compile a RAW query-subject string (``<base>._`` exact /
+    ``<base>.>`` subtree, utils.rs:35-42) into its Catalyst predicate
+    — the inverse of :func:`query`, for callers holding the wire-form
+    filter string instead of (ids, include_subresources)."""
+    if filter_subject.endswith(SUBTREE_TERMINATOR):
+        return subtree_predicate(
+            subject_col, filter_subject[: -len(SUBTREE_TERMINATOR)]
+        )
+    if filter_subject.endswith(PUBLISH_TERMINATOR):
+        return exact_level_predicate(
+            subject_col, filter_subject[: -len(PUBLISH_TERMINATOR)]
+        )
+    raise ValueError(
+        f"not a query subject (expected '{PUBLISH_TERMINATOR}' or "
+        f"'{SUBTREE_TERMINATOR}' terminator): {filter_subject!r}"
+    )
+
+
+def scoped_filter(
+    df,
+    filter_subject: str,
+    subject_col: str = "subject",
+    partition_col: str = "project_id",
+):
+    """SURVEY §4's subtree-predicate → partition-filter rewrite, as a
+    query-construction hint usable on ANY frame — no engine facade in
+    the path.
+
+    Catalyst cannot know that subject prefixes functionally determine
+    ``project_id`` (that knowledge lives in the subject grammar:
+    every query subject fixes the project as its first id token,
+    utils.rs:16-32), so a raw ``subtree_predicate`` filter on a
+    ``partitionBy(project_id)`` log scans every partition. This
+    helper derives the safe ``project_id == <p>`` equality from the
+    filter subject (:func:`project_of_query_subject`) and injects it
+    alongside the subject predicate whenever the frame carries the
+    partition column — Catalyst then turns it into a file-listing
+    PartitionFilter (plan-gated in tests/test_plans.py) while the
+    subject predicate still pushes to Parquet as
+    EqualTo/StringStartsWith. On frames without the partition column
+    (e.g. the raw testdata events table) it degrades to the plain
+    subject predicate.
+    """
+    pred = filter_subject_predicate(subject_col, filter_subject)
+    project = project_of_query_subject(filter_subject)
+    if project is not None and partition_col in df.columns:
+        pred = (F.col(partition_col) == project) & pred
+    return df.filter(pred)
+
+
 def project_of_query_subject(filter_subject: str) -> str | None:
     """Project id a compiled query subject is scoped to, or None.
 

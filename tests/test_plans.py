@@ -299,3 +299,36 @@ def test_nb_classify_model_joins_broadcast(spark, sf_dir):
     assert broadcast_join_count(df) >= 2
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_scoped_filter_rewrites_subtree_query_to_partition_filter(spark, tmp_path):
+    """SURVEY §4's one custom-rule candidate, now a facade-free
+    rewrite (subjects.scoped_filter): a raw subtree query issued
+    directly on a partitioned log read — NOT through
+    engine.query_events — must (a) populate the scan's
+    PartitionFilters with the derived project_id equality and (b)
+    still push the subject predicate down as StringStartsWith."""
+    from aoseventstreamer_spark.functions import subjects as S
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        S.base_subject_col([F.lit("p7"), F.lit("c1")]).alias("subject"),
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string")).alias(
+            "project_id"
+        ),
+    )
+    path = str(tmp_path / "partitioned_log")
+    ev.write.partitionBy("project_id").parquet(path)
+
+    raw = spark.read.parquet(path)  # no facade
+    subject = S.query(S.base_subject(["p7"], is_object_group=False), True)
+    df = S.scoped_filter(raw, subject)
+    plan = formatted_plan(df)
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "project_id" in part and "p7" in part
+    assert "StartsWith" in plan  # subject predicate reached the scan
+
+    # frames WITHOUT the partition column degrade to the subject filter
+    bare = raw.drop("project_id")
+    assert S.scoped_filter(bare, subject).columns == bare.columns
