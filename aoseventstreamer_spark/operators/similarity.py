@@ -233,9 +233,18 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     strategy: str = "fused",
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate NN: score only candidates sharing one of the query's
     hyperplane-sign buckets (multi-table OR for recall).
+
+    ``n_probes`` > 0 enables margin-aware multiprobe (fused strategy):
+    per table, the query additionally probes the ``n_probes`` buckets
+    reached by flipping its lowest-|margin| sign bits — recall rises
+    steeply (measured on the fixture: see RESULTS.md) without growing
+    the candidate-side index or adding tables. Probe selection needs
+    the query-side margins, which live in the fused kernel's closure
+    by construction, so it is a fused-only feature.
 
     Two physical strategies with IDENTICAL output:
 
@@ -276,9 +285,12 @@ def lsh_ann_topk(
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "query_id long, neighbor_id long, sim double")
 
+    if n_probes and strategy != "fused":
+        raise ValueError("n_probes requires strategy='fused'")
     if strategy == "fused":
         scored = _fused_bucket_score(
-            embeddings, queries, n_planes, n_tables, id_col, vec_col, dim
+            embeddings, queries, n_planes, n_tables, id_col, vec_col, dim,
+            n_probes=n_probes,
         )
         if scored is None:  # no valid query vectors
             spark = embeddings.sparkSession
@@ -330,6 +342,7 @@ def _fused_bucket_score(
     id_col: str,
     vec_col: str,
     dim: int,
+    n_probes: int = 0,
 ) -> DataFrame | None:
     """One-pass bucket+match+cosine kernel over candidate partitions
     (see lsh_ann_topk ``strategy='fused'``). Returns the scored
@@ -375,10 +388,30 @@ def _fused_bucket_score(
         )
 
     q_keys = packed(q_mat)  # (nq, n_tables)
+    bucket_keys = [q_keys.ravel()]
+    bucket_qis = [np.repeat(np.arange(len(q_ids)), n_tables)]
+    if n_probes > 0:
+        # margin-aware multiprobe (Lv et al. 2007): within each table,
+        # also probe the buckets obtained by flipping the sign bits the
+        # query is CLOSEST to (smallest |dot| margin) — those are the
+        # planes most likely to have split a true neighbor away. Each
+        # probe flips exactly one bit, so recall rises without more
+        # tables (no growth of the candidate-side index); the key's
+        # table prefix (t << n_planes) is untouched because flipped
+        # bits are always < n_planes.
+        margins = np.abs(q_mat @ planes.T)  # (nq, n_tables*n_planes)
+        m = min(n_probes, n_planes)
+        qi_base = np.arange(len(q_ids))
+        for t in range(n_tables):
+            mt = margins[:, t * n_planes : (t + 1) * n_planes]
+            order = np.argsort(mt, axis=1, kind="stable")[:, :m]  # (nq, m)
+            for j in range(m):
+                bucket_keys.append(q_keys[:, t] ^ (1 << order[:, j]).astype(np.int64))
+                bucket_qis.append(qi_base)
     q_bucket_tbl = pd.DataFrame(
         {
-            "bucket": q_keys.ravel(),
-            "qi": np.repeat(np.arange(len(q_ids)), n_tables),
+            "bucket": np.concatenate(bucket_keys),
+            "qi": np.concatenate(bucket_qis),
         }
     ).drop_duplicates()
 
