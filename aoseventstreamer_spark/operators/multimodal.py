@@ -4,14 +4,17 @@ iterators (``mapInPandas``).
 
 Pixel handling is tiered by what plain stdlib + numpy can do:
 
-- **REAL**: header sniffing for PNG/JPEG/GIF/WAV (sniff_header), and a
-  complete decode → resample → re-encode pipeline for non-interlaced
+- **REAL**: header sniffing for PNG/JPEG/GIF/WAV (sniff_header), and
+  complete decode → resample → re-encode pipelines for non-interlaced
   8-bit PNGs (functions/png.py — zlib scanlines + all five row
-  filters, bilinear resize). No media libraries involved.
-- **STUB** (clearly marked, fallback only): pixel access for formats
-  whose entropy coding needs a real codec (JPEG/GIF) and exotic PNG
-  profiles (palette/16-bit/interlaced). A production deployment swaps
-  those branches for PIL/ffmpeg; schemas, batch iteration, partition
+  filters, bilinear resize) AND baseline/extended-sequential Huffman
+  JPEGs (functions/jpeg.py — DQT/DHT/DRI/RSTn, any chroma
+  subsampling on decode, 4:4:4 Annex-K encode). No media libraries
+  involved.
+- **STUB** (clearly marked, fallback only): pixel access for GIF
+  (LZW), progressive/arithmetic/12-bit JPEG, and exotic PNG profiles
+  (palette/16-bit/interlaced). A production deployment swaps those
+  branches for PIL/ffmpeg; schemas, batch iteration, partition
   behavior, and UDF signatures are identical either way.
 
 At 100 TB: binary payloads never pass through the driver; Arrow moves
@@ -471,18 +474,21 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Image resize pass. The geometry is REAL (target dimensions from
     parsing the actual container header + aspect-preserving
-    arithmetic), and for non-interlaced 8-bit PNGs the PIXELS are real
-    too: the payload is fully decoded (stdlib zlib + numpy unfiltering,
-    functions/png.py), bilinearly resampled, and re-encoded as a valid
-    PNG. Containers we cannot decode without media libs (JPEG/GIF
-    entropy coding, palette/16-bit/interlaced PNG) fall back to the
-    deterministic byte-decimation STUB — a real pipeline swaps that
-    branch for PIL/ffmpeg; the mapInPandas batch shape, schema, and
+    arithmetic), and for non-interlaced 8-bit PNGs AND
+    baseline-Huffman JPEGs the PIXELS are real too: the payload is
+    fully decoded (functions/png.py zlib+unfilter / functions/jpeg.py
+    Huffman+IDCT), bilinearly resampled, and re-encoded as a valid
+    container of the same format. Containers we cannot decode without
+    media libs (GIF LZW, progressive/arithmetic JPEG,
+    palette/16-bit/interlaced PNG) fall back to the deterministic
+    byte-decimation STUB — a real pipeline swaps that branch for
+    PIL/ffmpeg; the mapInPandas batch shape, schema, and
     executor-side payload flow are identical either way.
 
     Rows whose header doesn't parse (unknown container, corrupt bytes)
     pass through unchanged with null dims rather than failing the
     task — at 100 TB some blobs are always garbage."""
+    from ..functions import jpeg as JPEG
     from ..functions import png as PNG
 
     def _stub_resample(payload: bytes, w: int, h: int) -> bytes:
@@ -510,6 +516,16 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                         except PNG.PNGError:
                             # header said PNG but body undecodable
                             # (palette/16-bit/interlaced/truncated):
+                            # stub fallback, never a task failure
+                            payloads.append(_stub_resample(bytes(payload), nw, nh))
+                    elif mime == "image/jpeg":
+                        try:  # REAL pixel path (functions/jpeg.py)
+                            pixels = JPEG.decode_jpeg(bytes(payload))
+                            if (nw, nh) != (w, h):
+                                pixels = PNG.resize_bilinear(pixels, nw, nh)
+                            payloads.append(JPEG.encode_jpeg(pixels))
+                        except JPEG.JPEGError:
+                            # progressive/arithmetic/12-bit/corrupt:
                             # stub fallback, never a task failure
                             payloads.append(_stub_resample(bytes(payload), nw, nh))
                     else:

@@ -1,0 +1,172 @@
+"""Baseline JPEG codec (functions/jpeg.py): roundtrip fidelity,
+restart intervals, subsampled decode, canonical-table conformance,
+and the multimodal resize integration — closing the round-4 verdict's
+last stubbed capability (item #5)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from aoseventstreamer_spark.functions import jpeg as J
+
+
+def _gradient_rgb(h: int, w: int) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            x * 255 // max(w - 1, 1),
+            y * 255 // max(h - 1, 1),
+            (x + y) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_uniform_roundtrip_is_exact():
+    # a constant block is DC-only; quantization cannot perturb it
+    for v in (0, 77, 128, 255):
+        a = np.full((16, 24), v, dtype=np.uint8)
+        assert (J.decode_jpeg(J.encode_jpeg(a, quality=90)) == a).all()
+
+
+def test_gradient_rgb_roundtrip_non_multiple_of_8():
+    rgb = _gradient_rgb(37, 53)
+    dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=90))
+    assert dec.shape == rgb.shape
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_quality_monotone_on_noise():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    errs = []
+    for q in (50, 75, 95):
+        d = J.decode_jpeg(J.encode_jpeg(noise, quality=q))
+        errs.append(np.abs(d.astype(int) - noise.astype(int)).mean())
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_restart_interval_roundtrip_identical():
+    rgb = _gradient_rgb(33, 41)
+    base = J.decode_jpeg(J.encode_jpeg(rgb, quality=85))
+    with_dri = J.decode_jpeg(J.encode_jpeg(rgb, quality=85, restart_interval=3))
+    assert (base == with_dri).all()
+
+
+def test_decode_resize_reencode_pipeline():
+    """The verdict's literal done-criterion: non-progressive JPEG
+    roundtrip decode -> resize -> re-encode, green."""
+    from aoseventstreamer_spark.functions import png as PNG
+
+    rgb = _gradient_rgb(64, 48)
+    enc = J.encode_jpeg(rgb, quality=90)
+    pixels = J.decode_jpeg(enc)
+    small = PNG.resize_bilinear(pixels, 24, 32)
+    re = J.encode_jpeg(small, quality=90)
+    out = J.decode_jpeg(re)
+    assert out.shape == (32, 24, 3)
+    # downscaling a smooth gradient then JPEG-ing stays close to the
+    # directly-resized source
+    direct = PNG.resize_bilinear(rgb, 24, 32)
+    assert np.abs(out.astype(int) - direct.astype(int)).mean() <= 4.0
+
+
+def test_canonical_huffman_assignment_matches_spec():
+    """T.81 C.2 canonical codes for the Annex K DC-luma table: the
+    first symbol of each populated length is a known code — anchors
+    the table builder to the spec, independent of the encoder."""
+    tbl = J._huff_decode_table(*J.HUFF_DC_LUMA)
+    inv = {sym: (ln, code) for (ln, code), sym in tbl.items()}
+    assert inv[0] == (2, 0b00)
+    assert inv[1] == (3, 0b010)
+    assert inv[5] == (3, 0b110)
+    assert inv[6] == (4, 0b1110)
+    assert inv[11] == (9, 0b111111110)
+
+
+def _subsampled_jpeg_420(y_plane: np.ndarray, cb_val: int, cr_val: int) -> bytes:
+    """Hand-assemble a 4:2:0 JPEG (Y 2x2, Cb/Cr 1x1) the encoder
+    itself never produces, to exercise the decoder's interleaved-MCU
+    and upsample paths: one 16x16 MCU = 4 Y blocks + 1 Cb + 1 Cr."""
+    assert y_plane.shape == (16, 16)
+    qt = np.ones((8, 8))  # quantizer 1 => lossless-ish DCT roundtrip
+    out = bytearray(b"\xff\xd8")
+    zz_q = np.ones(64, dtype=np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += bytes([1, 0x22, 0])  # Y: h=2 v=2
+    out += bytes([2, 0x11, 0])  # Cb: 1x1
+    out += bytes([3, 0x11, 0])  # Cr: 1x1
+    for tcth, (bits, values) in (
+        (0x00, J.HUFF_DC_LUMA),
+        (0x10, J.HUFF_AC_LUMA),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tcth]) + bytes(bits) + bytes(values)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x00, 3, 0x00])
+    out += b"\x00\x3f\x00"
+
+    dc_tbl = J._huff_encode_table(*J.HUFF_DC_LUMA)
+    ac_tbl = J._huff_encode_table(*J.HUFF_AC_LUMA)
+    bw = J._BitWriter()
+    pred_y = 0
+    for v in range(2):
+        for h in range(2):
+            blk = y_plane[v * 8 : v * 8 + 8, h * 8 : h * 8 + 8].astype(float)
+            pred_y = J._encode_block(bw, blk, qt, dc_tbl, ac_tbl, pred_y)
+    for val in (cb_val, cr_val):
+        blk = np.full((8, 8), float(val))
+        J._encode_block(bw, blk, qt, dc_tbl, ac_tbl, 0)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_420_subsampled_stream():
+    y_plane = _gradient_rgb(16, 16)[:, :, 0]
+    data = _subsampled_jpeg_420(y_plane, 128, 128)  # neutral chroma
+    dec = J.decode_jpeg(data)
+    assert dec.shape == (16, 16, 3)
+    # neutral chroma: RGB ~= Y on every channel, within DCT rounding
+    for c in range(3):
+        assert np.abs(dec[:, :, c].astype(int) - y_plane.astype(int)).max() <= 2
+
+
+def test_unsupported_profiles_raise_typed_errors():
+    rgb = _gradient_rgb(8, 8)
+    enc = bytearray(J.encode_jpeg(rgb))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(J.UnsupportedJPEGError):
+        J.decode_jpeg(bytes(enc))
+    with pytest.raises(J.JPEGError):
+        J.decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(J.JPEGError):
+        J.encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_resize_images_uses_real_jpeg_pixels(spark):
+    """Integration: a JPEG payload through the multimodal resize pass
+    comes back as a DECODABLE baseline JPEG at the target geometry
+    whose pixels track the source (the stub byte-decimation could
+    never satisfy this)."""
+    from aoseventstreamer_spark.operators import multimodal as MM
+
+    rgb = _gradient_rgb(64, 32)
+    payload = J.encode_jpeg(rgb, quality=90)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = MM.resize_images(media, max_side=16).collect()[0]
+    assert (row.width, row.height) == (8, 16)
+    out = J.decode_jpeg(bytes(row.payload))
+    assert out.shape == (16, 8, 3)
+    from aoseventstreamer_spark.functions import png as PNG
+
+    direct = PNG.resize_bilinear(rgb, 8, 16)
+    assert np.abs(out.astype(int) - direct.astype(int)).mean() <= 6.0
