@@ -1,0 +1,163 @@
+"""Span-level dedup + Bloom admission pack.
+
+``q_span_dup_spans`` / ``q_span_dedup_cut`` are the ExactSubstr pass
+(Lee et al. 2021) re-expressed distributed (``operators/spans.py``);
+``q_bloom_admit`` is incremental-admission membership with a
+DataFrame-native Bloom filter (``operators/bloom.py``). All three are
+integer/string-exact — no floats anywhere — so the DuckDB oracles are
+hash-exact, *including the Bloom filter's false positives* (the bit
+positions are md5-derived on both engines).
+
+Fixture parameters: W=8 token windows (docs are 10-100 tokens;
+production uses the paper's 50), m=4096 bits / k=3 hashes (the
+~450-text corpus sets ~28% of the bits → a measurable-but-small
+false-positive rate at sf0.01, exercising the interesting path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import bloom, spans
+from aoseventstreamer_spark.queries import query, t
+
+_W = 8  # fixture window width (tokens)
+
+# Shared oracle CTE chain: rolling windows → non-first duplicate
+# occurrences → gaps-and-islands span merge. {w} = window width.
+_SPAN_CTES = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    win AS (
+      SELECT doc_id, g.i AS pos,
+             array_to_string(list_slice(toks, g.i, g.i + {_W - 1}), ' ') AS gram
+      FROM tok, UNNEST(generate_series(1, len(toks) - {_W - 1})) AS g(i)
+      WHERE len(toks) >= {_W}
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             doc_id * 1048576 + pos AS okey,
+             MIN(doc_id * 1048576 + pos) OVER (PARTITION BY gram) AS first_okey,
+             COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM win
+    ),
+    occ AS (SELECT doc_id, pos FROM marked WHERE c > 1 AND okey <> first_okey),
+    o2 AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {_W} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS island
+      FROM o2
+    )
+"""
+
+
+@query(
+    "q_span_dup_spans",
+    oracle=f"""
+    WITH {_SPAN_CTES}
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {_W - 1} AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(MAX(pos) + {_W - 1} - MIN(pos) + 1 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_span_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span inventory: for every doc, the maximal token
+    spans whose every W-gram also occurs earlier in the corpus
+    (corpus-global first occurrence kept). Two shuffles total — one on
+    the gram, one on doc_id — regardless of corpus size; the string
+    gram key here is the oracle-parity form, ``gram_key='xxhash64'``
+    is the production shuffle (equality unit-tested)."""
+    docs = t(spark, sf_dir, "documents")
+    occ = spans.duplicate_occurrences(docs, _W, gram_key="string")
+    return spans.merged_spans(occ, _W)
+
+
+@query(
+    "q_span_dedup_cut",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    sp AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_W - 1} AS span_end
+      FROM isl GROUP BY doc_id, island
+    ),
+    cut AS (
+      SELECT tk.doc_id, g.i AS i, tk.toks[g.i] AS tokn,
+             EXISTS(SELECT 1 FROM sp s WHERE s.doc_id = tk.doc_id
+                    AND g.i BETWEEN s.span_start AND s.span_end) AS dropped
+      FROM tok tk, UNNEST(generate_series(1, len(tk.toks))) AS g(i)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(tokn, ' ' ORDER BY i)
+                      FILTER (WHERE NOT dropped), '') AS clean_text,
+           CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_tokens_cut
+    FROM cut GROUP BY doc_id
+    """,
+)
+def q_span_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ExactSubstr pass: every doc rebuilt with its
+    duplicated spans removed (one canonical copy survives corpus-wide).
+    The rebuild is array-native — spans collect per doc and the clean
+    text is a higher-order filter over the token array, so no
+    per-token rows ever shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return spans.exact_substring_dedup(docs, _W, gram_key="string")
+
+
+_M, _K = 4096, 3
+
+
+@query(
+    "q_bloom_admit",
+    oracle=f"""
+    WITH corpus AS (SELECT DISTINCT text FROM documents WHERE source <> 'src0'),
+    cb AS (SELECT {bloom.H1_SQL.format(c="text")} AS h1,
+                  {bloom.H2_SQL.format(c="text")} AS h2 FROM corpus),
+    bits AS (SELECT DISTINCT (h1 + g.i * h2) % {_M} AS pos
+             FROM cb, UNNEST(generate_series(0, {_K - 1})) AS g(i)),
+    batch AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+    bp AS (SELECT b.doc_id,
+                  ({bloom.H1_SQL.format(c="b.text")}
+                   + g.i * {bloom.H2_SQL.format(c="b.text")}) % {_M} AS pos
+           FROM batch b, UNNEST(generate_series(0, {_K - 1})) AS g(i)),
+    flags AS (SELECT bp.doc_id, COUNT(bits.pos) = {_K} AS maybe_seen
+              FROM bp LEFT JOIN bits USING (pos) GROUP BY bp.doc_id)
+    SELECT f.doc_id, f.maybe_seen,
+           EXISTS(SELECT 1 FROM corpus c WHERE c.text = b.text) AS exact_seen,
+           (f.maybe_seen AND NOT
+            EXISTS(SELECT 1 FROM corpus c WHERE c.text = b.text))
+             AS false_positive
+    FROM flags f JOIN batch b USING (doc_id)
+    """,
+)
+def q_bloom_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission: a Bloom filter built over the historical
+    corpus (every source but src0) classifies the incoming src0 batch.
+    ``maybe_seen=false`` rows are definitely new (no false negatives)
+    and skip the exact check; the exact verdict and the filter's
+    false positives are emitted for audit. The filter is ≤ m rows of
+    one BIGINT — broadcast to the probe join; at 100 TB the history
+    side never rescans, only its bit positions do."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0").select("text").distinct()
+    bits = bloom.bloom_build(corpus, "text", _M, _K)
+    batch = docs.where(F.col("source") == "src0").select("doc_id", "text")
+    adm = bloom.bloom_admit(batch, bits, "text", _M, _K)
+    seen = corpus.withColumn("_s", F.lit(1))
+    return (
+        adm.join(F.broadcast(seen), "text", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.col("_s").isNotNull().alias("exact_seen"),
+            (F.col("maybe_seen") & F.col("_s").isNull()).alias("false_positive"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Unit tests for span-level exact-substring dedup (operators/spans.py)
+and the DataFrame-native Bloom filter (operators/bloom.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import bloom, spans
+from aoseventstreamer_spark.session import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- spans
+
+
+def test_planted_duplicate_span_found_and_first_copy_kept(spark):
+    # doc 2 repeats doc 1's 6-token sentence inside otherwise-unique text
+    dup = "p q r s t u"
+    df = _docs(
+        spark,
+        [
+            (1, f"a b c {dup} d e f"),
+            (2, f"g h i j {dup} k l"),
+        ],
+    )
+    occ = spans.duplicate_occurrences(df, 6).collect()
+    # only doc 2's occurrence is cut (doc 1 is the corpus-global first)
+    assert {(r.doc_id, r.pos) for r in occ} == {(2, 5)}
+    sp = spans.merged_spans(spans.duplicate_occurrences(df, 6), 6).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_windows, r.n_tokens) for r in sp] == [
+        (2, 5, 10, 1, 6)
+    ]
+
+
+def test_overlapping_windows_merge_into_one_span(spark):
+    # a 8-token duplicated region at w=6 → 3 overlapping dup windows
+    region = "p q r s t u v w"
+    df = _docs(spark, [(1, f"{region} x y z"), (2, f"a b {region} c")])
+    sp = spans.merged_spans(spans.duplicate_occurrences(df, 6), 6).collect()
+    assert [(r.doc_id, r.span_start, r.span_end, r.n_windows, r.n_tokens) for r in sp] == [
+        (2, 3, 10, 3, 8)
+    ]
+
+
+def test_disjoint_spans_stay_separate(spark):
+    d1, d2 = "p q r s t u", "j k l m n o"
+    df = _docs(
+        spark,
+        [
+            (1, f"{d1} a b {d2}"),
+            (2, f"{d1} c d {d2}"),  # two dup regions, gap 2 < w but
+            # separated by non-duplicate windows → islands split on pos gap
+        ],
+    )
+    sp = sorted(
+        spans.merged_spans(spans.duplicate_occurrences(df, 6), 6).collect(),
+        key=lambda r: r.span_start,
+    )
+    # the in-between windows ("t u a b j k"...) differ across docs, so
+    # only the two 6-token regions are dup; pos 1 and pos 9, gap 8 > 6
+    assert [(r.doc_id, r.span_start, r.span_end) for r in sp] == [
+        (2, 1, 6),
+        (2, 9, 14),
+    ]
+
+
+def test_cut_rebuilds_text_and_counts(spark):
+    dup = "p q r s t u"
+    df = _docs(spark, [(1, f"{dup} x y"), (2, f"a b {dup} z")])
+    out = {r.doc_id: r for r in spans.exact_substring_dedup(df, 6, gram_key="string").collect()}
+    assert out[1].clean_text == f"{dup} x y"  # first copy untouched
+    assert out[1].n_tokens_cut == 0
+    assert out[2].clean_text == "a b z"
+    assert out[2].n_tokens_cut == 6
+
+
+def test_whole_doc_duplicate_cuts_to_empty(spark):
+    txt = "p q r s t u v"
+    df = _docs(spark, [(1, txt), (2, txt)])
+    out = {r.doc_id: r for r in spans.exact_substring_dedup(df, 6, gram_key="string").collect()}
+    assert out[1].clean_text == txt
+    assert out[2].clean_text == ""
+    assert out[2].n_tokens_cut == 7
+
+
+def test_short_docs_produce_no_windows(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    assert spans.duplicate_occurrences(df, 6).count() == 0
+
+
+def test_hashed_gram_keys_match_string_keys(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    want = spans.merged_spans(
+        spans.duplicate_occurrences(docs, 8, gram_key="string"), 8
+    )
+    for key in ("xxhash64", "md5"):
+        got = spans.merged_spans(
+            spans.duplicate_occurrences(docs, 8, gram_key=key), 8
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_intra_doc_repeat_is_cut(spark):
+    dup = "p q r s t u"
+    df = _docs(spark, [(1, f"{dup} a b c {dup}")])
+    sp = spans.merged_spans(spans.duplicate_occurrences(df, 6), 6).collect()
+    assert [(r.doc_id, r.span_start, r.span_end) for r in sp] == [(1, 10, 15)]
+
+
+# ---------------------------------------------------------------- bloom
+
+
+@pytest.fixture(scope="module")
+def corpus_batch(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0").select("text").distinct().cache()
+    batch = docs.where(F.col("source") == "src0").select("doc_id", "text").cache()
+    return corpus, batch
+
+
+def test_bloom_no_false_negatives(spark, corpus_batch):
+    corpus, batch = corpus_batch
+    bits = bloom.bloom_build(corpus, "text", 4096, 3)
+    adm = bloom.bloom_admit(batch, bits, "text", 4096, 3)
+    exact = adm.join(corpus.withColumn("_s", F.lit(1)), "text", "left")
+    # every exactly-seen text must be flagged maybe_seen
+    assert (
+        exact.where(F.col("_s").isNotNull() & ~F.col("maybe_seen")).count() == 0
+    )
+
+
+def test_bloom_self_membership_all_positive(spark, corpus_batch):
+    corpus, _ = corpus_batch
+    bits = bloom.bloom_build(corpus, "text", 4096, 3)
+    self_adm = bloom.bloom_admit(
+        corpus.withColumn("doc_id", F.lit(0)), bits, "text", 4096, 3
+    )
+    assert self_adm.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fp_rate_sane(spark, corpus_batch):
+    corpus, batch = corpus_batch
+    bits = bloom.bloom_build(corpus, "text", 4096, 3)
+    n_bits = bits.count()
+    assert n_bits <= 4096
+    adm = bloom.bloom_admit(batch, bits, "text", 4096, 3)
+    novel = adm.join(corpus, "text", "left_anti")
+    n_novel = novel.count()
+    fp = novel.where("maybe_seen").count()
+    # theoretical FP ≈ (fill ratio)^k; allow generous slack
+    fill = n_bits / 4096
+    assert fp / max(n_novel, 1) <= max(5 * fill**3, 0.02)
+
+
+def test_bloom_matches_pure_python(spark):
+    import hashlib
+
+    rows = [(i, f"text number {i}") for i in range(50)]
+    df = _docs(spark, rows)
+    m, k = 512, 3
+
+    def positions(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        h1, h2 = int(h[:15], 16), int(h[15:30], 16)
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    want = sorted({p for _, s in rows for p in positions(s)})
+    got = sorted(r.pos for r in bloom.bloom_build(df, "text", m, k).collect())
+    assert got == want
