@@ -1,12 +1,14 @@
-"""Span-level dedup + Bloom admission pack.
+"""Span-level dedup + probabilistic-sketch pack.
 
 ``q_span_dup_spans`` / ``q_span_dedup_cut`` are the ExactSubstr pass
 (Lee et al. 2021) re-expressed distributed (``operators/spans.py``);
 ``q_bloom_admit`` is incremental-admission membership with a
-DataFrame-native Bloom filter (``operators/bloom.py``). All three are
-integer/string-exact — no floats anywhere — so the DuckDB oracles are
-hash-exact, *including the Bloom filter's false positives* (the bit
-positions are md5-derived on both engines).
+DataFrame-native Bloom filter (``operators/bloom.py``);
+``q_heavy_hitters_cms`` audits a count-min sketch against exact
+counts (``operators/cms.py``). All are integer/string-exact — no
+floats anywhere — so the DuckDB oracles are hash-exact, *including
+the Bloom filter's false positives and the sketch's overcounts* (the
+bit/cell positions are md5-derived identically on both engines).
 
 Fixture parameters: W=8 token windows (docs are 10-100 tokens;
 production uses the paper's 50), m=4096 bits / k=3 hashes (the
@@ -19,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aoseventstreamer_spark.operators import bloom, spans
+from aoseventstreamer_spark.operators import bloom, cms, spans
 from aoseventstreamer_spark.queries import query, t
 
 _W = 8  # fixture window width (tokens)
@@ -160,4 +162,60 @@ def q_bloom_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s").isNotNull().alias("exact_seen"),
             (F.col("maybe_seen") & F.col("_s").isNull()).alias("false_positive"),
         )
+    )
+
+
+_CM, _CD = 32, 4  # fixture: width < vocabulary, so collisions (and the
+# sketch's one-sided overcounts) actually occur and are value-compared
+
+
+@query(
+    "q_heavy_hitters_cms",
+    oracle=f"""
+    WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+               FROM tk GROUP BY tok),
+    hx AS (SELECT tok, exact_count,
+                  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h1,
+                  CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) AS h2
+           FROM counts),
+    cms AS (SELECT g.i AS row_i, (h1 + g.i * h2) % {_CM} AS pos,
+                   CAST(SUM(exact_count) AS BIGINT) AS cnt
+            FROM hx, UNNEST(generate_series(0, {_CD - 1})) AS g(i)
+            GROUP BY 1, 2),
+    top AS (SELECT tok, exact_count, h1, h2 FROM hx
+            ORDER BY exact_count DESC, tok LIMIT 20),
+    probes AS (SELECT t.tok, t.exact_count, g.i AS row_i,
+                      (t.h1 + g.i * t.h2) % {_CM} AS pos
+               FROM top t, UNNEST(generate_series(0, {_CD - 1})) AS g(i))
+    SELECT p.tok, p.exact_count,
+           CAST(MIN(c.cnt) AS BIGINT) AS est_count,
+           CAST(MIN(c.cnt) - p.exact_count AS BIGINT) AS overcount
+    FROM probes p JOIN cms c USING (row_i, pos)
+    GROUP BY p.tok, p.exact_count
+    """,
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch: token frequencies are
+    folded into a depth×width cell table (bounded state regardless of
+    vocabulary size, mergeable across shards by cell-wise add), then
+    the exact top-20 tokens are point-queried against it. The output
+    value-compares est vs exact — the sketch's one-sided overcounts
+    are themselves deterministic under the portable md5 double-hash,
+    so even THEY hash-match the oracle. At 100 TB the exact count
+    side of this audit disappears and only the sketch (and its εN
+    guarantee) remains; here the exact side is the point."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    sk = cms.cms_build(counts, "tok", _CM, _CD, weight_col="exact_count")
+    top = counts.orderBy(F.desc("exact_count"), "tok").limit(20)
+    est = cms.cms_estimate(sk, top, "tok", _CM, _CD)
+    return est.select(
+        "tok",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )

@@ -172,3 +172,45 @@ def test_bloom_matches_pure_python(spark):
     want = sorted({p for _, s in rows for p in positions(s)})
     got = sorted(r.pos for r in bloom.bloom_build(df, "text", m, k).collect())
     assert got == want
+
+
+# ------------------------------------------------------------------ cms
+
+
+def test_cms_estimate_is_one_sided(spark):
+    from aoseventstreamer_spark.operators import cms
+
+    rows = [(i, f"tok{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, tok string")
+    sk = cms.cms_build(df, "tok", 8, 3)
+    keys = df.select("tok").distinct()
+    est = cms.cms_estimate(sk, keys, "tok", 8, 3)
+    exact = df.groupBy("tok").count()
+    j = est.join(exact, "tok").collect()
+    assert len(j) == 7
+    assert all(r.est_count >= r["count"] for r in j)
+
+
+def test_cms_merge_equals_single_build(spark):
+    from aoseventstreamer_spark.operators import cms
+
+    rows = [(i, f"tok{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, tok string")
+    a, b = df.where("i < 90"), df.where("i >= 90")
+    merged = cms.cms_merge(
+        cms.cms_build(a, "tok", 16, 4), cms.cms_build(b, "tok", 16, 4)
+    )
+    whole = cms.cms_build(df, "tok", 16, 4)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_absent_key_estimates_zero_when_no_collision(spark):
+    from aoseventstreamer_spark.operators import cms
+
+    df = spark.createDataFrame([(1, "only")], "i long, tok string")
+    sk = cms.cms_build(df, "tok", 4096, 3)
+    probe = spark.createDataFrame([("never-seen-key",)], "tok string")
+    est = cms.cms_estimate(sk, probe, "tok", 4096, 3).collect()[0]
+    # one key in a 4096-wide sketch: collision on all 3 rows is ~(1/4096)^3
+    assert est.est_count == 0
