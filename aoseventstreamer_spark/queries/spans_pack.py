@@ -219,3 +219,69 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_count",
         (F.col("est_count") - F.col("exact_count")).alias("overcount"),
     )
+
+
+_HP = 6  # HLL precision: m = 64 registers (fixture-sized)
+_HLL_CTES = f"""
+    hh AS (SELECT CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+    br AS (SELECT h % {1 << _HP} AS bucket, h // {1 << _HP} AS r FROM hh),
+    rr AS (SELECT bucket,
+                  CASE WHEN r = 0 THEN {60 - _HP + 1}
+                       ELSE CAST(ROUND(log2(r & (-r))) AS BIGINT) + 1
+                  END AS rho
+           FROM br),
+    sk AS (SELECT bucket, MAX(rho) AS max_rho FROM rr GROUP BY bucket)
+"""
+
+
+@query(
+    "q_hll_sketch",
+    oracle=f"""
+    WITH {_HLL_CTES}
+    SELECT bucket, max_rho FROM sk
+    """,
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL registers themselves, value-compared: bucket → max
+    trailing-zero rank under the portable md5 hash. Spark's built-in
+    approx_count_distinct (HLL++) can only ever be rows-only audited;
+    this sketch is bit-for-bit reproducible in ANSI SQL, mergeable by
+    register-wise MAX, and 2^p rows regardless of input size."""
+    from aoseventstreamer_spark.operators import hll
+
+    docs = t(spark, sf_dir, "documents")
+    return hll.hll_sketch(docs.select("text"), "text", _HP)
+
+
+@query(
+    "q_hll_summary",
+    oracle=f"""
+    WITH {_HLL_CTES},
+    agg AS (SELECT COUNT(*) AS n_used,
+                   CAST(SUM(CAST(1 AS BIGINT) << CAST({62 - _HP} - max_rho AS INT))
+                        AS BIGINT) AS di
+            FROM sk)
+    SELECT CAST({1 << _HP} AS INT) AS n_registers,
+           di + ({1 << _HP} - n_used) * (CAST(1 AS BIGINT) << {62 - _HP})
+             AS denom_scaled,
+           (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents)
+             AS exact_distinct
+    FROM agg
+    """,
+)
+def q_hll_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL audit row: the exact integer fixed-point denominator
+    Σ 2^(S-max_rho) (the entire information content of the estimate —
+    the float estimate itself is a derived display value, excluded
+    from comparison per the repo's exp()/libm discipline) next to the
+    true distinct count."""
+    from aoseventstreamer_spark.operators import hll
+
+    docs = t(spark, sf_dir, "documents")
+    sk = hll.hll_sketch(docs.select("text"), "text", _HP)
+    summary = hll.hll_estimate(sk, _HP).select("n_registers", "denom_scaled")
+    exact = docs.agg(
+        F.count_distinct("text").cast("long").alias("exact_distinct")
+    )
+    return summary.crossJoin(exact)

@@ -214,3 +214,49 @@ def test_cms_absent_key_estimates_zero_when_no_collision(spark):
     est = cms.cms_estimate(sk, probe, "tok", 4096, 3).collect()[0]
     # one key in a 4096-wide sketch: collision on all 3 rows is ~(1/4096)^3
     assert est.est_count == 0
+
+
+# ------------------------------------------------------------------ hll
+
+
+def test_hll_estimate_accuracy_at_10k(spark):
+    from aoseventstreamer_spark.operators import hll
+
+    df = spark.range(10_000).select(F.concat(F.lit("key-"), "id").alias("k"))
+    sk = hll.hll_sketch(df, "k", p=9)  # 512 registers → ~4.6% rel err
+    est = hll.hll_estimate(sk, p=9).collect()[0].estimate
+    assert abs(est - 10_000) / 10_000 < 0.15
+
+
+def test_hll_duplicates_do_not_change_sketch(spark):
+    from aoseventstreamer_spark.operators import hll
+
+    df = spark.range(1000).select(F.concat(F.lit("k"), "id").alias("k"))
+    dup = df.unionAll(df).unionAll(df)
+    a = sorted(hll.hll_sketch(df, "k", 6).collect())
+    b = sorted(hll.hll_sketch(dup, "k", 6).collect())
+    assert a == b
+
+
+def test_hll_merge_equals_single_build(spark):
+    from aoseventstreamer_spark.operators import hll
+
+    df = spark.range(5000).select(F.concat(F.lit("k"), "id").alias("k"))
+    a, b = df.where("id < 2000"), df.where("id >= 2000")
+    merged = sorted(
+        hll.hll_merge(
+            hll.hll_sketch(a, "k", 7), hll.hll_sketch(b, "k", 7)
+        ).collect()
+    )
+    whole = sorted(hll.hll_sketch(df, "k", 7).collect())
+    assert merged == whole
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from aoseventstreamer_spark.operators import hll
+
+    df = spark.range(20).select(F.concat(F.lit("k"), "id").alias("k"))
+    sk = hll.hll_sketch(df, "k", p=6)
+    est = hll.hll_estimate(sk, p=6).collect()[0].estimate
+    # linear counting at n=20, m=64 is typically within a few keys
+    assert abs(est - 20) < 6
