@@ -31,12 +31,13 @@ def _cell_pos(c: Column, i, m: int) -> Column:
     return (_h1(c) + i * _h2(c)) % m
 
 
-def cms_build(
+def cms_cells(
     df: DataFrame, key_col: str, m: int, depth: int, weight_col: str | None = None
 ) -> DataFrame:
-    """Build the sketch over ``df`` rows (each counts ``weight_col`` or
-    1): (row_i, pos, cnt) cells, at most depth×m rows. One shuffle on
-    the cell key; partial aggregation does the map-side merge."""
+    """Pre-aggregation cell rows (row_i, pos, w) — the streaming
+    integration point: feed these to ``IncrementalRollup`` with
+    keys=(row_i, pos) and a SUM agg and the per-batch partials merge
+    to exactly ``cms_build`` of the union (tested)."""
     if depth > 4:
         raise ValueError("depth>4 risks int64 overflow in h1 + i*h2")
     c = F.col(key_col)
@@ -45,9 +46,22 @@ def cms_build(
         F.sequence(F.lit(0), F.lit(depth - 1)),
         lambda i: F.struct(i.alias("row_i"), _cell_pos(c, i, m).alias("pos")),
     )
+    return df.select(F.explode(rows).alias("cell"), w.alias("w")).select(
+        F.col("cell.row_i").alias("row_i"),
+        F.col("cell.pos").alias("pos"),
+        "w",
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, m: int, depth: int, weight_col: str | None = None
+) -> DataFrame:
+    """Build the sketch over ``df`` rows (each counts ``weight_col`` or
+    1): (row_i, pos, cnt) cells, at most depth×m rows. One shuffle on
+    the cell key; partial aggregation does the map-side merge."""
     return (
-        df.select(F.explode(rows).alias("cell"), w.alias("w"))
-        .groupBy(F.col("cell.row_i").alias("row_i"), F.col("cell.pos").alias("pos"))
+        cms_cells(df, key_col, m, depth, weight_col)
+        .groupBy("row_i", "pos")
         .agg(F.sum("w").cast("long").alias("cnt"))
     )
 

@@ -42,9 +42,11 @@ from aoseventstreamer_spark.operators.dedup import md5_long
 H_BITS = 60  # md5_long yields 60 uniform bits
 
 
-def hll_sketch(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
-    """(bucket, max_rho) registers over the keys of ``df`` (duplicate
-    keys are free — MAX absorbs them). At most 2^p rows; one shuffle."""
+def hll_rhos(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """Pre-aggregation (bucket, rho) rows — the streaming integration
+    point: feed these to ``IncrementalRollup`` with keys=(bucket,) and
+    a MAX agg (merge_fn 'max') and the per-batch partials merge to
+    exactly ``hll_sketch`` of the union (tested)."""
     m = 1 << p
     h = md5_long(key_col)
     # h >> p, NOT h/m: double division drops low bits above 2^53
@@ -54,8 +56,14 @@ def hll_sketch(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
         F.when(r == 0, F.lit(H_BITS - p + 1))
         .otherwise(F.round(F.log2(low)).cast("long") + 1)
     )
+    return df.select((h % m).alias("bucket"), rho.alias("rho"))
+
+
+def hll_sketch(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """(bucket, max_rho) registers over the keys of ``df`` (duplicate
+    keys are free — MAX absorbs them). At most 2^p rows; one shuffle."""
     return (
-        df.select((h % m).alias("bucket"), rho.alias("rho"))
+        hll_rhos(df, key_col, p)
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
