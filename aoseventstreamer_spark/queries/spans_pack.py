@@ -285,3 +285,87 @@ def q_hll_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("text").cast("long").alias("exact_distinct")
     )
     return summary.crossJoin(exact)
+
+
+_KMV_K = 32  # < the 150-user fixture sets, so the estimation path runs
+_KMV_H = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+@query(
+    "q_kmv_sketch",
+    oracle=f"""
+    WITH uh AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM events),
+    rk AS (SELECT event_type, h,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                       AS BIGINT) AS rank
+           FROM uh)
+    SELECT event_type, rank, h FROM rk WHERE rank <= {_KMV_K}
+    """,
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type KMV sketch of the distinct user set: the k
+    smallest md5-derived user hashes, value-compared rank by rank.
+    The rank filter compiles to WindowGroupLimit, so each mapper
+    forwards at most k rows per group below the shuffle — the build
+    moves O(groups · k) rows at any user population."""
+    from aoseventstreamer_spark.operators import kmv
+
+    ev = t(spark, sf_dir, "events")
+    return kmv.kmv_sketch(ev, "user_id", _KMV_K, group_cols=["event_type"])
+
+
+@query(
+    "q_kmv_set_ops",
+    oracle=f"""
+    WITH ha AS (SELECT DISTINCT {_KMV_H} AS h FROM events
+                WHERE event_type = 'click'),
+    hb AS (SELECT DISTINCT {_KMV_H} AS h FROM events
+           WHERE event_type = 'purchase'),
+    ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                           FROM ha) WHERE rn <= {_KMV_K}),
+    skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                           FROM hb) WHERE rn <= {_KMV_K}),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL
+                                  SELECT h FROM skb)),
+    comb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                            FROM u) WHERE rn <= {_KMV_K}),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_used, MAX(h) AS tau
+           FROM comb),
+    mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM comb
+           WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+    ea AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    eb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union
+           FROM (SELECT user_id FROM ea UNION SELECT user_id FROM eb)),
+    ei AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM ea
+           WHERE user_id IN (SELECT user_id FROM eb))
+    SELECT st.n_used, st.tau, mt.n_match, eu.exact_union, ei.exact_intersect
+    FROM st, mt, eu, ei
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra — the capability HLL registers lack: the
+    click-user and purchase-user sketches combine into a union sketch
+    whose (n_used, tau) estimate |A ∪ B| and whose both-sides match
+    count estimates the Jaccard, hence |A ∩ B| ≈ (n_match/k)·|A ∪ B|
+    (Beyer et al. 2007). Compared columns are the exact integers the
+    estimates derive from (the repo's derived-float discipline) next
+    to the true union/intersection counts for the audit; set ops touch
+    only sketch rows (≤ k each side), never the key populations."""
+    from aoseventstreamer_spark.operators import kmv
+
+    ev = t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    ska = kmv.kmv_sketch(a, "user_id", _KMV_K)
+    skb = kmv.kmv_sketch(b, "user_id", _KMV_K)
+    ops = kmv.kmv_set_ops(ska, skb, _KMV_K)
+    ua = a.select("user_id").distinct()
+    ub = b.select("user_id").distinct()
+    exact_u = ua.unionByName(ub).distinct().agg(
+        F.count(F.lit(1)).alias("exact_union")
+    )
+    exact_i = ua.join(ub, "user_id", "semi").agg(
+        F.count(F.lit(1)).alias("exact_intersect")
+    )
+    return ops.crossJoin(exact_u).crossJoin(exact_i)
