@@ -132,6 +132,112 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def _degree_oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orient an undirected edge list into a DAG by (degree, id)
+    order: every edge points from its lower-(deg, id) endpoint to the
+    higher. The standard skew killer for triangle counting (Suri &
+    Vassilvitskii 2011): out-degrees are bounded by O(sqrt(|E|)) —
+    even a celebrity node whose raw degree is millions fans OUT only
+    to the few higher-degree nodes — so the wedge self-join on src
+    never builds a quadratic group. Deterministic (ties on id), hence
+    replayable in the oracle."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    first_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(first_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(first_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+
+
+def triangles(
+    edges: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    oriented: DataFrame | None = None,
+) -> DataFrame:
+    """Every triangle in the undirected graph exactly once, as rows
+    (x, y, z) in (deg, id)-orientation order: wedges pair each node's
+    out-neighbors, the closing edge is a semi-probe against the same
+    oriented list. The oriented frame is referenced three times (two
+    wedge arms + closure), so it is materialized ONCE with
+    localCheckpoint — without it the whole upstream edge build
+    re-executes per reference. Callers that also need the oriented
+    frame (degrees) pass it via ``oriented`` to share the single
+    materialization."""
+    o = (
+        oriented
+        if oriented is not None
+        else _degree_oriented(edges, src, dst).localCheckpoint()
+    )
+    w1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    w2 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    # pair out-neighbors once per unordered pair: order wedge arms by id
+    wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
+    closing = o.select(
+        F.least("a", "b").alias("y"), F.greatest("a", "b").alias("z")
+    )
+    return wedges.join(closing, ["y", "z"], "semi").select("x", "y", "z")
+
+
+def oriented_degrees(oriented: DataFrame) -> DataFrame:
+    """(node, deg) from a (deg,id)-oriented edge list — each
+    undirected edge appears exactly once, so counting both endpoint
+    columns recovers the true undirected degree."""
+    return (
+        oriented.select(F.col("a").alias("node"))
+        .unionByName(oriented.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """1-row global summary: triangle count, wedge (open-triad) count
+    Σ C(deg,2), and the global clustering coefficient 3·tri/wedges in
+    exact integer micro-units (BIGINT division — the float is the
+    caller's display concern, per the repo discipline)."""
+    o = _degree_oriented(edges, src, dst).localCheckpoint()
+    tri = triangles(oriented=o).agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = oriented_degrees(o)
+    wed = deg.agg(
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(wed)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0"
+                " ELSE (3 * n_triangles * 1000000) div n_wedges END"
+            ).alias("gcc_micro"),
+        )
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str,
     iters: int = 5,

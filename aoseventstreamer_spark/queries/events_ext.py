@@ -302,3 +302,130 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, iters=5, damping_pct=85, weight_col="w", broadcast_ranks=True
     )
+
+
+# Shared oracle CTE chain for the co-purchase triangle queries:
+# lineitem self-join pairs → weight>=2 edges → (deg,id)-oriented DAG →
+# wedge join → closure probe. Mirrors operators/graph.triangles.
+_TRI_CTES = """
+    li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pr AS (SELECT a.pk AS u, b.pk AS v FROM li a
+           JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+    ew AS (SELECT u, v FROM pr GROUP BY u, v HAVING COUNT(*) >= 2),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+              (SELECT u AS node FROM ew UNION ALL SELECT v FROM ew)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS a,
+                 CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS b
+          FROM ew e JOIN deg du ON e.u = du.node
+                    JOIN deg dv ON e.v = dv.node),
+    wed AS (SELECT w1.a AS x, w1.b AS y, w2.b AS z
+            FROM o w1 JOIN o w2 ON w1.a = w2.a AND w1.b < w2.b),
+    tri AS (SELECT x, y, z FROM wed
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE LEAST(o.a, o.b) = wed.y
+                            AND GREATEST(o.a, o.b) = wed.z))
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+
+
+@query(
+    "q_triangle_stats",
+    oracle=f"""
+    WITH {_TRI_CTES}
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT CASE WHEN SUM(deg * (deg - 1) // 2) = 0 THEN 0
+                   ELSE (3 * (SELECT COUNT(*) FROM tri) * 1000000)
+                        // SUM(deg * (deg - 1) // 2) END
+            FROM deg) AS gcc_micro
+    """,
+)
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the co-purchase graph (parts linked
+    when bought together in >= 2 orders): triangle count, wedge count
+    Σ C(deg,2), and the global clustering coefficient 3·tri/wedges in
+    integer micro-units. The triangle pass orients edges by (degree,
+    id) — Suri & Vassilvitskii 2011 — so the wedge self-join is
+    skew-bounded (out-degree O(sqrt|E|)) no matter how hot the
+    best-selling part is; the closure check is a semi-join, so no
+    triangle row ever shuffles twice."""
+    from aoseventstreamer_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "q_triangle_top_nodes",
+    oracle=f"""
+    WITH {_TRI_CTES},
+    tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+             (SELECT x AS node FROM tri UNION ALL
+              SELECT y FROM tri UNION ALL
+              SELECT z FROM tri)
+           GROUP BY node),
+    top AS (SELECT t.node, t.n_tri, d.deg,
+                   (2 * t.n_tri * 1000000) // (d.deg * (d.deg - 1))
+                     AS lcc_micro
+            FROM tn t JOIN deg d USING (node)
+            ORDER BY t.n_tri DESC, t.node LIMIT 20)
+    SELECT node, n_tri, deg, lcc_micro FROM top
+    """,
+)
+def q_triangle_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most triangle-embedded parts with their local clustering
+    coefficient 2·tri/(deg·(deg−1)) in integer micro-units — the
+    community-core detector over the co-purchase graph. Per-node
+    counts explode each triangle to its three corners (3 rows per
+    triangle, never per pair), so the aggregate input is exactly
+    3·|triangles| rows."""
+    from aoseventstreamer_spark.operators.graph import (
+        _degree_oriented,
+        oriented_degrees,
+        triangles,
+    )
+
+    o = _degree_oriented(
+        _copurchase_edges(spark, sf_dir), "src", "dst"
+    ).localCheckpoint()
+    tri = triangles(oriented=o)
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = oriented_degrees(o)
+    return (
+        corners.join(deg, "node")
+        .select(
+            "node",
+            "n_tri",
+            "deg",
+            F.expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").alias(
+                "lcc_micro"
+            ),
+        )
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )
