@@ -176,3 +176,61 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("p50_approx")
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH c AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+               FROM events),
+    pct AS (SELECT event_type,
+                   percentile_disc(0.05) WITHIN GROUP (ORDER BY value_cents)
+                     AS p05_cents,
+                   percentile_disc(0.95) WITHIN GROUP (ORDER BY value_cents)
+                     AS p95_cents
+            FROM c GROUP BY event_type)
+    SELECT c.event_id, c.event_type, c.value_cents,
+           LEAST(GREATEST(c.value_cents, p.p05_cents), p.p95_cents)
+             AS winsorized_cents,
+           c.value_cents <> LEAST(GREATEST(c.value_cents, p.p05_cents),
+                                  p.p95_cents) AS clamped
+    FROM c JOIN pct p USING (event_type)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-capping step of a feature/quality
+    pipeline: every value clamps to its group's exact [p05, p95]
+    band. Percentiles are percentile_disc over integer cents (an
+    actual data value, no interpolation — the only percentile with a
+    deterministic cross-engine answer), computed per group in one
+    aggregate and joined back broadcast: two shuffles total, the
+    second a map-side broadcast join at any fact size."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    pct = c.groupBy("event_type").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY value_cents)"
+        ).cast("long").alias("p05_cents"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY value_cents)"
+        ).cast("long").alias("p95_cents"),
+    )
+    win = F.least(
+        F.greatest(F.col("value_cents"), F.col("p05_cents")),
+        F.col("p95_cents"),
+    )
+    return (
+        c.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value_cents",
+            win.alias("winsorized_cents"),
+            (F.col("value_cents") != win).alias("clamped"),
+        )
+    )

@@ -170,3 +170,39 @@ def q_lm_perplexity_unk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train=docs.filter(F.col("doc_id") % 2 == 0),
         vocab_size=200,
     ).drop("ppl")
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+    SELECT tok,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM tk GROUP BY tok
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the materialization BM25 scoring
+    (q_bm25_scores) consumes conceptually: token → document frequency,
+    corpus frequency, and the sorted posting list as an array column.
+    One explode + one groupBy (map-side partial aggregation carries
+    partial sets). The fixture vocabulary is small so every posting
+    list materializes; a production index would range-shard lists
+    past a df cutoff (the q_vocab_topk/stop-word machinery) — the
+    aggregation shape is identical. Arrays sort deterministically on
+    both engines, so the postings themselves hash-match."""
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        tk.groupBy("tok")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
