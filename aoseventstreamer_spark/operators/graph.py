@@ -148,6 +148,10 @@ def _degree_oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # referenced twice below (degree build + orientation join):
+        # materialize once, or the caller's edge pipeline — often an
+        # expensive self-join/groupBy — executes once per reference
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -218,7 +222,10 @@ def triangle_stats(
     """1-row global summary: triangle count, wedge (open-triad) count
     Σ C(deg,2), and the global clustering coefficient 3·tri/wedges in
     exact integer micro-units (BIGINT division — the float is the
-    caller's display concern, per the repo discipline)."""
+    caller's display concern, per the repo discipline). The micro-unit
+    product 3·tri·1e6 is exact while tri < ~3·10^12; beyond that
+    (planet-scale dense graphs) move the ratio to decimal(38,0) on
+    both engines — the counts themselves stay exact far longer."""
     o = _degree_oriented(edges, src, dst).localCheckpoint()
     tri = triangles(oriented=o).agg(F.count(F.lit(1)).alias("n_triangles"))
     deg = oriented_degrees(o)

@@ -16,12 +16,16 @@ engines, and every float estimate is a derived display value built
 by :func:`kmv_estimate` — registered queries compare the integers
 (tau, counts), never the division.
 
-Scale shape: one shuffle for the distinct, one for the grouped
-top-k. The rank-filter window compiles to WindowGroupLimit
+Scale shape: one shuffle for the distinct, one for the top-k. The
+GROUPED rank-filter window compiles to WindowGroupLimit
 (Spark >= 3.5), which pushes a per-partition k-limit BELOW the
 shuffle — each mapper forwards at most k rows per group, so the
 sketch build moves O(groups · k) rows no matter how large the key
-population is. Merges and set ops touch only sketch rows (≤ k each).
+population is. The UNGROUPED build instead uses sort+limit
+(TakeOrderedAndProject) — an empty-partitionBy window would sort the
+entire hash population in one task, and WindowGroupLimit does not
+fire without partition keys. Merges and set ops touch only sketch
+rows (≤ k each).
 
 Reference scope: no reference analog (LLM-pipeline mandate; the
 capability matches SURVEY §2.B "approximate aggregation").
@@ -50,6 +54,18 @@ def kmv_sketch(
     groups = group_cols or []
     h = md5_long(F.col(key).cast("string") if isinstance(key, str) else key)
     hashes = df.select(*groups, h.alias("h")).distinct()
+    if not groups:
+        # global top-k via sort+limit = TakeOrderedAndProject: every
+        # partition forwards its k smallest, no single-partition window
+        # sort over the whole distinct hash population (which is what
+        # an empty-partitionBy window compiles to — WindowGroupLimit
+        # does NOT fire without partition keys; verified in test_kmv).
+        # The rank window then runs over <= k rows only.
+        top = hashes.orderBy("h").limit(k)
+        w = Window.orderBy("h")
+        return top.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).select("rank", "h")
     w = Window.partitionBy(*[F.col(g) for g in groups]).orderBy("h")
     return (
         hashes.withColumn("rank", F.row_number().over(w).cast("long"))

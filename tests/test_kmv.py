@@ -60,6 +60,17 @@ def test_set_ops_estimates_known_overlap(spark):
     assert 0 < ops.n_match < ops.n_used <= k
 
 
+def test_ungrouped_build_compiles_to_take_ordered_not_global_window(spark):
+    df = _keys(spark, [f"k{i}" for i in range(500)])
+    sk = kmv.kmv_sketch(df, "k", 16)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = sk.collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.h)] == list(
+        range(1, 17)
+    )
+
+
 def test_grouped_build_compiles_to_window_group_limit(spark):
     df = spark.createDataFrame(
         [(f"g{i % 3}", f"k{i}") for i in range(100)], "g string, k string"
