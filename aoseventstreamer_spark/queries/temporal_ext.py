@@ -127,3 +127,51 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(media, every_n_bytes=256, max_frames=4).select(
         "media_id", "frame_idx"
     )
+
+
+@query(
+    "q_interval_join_binned",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id AS incident_id, ts AS ts_start,
+             ts + INTERVAL 2 HOUR AS ts_end
+      FROM events WHERE event_type = 'error' AND event_id % 101 = 0
+    )
+    SELECT i.incident_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM inc i JOIN events e
+      ON e.ts >= i.ts_start AND e.ts < i.ts_end
+    GROUP BY i.incident_id
+    """,
+)
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval containment with NO equi key — all activity
+    inside each 2-hour incident window (error events as incidents) —
+    through operators/intervals.bin_interval_join: intervals explode
+    into the hour bins they cover, points equi-join on their bin, the
+    exact predicate trims bin-edge pairs. The naive spelling is a
+    BroadcastNestedLoopJoin over every (event, incident) pair; this
+    plan is an ordinary shuffled equi-join that scales with matches,
+    not with |points|x|intervals| (plan-gated: no nested-loop node).
+    Hash-exact vs DuckDB's native range-predicate join."""
+    from aoseventstreamer_spark.operators.intervals import bin_interval_join
+
+    ev = t(spark, sf_dir, "events")
+    incidents = ev.where(
+        (F.col("event_type") == "error") & (F.col("event_id") % 101 == 0)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("ts_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 hours")).alias("ts_end"),
+    )
+    joined = bin_interval_join(
+        ev.select("user_id", "value", "ts"), incidents, bin_seconds=3600
+    )
+    return joined.groupBy("incident_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(cents("value")).alias("sum_value_cents"),
+    )
