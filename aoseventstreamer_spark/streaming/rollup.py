@@ -99,7 +99,8 @@ class IncrementalRollup:
         try:
             partials = self.spark.read.parquet(self.path)
         except AnalysisException as e:
-            if (e.getErrorClass() or "").startswith("PATH_NOT_FOUND"):
+            cond = getattr(e, "getCondition", e.getErrorClass)() or ""
+            if cond.startswith("PATH_NOT_FOUND"):
                 raise FileNotFoundError(
                     f"no rollup partials at {self.path}: process_batch/attach "
                     "has not committed any batch yet"
