@@ -18,6 +18,12 @@ shapes rather than leave them implied:
   Arrow-batched): the shape for per-group logic that needs a real
   dataframe library (sklearn-style fits, scipy stats) rather than an
   aggregate expression.
+- **Cogrouped applyInPandas** (two frames aligned per key, each
+  arriving as its own pandas frame): the shape for per-key logic over
+  TWO datasets that a join would force into one wide row-set first —
+  e.g. aligning a user's click and purchase timelines. The example is
+  again one a production pipeline has a built-in path for (the as-of
+  join, operators/asof.py) and the test asserts equality with it.
 """
 
 from __future__ import annotations
@@ -76,3 +82,61 @@ def grouped_weighted_stats(
         )
 
     return df.groupBy(key_col).applyInPandas(stats, schema=schema)
+
+
+def cogrouped_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """As-of alignment via ``cogroup().applyInPandas``: for every left
+    row, the greatest right ``ts`` ≤ it and that row's value — the
+    same contract as operators/asof.as_of_join (inner, ties take the
+    max value at the tie timestamp), computed per key with pandas
+    ``merge_asof`` on the two Arrow-shipped group frames.
+
+    This is the COGROUP demonstration piece: each key's two sides
+    arrive as separate pandas frames after one shuffle per input
+    (no pre-join), which is the right escape hatch when the per-key
+    logic needs both sides as FRAMES (sequence alignment, per-user
+    reconciliation) rather than a row product. The built-in as-of
+    composition stays the production path — `tests/test_udx.py`
+    asserts this function EQUALS it row-for-row."""
+    key_type = left.schema[key_col].dataType.simpleString()
+    schema = (
+        f"event_id long, {key_col} {key_type}, ts timestamp,"
+        " asof_ts timestamp, asof_value double"
+    )
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:  # inner semantics: no match side
+            return pd.DataFrame(
+                columns=["event_id", key_col, "ts", "asof_ts", "asof_value"]
+            )
+        lp = lpdf.sort_values(ts_col)
+        # ties: keep the max value at each right timestamp (the as-of
+        # join's deterministic tie rule), then merge_asof backward
+        rp = (
+            rpdf.groupby(ts_col, as_index=False)[val_col]
+            .max()
+            .sort_values(ts_col)
+        )
+        out = pd.merge_asof(
+            lp,
+            rp.rename(columns={ts_col: "asof_ts", val_col: "asof_value"}),
+            left_on=ts_col,
+            right_on="asof_ts",
+            direction="backward",
+        )
+        out = out.dropna(subset=["asof_value"])  # inner semantics
+        return out[["event_id", key_col, ts_col, "asof_ts", "asof_value"]].rename(
+            columns={ts_col: "ts"}
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy(key_col))
+        .applyInPandas(align, schema=schema)
+    )

@@ -38,3 +38,47 @@ def test_grouped_udaf_matches_expression_math(spark):
     assert out["a"].n == 2
     # group b: single member -> variance 0
     assert out["b"].w_mean == 10.0 and out["b"].w_var == 0.0
+
+
+def test_cogrouped_asof_matches_builtin_asof_join(spark, sf_dir):
+    from aoseventstreamer_spark.operators.asof import as_of_join
+    from aoseventstreamer_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    via_cogroup = sorted(
+        map(tuple, udx.cogrouped_asof(clicks, purchases).collect())
+    )
+    via_builtin = sorted(
+        map(
+            tuple,
+            as_of_join(
+                clicks, purchases, key="user_id",
+                right_vals=["value"], how="inner",
+            )
+            .select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+            .collect(),
+        )
+    )
+    assert via_cogroup == via_builtin
+    assert len(via_cogroup) > 0
+
+
+def test_cogrouped_asof_handles_one_sided_keys(spark):
+    import datetime as d
+
+    left = spark.createDataFrame(
+        [(1, 10, d.datetime(2024, 1, 1, 12))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(99, d.datetime(2024, 1, 1, 11), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    # no shared key -> inner semantics -> empty, not an Arrow crash
+    assert udx.cogrouped_asof(left, right).count() == 0
