@@ -7,14 +7,18 @@ Pixel handling is tiered by what plain stdlib + numpy can do:
 - **REAL**: header sniffing for PNG/JPEG/GIF/WAV (sniff_header), and
   complete decode → resample → re-encode pipelines for non-interlaced
   8-bit PNGs (functions/png.py — zlib scanlines + all five row
-  filters, bilinear resize) AND baseline/extended-sequential Huffman
+  filters, bilinear resize), baseline/extended-sequential Huffman
   JPEGs (functions/jpeg.py — DQT/DHT/DRI/RSTn, any chroma
-  subsampling on decode, 4:4:4 Annex-K encode). No media libraries
-  involved.
-- **STUB** (clearly marked, fallback only): pixel access for GIF
-  (LZW), progressive/arithmetic/12-bit JPEG, and exotic PNG profiles
-  (palette/16-bit/interlaced). A production deployment swaps those
-  branches for PIL/ffmpeg; schemas, batch iteration, partition
+  subsampling on decode, 4:4:4 Annex-K encode), AND GIF87a/89a
+  (functions/gif.py — full 12-bit LZW both directions, interlace,
+  local/global palettes; re-encode quantizes to RGB 3-3-2 when the
+  resample exceeds 256 colors, lossy by format not implementation).
+  No media libraries involved.
+- **STUB** (clearly marked, fallback only): pixel access for
+  progressive/arithmetic/12-bit JPEG, exotic PNG profiles
+  (palette/16-bit/interlaced), and animated-GIF frames past the first
+  (disposal/compositing semantics). A production deployment swaps
+  those branches for PIL/ffmpeg; schemas, batch iteration, partition
   behavior, and UDF signatures are identical either way.
 
 At 100 TB: binary payloads never pass through the driver; Arrow moves
@@ -474,13 +478,14 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Image resize pass. The geometry is REAL (target dimensions from
     parsing the actual container header + aspect-preserving
-    arithmetic), and for non-interlaced 8-bit PNGs AND
-    baseline-Huffman JPEGs the PIXELS are real too: the payload is
-    fully decoded (functions/png.py zlib+unfilter / functions/jpeg.py
-    Huffman+IDCT), bilinearly resampled, and re-encoded as a valid
-    container of the same format. Containers we cannot decode without
-    media libs (GIF LZW, progressive/arithmetic JPEG,
-    palette/16-bit/interlaced PNG) fall back to the deterministic
+    arithmetic), and for non-interlaced 8-bit PNGs, baseline-Huffman
+    JPEGs, AND single-frame GIFs the PIXELS are real too: the payload
+    is fully decoded (functions/png.py zlib+unfilter /
+    functions/jpeg.py Huffman+IDCT / functions/gif.py LZW),
+    bilinearly resampled, and re-encoded as a valid container of the
+    same format. Profiles we cannot decode without media libs
+    (progressive/arithmetic JPEG, palette/16-bit/interlaced PNG,
+    animated-GIF compositing) fall back to the deterministic
     byte-decimation STUB — a real pipeline swaps that branch for
     PIL/ffmpeg; the mapInPandas batch shape, schema, and
     executor-side payload flow are identical either way.
@@ -488,6 +493,7 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     Rows whose header doesn't parse (unknown container, corrupt bytes)
     pass through unchanged with null dims rather than failing the
     task — at 100 TB some blobs are always garbage."""
+    from ..functions import gif as GIF
     from ..functions import jpeg as JPEG
     from ..functions import png as PNG
 
@@ -527,6 +533,18 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                         except JPEG.JPEGError:
                             # progressive/arithmetic/12-bit/corrupt:
                             # stub fallback, never a task failure
+                            payloads.append(_stub_resample(bytes(payload), nw, nh))
+                    elif mime == "image/gif":
+                        try:  # REAL pixel path (functions/gif.py)
+                            pixels = GIF.decode_gif(bytes(payload))
+                            if (nw, nh) != (w, h):
+                                # bilinear blends palette colors; the
+                                # re-encode re-quantizes if that
+                                # exceeds 256 distinct colors
+                                pixels = PNG.resize_bilinear(pixels, nw, nh)
+                            payloads.append(GIF.encode_gif(pixels))
+                        except GIF.GIFError:
+                            # animated/corrupt: stub fallback
                             payloads.append(_stub_resample(bytes(payload), nw, nh))
                     else:
                         payloads.append(_stub_resample(bytes(payload), nw, nh))

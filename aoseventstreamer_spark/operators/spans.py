@@ -22,8 +22,10 @@ Scale design
 - Tokenize once; W-token windows are array expressions over the token
   array (codegen'd), exploded to (doc, pos, key) rows — a narrow map.
 - Duplicate detection is ONE shuffle: a window function over
-  ``PARTITION BY key`` (count + min occurrence key) — no self-join,
-  and the partial aggregate combines map-side.
+  ``PARTITION BY key`` (count + min occurrence key) — no self-join.
+  (A groupBy+join-back formulation would add map-side combine at the
+  cost of a second shuffle; the window form wins while window groups
+  stay small, which fixed-W grams guarantee.)
 - ``gram_key="xxhash64"`` (production default) shuffles an 8-byte key
   instead of a W-token string — the shuffle shrinks ~10×; string keys
   are kept for cross-engine oracle parity, and ``"md5"`` gives a

@@ -1,0 +1,133 @@
+"""GIF codec tests (functions/gif.py): exact round-trip for ≤256-color
+images, LZW width-growth and table-overflow boundaries (adversarial
+high-entropy inputs force both), interlace handling, sub-256 screens,
+quantization determinism, and the multimodal sniff/codec agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aoseventstreamer_spark.functions import gif
+
+
+def _rng(seed=0):
+    return np.random.RandomState(seed)
+
+
+def test_roundtrip_small_flat_image():
+    arr = np.zeros((5, 7, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200
+    out = gif.decode_gif(gif.encode_gif(arr))
+    assert np.array_equal(out, arr)
+
+
+def test_roundtrip_palette_image_crosses_width_growth():
+    # 200 distinct colors over a 64x64 image: the LZW dictionary grows
+    # through several code widths; any encoder/decoder width desync
+    # corrupts pixels at the first boundary
+    r = _rng(1)
+    palette = r.randint(0, 255, size=(200, 3)).astype(np.uint8)
+    idx = r.randint(0, 200, size=(64, 64))
+    arr = palette[idx]
+    out = gif.decode_gif(gif.encode_gif(arr))
+    assert np.array_equal(out, arr)
+
+
+def test_roundtrip_high_entropy_crosses_table_overflow():
+    # 256 colors, 256x256 random pixels: the 4096-entry table overflows
+    # repeatedly, exercising the clear-code reset path on both sides
+    r = _rng(2)
+    palette = r.randint(0, 255, size=(256, 3)).astype(np.uint8)
+    idx = r.randint(0, 256, size=(256, 256))
+    arr = palette[idx]
+    enc = gif.encode_gif(arr)
+    out = gif.decode_gif(enc)
+    assert np.array_equal(out, arr)
+
+
+def test_roundtrip_two_color_min_code_floor():
+    # 2 colors -> GIF's minimum code size floor of 2 must apply
+    r = _rng(3)
+    arr = np.where(
+        r.randint(0, 2, size=(31, 17, 1)).astype(bool),
+        np.uint8(255),
+        np.uint8(0),
+    ) * np.ones((1, 1, 3), dtype=np.uint8)
+    out = gif.decode_gif(gif.encode_gif(arr.astype(np.uint8)))
+    assert np.array_equal(out, arr)
+
+
+def test_quantization_is_deterministic_and_332():
+    r = _rng(4)
+    arr = r.randint(0, 255, size=(40, 40, 3)).astype(np.uint8)  # >256 colors
+    e1, e2 = gif.encode_gif(arr), gif.encode_gif(arr)
+    assert e1 == e2
+    out = gif.decode_gif(e1)
+    assert np.array_equal(out[:, :, 0], arr[:, :, 0] >> 5 << 5)
+    assert np.array_equal(out[:, :, 1], arr[:, :, 1] >> 5 << 5)
+    assert np.array_equal(out[:, :, 2], arr[:, :, 2] >> 6 << 6)
+
+
+def test_interlaced_image_decodes_to_display_order():
+    # build an interlaced GIF by hand: encode normally, then flip the
+    # interlace flag and reorder the index rows into pass order
+    arr = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(8, 4, 3) % 16 * 16
+    plain = bytearray(gif.encode_gif(arr))
+    # image descriptor sits right after header+LSD+GCT
+    n_gct = 2 << (plain[10] & 0x07)
+    desc = 13 + 3 * n_gct
+    assert plain[desc] == 0x2C
+    # decode the plain stream's indices, reorder rows into pass order,
+    # re-encode the data stream with the interlace bit set
+    decoded = gif.decode_gif(bytes(plain))
+    pass_rows = [
+        r
+        for start, step in gif.INTERLACE_PASSES
+        for r in range(start, 8, step)
+    ]
+    reordered = decoded[pass_rows]
+    inter = bytearray(gif.encode_gif(reordered))
+    inter[desc + 9] |= 0x40  # set the interlace flag
+    out = gif.decode_gif(bytes(inter))
+    assert np.array_equal(out, decoded)
+
+
+def test_garbage_and_truncation_raise_giferror():
+    with pytest.raises(gif.GIFError):
+        gif.decode_gif(b"not a gif at all")
+    good = gif.encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(gif.GIFError):
+        gif.decode_gif(good[: len(good) // 2])
+
+
+def test_sniff_header_agrees_with_codec():
+    from aoseventstreamer_spark.operators.multimodal import sniff_header
+
+    arr = np.zeros((6, 9, 3), dtype=np.uint8)
+    mime, w, h, _ = sniff_header(gif.encode_gif(arr))
+    assert (mime, w, h) == ("image/gif", 9, 6)
+
+
+def test_resize_images_uses_real_gif_pixels(spark):
+    """Integration: a GIF payload through the multimodal resize pass
+    comes back as a DECODABLE GIF at the target geometry whose pixels
+    equal the direct decode→resample→quantize chain exactly (the
+    whole path is deterministic — no DCT noise as in JPEG)."""
+    from aoseventstreamer_spark.functions import png as PNG
+    from aoseventstreamer_spark.operators import multimodal as MM
+
+    r = _rng(7)
+    palette = r.randint(0, 255, size=(64, 3)).astype(np.uint8)
+    rgb = palette[r.randint(0, 64, size=(32, 64))]
+    payload = gif.encode_gif(rgb)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = MM.resize_images(media, max_side=16).collect()[0]
+    assert (row.width, row.height) == (16, 8)
+    out = gif.decode_gif(bytes(row.payload))
+    assert out.shape == (8, 16, 3)
+    direct = PNG.resize_bilinear(rgb, 16, 8)
+    expect = gif.decode_gif(gif.encode_gif(direct))  # same quantization
+    assert np.array_equal(out, expect)
