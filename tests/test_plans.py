@@ -332,3 +332,38 @@ def test_scoped_filter_rewrites_subtree_query_to_partition_filter(spark, tmp_pat
     # frames WITHOUT the partition column degrade to the subject filter
     bare = raw.drop("project_id")
     assert S.scoped_filter(bare, subject).columns == bare.columns
+
+
+def test_dq_checks_is_one_scan_regardless_of_check_count(spark, sf_dir):
+    """The validation suite's scale contract: all six constraints fold
+    into ONE aggregate over ONE scan of orders (plus the broadcast
+    customer dim) — adding a check must never add a scan."""
+    plan = (
+        QUERIES["q_dq_checks"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("orders.parquet") == 1
+    assert broadcast_join_count(QUERIES["q_dq_checks"](spark, sf_dir)) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcasts_percentile_frame(spark, sf_dir):
+    """The per-group [p05,p95] frame is |groups| rows — it must come
+    back as a broadcast join, never a fact-side shuffle."""
+    df = QUERIES["q_winsorize"](spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_binned_has_no_nested_loop(spark, sf_dir):
+    plan = (
+        QUERIES["q_interval_join_binned"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
