@@ -9,14 +9,21 @@ the overwhelming majority of real-world JPEGs:
   — DQT (8/16-bit), multiple DHT segments, restart intervals (DRI +
   RSTn with DC-predictor reset), byte-stuffed entropy stream, 1- or
   3-component scans, any sampling factors (chroma upsampled by sample
-  replication), JFIF YCbCr -> RGB.
+  replication), JFIF YCbCr -> RGB — AND progressive Huffman JPEG
+  (SOF2, T.81 Annex G): multi-scan coefficient accumulation with
+  spectral selection and FULL successive approximation (DC
+  refinement bits, AC correction-bit scans with EOBRUN and ZRL),
+  inter-scan DHT/DQT/DRI updates.
 - **encode**: baseline sequential, 4:4:4 (no subsampling), Annex K
   quantization tables scaled by libjpeg's quality formula, Annex K
-  Huffman tables, optional restart interval (used by tests to
-  exercise the decoder's RST path).
+  Huffman tables, optional restart interval; plus
+  ``encode_jpeg_progressive`` (SOF2 scan script with Al=1 first
+  passes + refinement scans) — primarily the test-vector generator
+  for the progressive decoder, pixel-exact vs the baseline encoding
+  of the same array.
 - **out of scope** (raise UnsupportedJPEGError -> callers fall back
-  to the documented stub, never a task failure): progressive (SOF2),
-  arithmetic coding (SOF9+), hierarchical, 12-bit precision, CMYK.
+  to the documented stub, never a task failure): arithmetic coding
+  (SOF9+), hierarchical, 12-bit precision, CMYK.
 
 Everything is uint8/int32/float64 numpy; the 2-D DCT runs as two
 matmuls against the orthonormal DCT-II basis (A @ block @ A.T), so
@@ -39,6 +46,7 @@ __all__ = [
     "UnsupportedJPEGError",
     "decode_jpeg",
     "encode_jpeg",
+    "encode_jpeg_progressive",
 ]
 
 
@@ -326,8 +334,25 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise UnsupportedJPEGError("progressive JPEG (SOF2)")
+        elif marker == 0xC2:  # SOF2 — progressive: hand the rest of
+            # the stream to the multi-scan coefficient decoder
+            if len(body) < 6:
+                raise JPEGError("truncated SOF")
+            precision = body[0]
+            if precision != 8:
+                raise UnsupportedJPEGError(f"{precision}-bit precision")
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise UnsupportedJPEGError(f"{ncomp}-component scan")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            return _decode_progressive(
+                b, pos + 2 + seglen, (h, w, comps), qtables,
+                huff_dc, huff_ac, restart_interval,
+            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJPEGError(f"SOF marker 0x{marker:02x}")
@@ -429,7 +454,12 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = spatial
             n_mcu += 1
 
-    # upsample to full resolution and crop
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to full resolution, crop, and color
+    convert — shared by the sequential and progressive paths."""
     full = []
     for cid, hi, vi, tq in comps:
         p = planes[cid]
@@ -443,6 +473,273 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive decoder (SOF2, T.81 Annex G) — spectral selection AND
+# successive approximation, Huffman only
+# --------------------------------------------------------------------------
+
+
+def _decode_progressive(b, pos, frame, qtables, huff_dc, huff_ac, dri):
+    """Multi-scan decode: every SOS updates per-component coefficient
+    grids (zigzag order, FULL precision accumulated across approximation
+    passes); DHT/DQT/DRI segments between scans take effect for the
+    scans that follow; EOI triggers dequantize + IDCT + assemble."""
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise JPEGError("zero dimension")
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # coefficient store: (block_rows, block_cols, 64) int32 per comp,
+    # allocated on the MCU-padded grid (interleaved scans touch it all)
+    coefs = {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        for cid, hi, vi, tq in comps
+    }
+    # non-interleaved scans cover only the component's REAL block grid
+    ndims = {
+        cid: (-(-(h * vi) // (8 * vmax)), -(-(w * hi) // (8 * hmax)))
+        for cid, hi, vi, tq in comps
+    }
+
+    saw_scan = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise JPEGError(f"expected marker at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(b):
+            raise JPEGError("truncated segment header")
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        body = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                values = list(body[i + 17 : i + 17 + n])
+                i += 17 + n
+                tbl = _huff_decode_table(bits, values)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+            pos += 2 + seglen
+        elif marker == 0xDB:  # DQT between scans
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                n = 64 if pq == 0 else 128
+                dt = np.uint8 if pq == 0 else ">u2"
+                vals = np.frombuffer(body[i : i + n], dtype=dt).astype(np.int32)
+                i += n
+                q = np.zeros(64, dtype=np.int32)
+                q[ZIGZAG] = vals
+                qtables[tq] = q.reshape(8, 8)
+            pos += 2 + seglen
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+            pos += 2 + seglen
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_prog_scan(
+                b, pos + 2 + seglen, scan, ss, se, ah, al, coefs, ndims,
+                by_id, huff_dc, huff_ac, dri, mcus_x, mcus_y,
+            )
+            saw_scan = True
+        else:  # APPn/COM/...: skip
+            pos += 2 + seglen
+    if not saw_scan:
+        raise JPEGError("no scan found")
+
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        qt = qtables.get(tq)
+        if qt is None:
+            raise JPEGError(f"missing quant table {tq}")
+        grid = coefs[cid]
+        rows, cols = grid.shape[:2]
+        plane = np.zeros((rows * 8, cols * 8), dtype=np.float64)
+        qz = qt.reshape(-1)  # raster order
+        for r in range(rows):
+            for c in range(cols):
+                blk = np.zeros(64, dtype=np.float64)
+                # dequantize in zigzag order, scatter to raster
+                blk[ZIGZAG] = grid[r, c] * qz[ZIGZAG]
+                plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = (
+                    _A.T @ blk.reshape(8, 8) @ _A + 128.0
+                )
+        planes[cid] = plane
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _decode_prog_scan(b, pos, scan, ss, se, ah, al, coefs, ndims, by_id,
+                      huff_dc, huff_ac, dri, mcus_x, mcus_y):
+    """One progressive scan; returns the byte position of the next
+    marker. DC scans (ss==0) may interleave components in MCU order;
+    AC scans are single-component over that component's block grid."""
+    reader = _BitReader(b, pos)
+    state = {"eobrun": 0, "pred": {cs: 0 for cs, _, _ in scan}}
+
+    def restart(n_units):
+        if not (dri and n_units and n_units % dri == 0):
+            return
+        reader.align_to_marker()
+        d = reader.data
+        if reader.pos + 1 < len(d) and d[reader.pos] == 0xFF and \
+                0xD0 <= d[reader.pos + 1] <= 0xD7:
+            reader.pos += 2
+            state["pred"] = {cs: 0 for cs in state["pred"]}
+            state["eobrun"] = 0
+        else:
+            raise JPEGError("missing restart marker")
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JPEGError("DC scan with Se != 0")
+        if len(scan) > 1:  # interleaved, MCU order
+            n = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    restart(n)
+                    for cs, td, ta in scan:
+                        hi, vi, _ = by_id[cs]
+                        for v in range(vi):
+                            for hblk in range(hi):
+                                _dc_unit(
+                                    reader, coefs[cs],
+                                    my * vi + v, mx * hi + hblk,
+                                    huff_dc.get(td), ah, al,
+                                    state, cs,
+                                )
+                    n += 1
+        else:
+            cs, td, ta = scan[0]
+            rows, cols = ndims[cs]
+            n = 0
+            for r in range(rows):
+                for c in range(cols):
+                    restart(n)
+                    _dc_unit(reader, coefs[cs], r, c, huff_dc.get(td),
+                             ah, al, state, cs)
+                    n += 1
+    else:  # AC scan: exactly one component (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise JPEGError("interleaved AC scan is not legal JPEG")
+        cs, td, ta = scan[0]
+        act = huff_ac.get(ta)
+        if act is None:
+            raise JPEGError("missing AC Huffman table")
+        rows, cols = ndims[cs]
+        grid = coefs[cs]
+        n = 0
+        for r in range(rows):
+            for c in range(cols):
+                restart(n)
+                if ah == 0:
+                    _ac_first_unit(reader, grid[r, c], act, ss, se, al, state)
+                else:
+                    _ac_refine_unit(reader, grid[r, c], act, ss, se, al, state)
+                n += 1
+    reader.align_to_marker()
+    return reader.pos
+
+
+def _dc_unit(reader, grid, r, cidx, dct, ah, al, state, cs):
+    if r >= grid.shape[0] or cidx >= grid.shape[1]:
+        raise JPEGError("DC unit outside grid")
+    if ah == 0:  # first pass: diff-coded, point-transformed
+        if dct is None:
+            raise JPEGError("missing DC Huffman table")
+        s = reader.huff(dct)
+        if s > 11:
+            raise JPEGError("bad DC size")
+        diff = _extend(reader.receive(s), s)
+        state["pred"][cs] += diff
+        grid[r, cidx, 0] = state["pred"][cs] << al
+    else:  # refinement: one bit
+        if reader.read_bit():
+            grid[r, cidx, 0] = int(grid[r, cidx, 0]) | (1 << al)
+
+
+def _ac_first_unit(reader, coef, act, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.huff(act)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << rr) - 1
+            if rr:
+                eobrun += reader.receive(rr)
+            state["eobrun"] = eobrun
+            return
+        k += rr
+        if k > se:
+            raise JPEGError("AC index overflow")
+        coef[k] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, coef, act, ss, se, al, state):
+    """T.81 G.1.2.3 AC successive-approximation refinement — the
+    correction-bit walk libjpeg calls decode_mcu_AC_refine."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.huff(act)
+            rr, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if rr < 15:
+                    state["eobrun"] = (1 << rr)
+                    if rr:
+                        state["eobrun"] += reader.receive(rr)
+                    break  # EOB band: tail loop below handles this unit
+                # rr == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JPEGError("refinement size must be 1")
+                newval = p1 if reader.read_bit() else m1
+            # advance past rr zero-history coeffs, emitting correction
+            # bits for every nonzero-history coeff crossed
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (int(coef[k]) & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit() and (int(coef[k]) & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 # --------------------------------------------------------------------------
@@ -531,6 +828,230 @@ def _encode_block(bw, block, qt, dc_tbl, ac_tbl, pred):
         code, length = ac_tbl[0x00]  # EOB
         bw.write(code, length)
     return dc
+
+
+def _emit_ac_first(bw, coef, ac_tbl, ss, se, al):
+    """One block of an AC first scan (Ah=0): run/size over the
+    point-transformed band, ZRL for 16-zero runs, EOB for the tail
+    (per-block EOB — no cross-block EOBRUN batching, which is legal
+    and keeps the encoder simple; the decoder handles batched runs
+    from other encoders)."""
+    run = 0
+    emitted_any = False
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        mag = (abs(v) >> al)
+        if mag == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tbl[0xF0]
+            bw.write(code, length)
+            run -= 16
+        sv = mag if v > 0 else -mag
+        size, pattern = _magnitude(sv)
+        code, length = ac_tbl[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(pattern, size)
+        run = 0
+        emitted_any = True
+    if run > 0 or not emitted_any:
+        code, length = ac_tbl[0x00]
+        bw.write(code, length)
+
+
+def _emit_ac_refine(bw, coef, ac_tbl, ss, se, al):
+    """One block of an AC refinement scan (Ah=Al+1 -> Al): newly
+    significant coefficients as run/1 + sign, correction bits for
+    already-significant ones buffered and flushed after each symbol
+    (libjpeg's encode_mcu_AC_refine discipline, per-block EOB)."""
+    p_bits: list[int] = []  # buffered correction bits
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(coef[k])
+        mag = abs(v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        # the ZRL drain runs at EVERY nonzero coefficient (libjpeg
+        # checks it before the correction-bit branch): flushing only
+        # at newly-significant ones would buffer correction bits for
+        # coefficients beyond the decoder's 16-zero walk window —
+        # a bit-stream desync (caught by the q=30 fuzz)
+        while run > 15:
+            code, length = ac_tbl[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for bit in p_bits:
+                bw.write(bit, 1)
+            p_bits = []
+        if mag > 1:  # already significant: one correction bit
+            p_bits.append(mag & 1)
+            continue
+        # newly significant (mag == 1)
+        code, length = ac_tbl[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if v > 0 else 0, 1)
+        for bit in p_bits:
+            bw.write(bit, 1)
+        p_bits = []
+        run = 0
+    if run > 0 or p_bits:
+        code, length = ac_tbl[0x00]  # EOB covering this block
+        bw.write(code, length)
+        for bit in p_bits:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, successive: bool = True
+) -> bytes:
+    """Encode uint8 pixels as a PROGRESSIVE (SOF2) 4:4:4 JFIF JPEG.
+
+    Scan script: a DC scan (interleaved when 3 components), then per
+    component two spectral AC bands (1-5, 6-63). With
+    ``successive=True`` every scan first sends the coefficients at
+    Al=1 and a later pass refines to Al=0 — exercising DC refinement
+    bits and the AC correction-bit protocol, the parts of Annex G
+    that real encoders (libjpeg/mozjpeg scan scripts) emit. Exists
+    mainly to generate test vectors for the progressive decoder;
+    pixel output decodes EXACTLY equal to the baseline encoding of
+    the same array (same coefficients, same tables)."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise JPEGError(f"expected uint8 pixels, got {a.dtype}")
+    if a.ndim == 3 and a.shape[2] == 4:
+        a = a[:, :, :3]
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
+        raise JPEGError(f"unsupported pixel shape {a.shape}")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise JPEGError("empty image")
+    gray = a.ndim == 2
+
+    qt_l = _quality_scale(QTBL_LUMA, quality)
+    qt_c = _quality_scale(QTBL_CHROMA, quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+        qts = [qt_l]
+    else:
+        rgb = a.astype(np.float64)
+        r, g, bl = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+        qts = [qt_l, qt_c, qt_c]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes]
+    ncomp = len(planes)
+
+    # quantized coefficient grids, zigzag order
+    grids = []
+    for ci, p in enumerate(planes):
+        qt = qts[ci].astype(np.float64)
+        rows, cols = ph // 8, pw // 8
+        g_ = np.zeros((rows, cols, 64), dtype=np.int32)
+        for rr in range(rows):
+            for cc in range(cols):
+                coefs = _A @ (p[rr * 8 : rr * 8 + 8, cc * 8 : cc * 8 + 8] - 128.0) @ _A.T
+                g_[rr, cc] = np.round(coefs / qt).astype(np.int32).reshape(-1)[ZIGZAG]
+        grids.append(g_)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
+        zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tcth, (bits, values) in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
+            + bytes([tcth]) + bytes(bits) + bytes(values)
+
+    dc_enc = [_huff_encode_table(*(HUFF_DC_LUMA if c == 0 else HUFF_DC_CHROMA))
+              for c in range(ncomp)]
+    ac_enc = [_huff_encode_table(*(HUFF_AC_LUMA if c == 0 else HUFF_AC_CHROMA))
+              for c in range(ncomp)]
+    rows, cols = ph // 8, pw // 8
+
+    def sos_header(comps_in_scan, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(
+            ">HB", 6 + 2 * len(comps_in_scan), len(comps_in_scan)
+        )
+        for ci in comps_in_scan:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return hdr
+
+    def dc_scan(al_first, refine_al=None):
+        nonlocal out
+        all_c = list(range(ncomp))
+        if refine_al is None:  # first pass
+            out += sos_header(all_c, 0, 0, 0, al_first)
+            bw = _BitWriter()
+            preds = [0] * ncomp
+            for rr in range(rows):
+                for cc in range(cols):
+                    for ci in all_c:
+                        dc = int(grids[ci][rr, cc, 0]) >> al_first
+                        size, pattern = _magnitude(dc - preds[ci])
+                        code, length = dc_enc[ci][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(pattern, size)
+                        preds[ci] = dc
+            bw.flush()
+            out += bw.out
+        else:
+            out += sos_header(all_c, 0, 0, refine_al + 1, refine_al)
+            bw = _BitWriter()
+            for rr in range(rows):
+                for cc in range(cols):
+                    for ci in all_c:
+                        bw.write((int(grids[ci][rr, cc, 0]) >> refine_al) & 1, 1)
+            bw.flush()
+            out += bw.out
+
+    def ac_scan(ci, ss, se, ah, al):
+        nonlocal out
+        out += sos_header([ci], ss, se, ah, al)
+        bw = _BitWriter()
+        for rr in range(rows):
+            for cc in range(cols):
+                if ah == 0:
+                    _emit_ac_first(bw, grids[ci][rr, cc], ac_enc[ci], ss, se, al)
+                else:
+                    _emit_ac_refine(bw, grids[ci][rr, cc], ac_enc[ci], ss, se, al)
+        bw.flush()
+        out += bw.out
+
+    if successive:
+        dc_scan(1)
+        for ci in range(ncomp):
+            ac_scan(ci, 1, 5, 0, 1)
+            ac_scan(ci, 6, 63, 0, 1)
+        dc_scan(0, refine_al=0)
+        for ci in range(ncomp):
+            ac_scan(ci, 1, 5, 1, 0)
+            ac_scan(ci, 6, 63, 1, 0)
+    else:
+        dc_scan(0)
+        for ci in range(ncomp):
+            ac_scan(ci, 1, 5, 0, 0)
+            ac_scan(ci, 6, 63, 0, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(

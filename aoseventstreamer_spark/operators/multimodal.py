@@ -9,13 +9,14 @@ Pixel handling is tiered by what plain stdlib + numpy can do:
   8-bit PNGs (functions/png.py — zlib scanlines + all five row
   filters, bilinear resize), baseline/extended-sequential Huffman
   JPEGs (functions/jpeg.py — DQT/DHT/DRI/RSTn, any chroma
-  subsampling on decode, 4:4:4 Annex-K encode), AND GIF87a/89a
+  subsampling on decode, 4:4:4 Annex-K encode; PROGRESSIVE/SOF2
+  decode incl. full successive approximation), AND GIF87a/89a
   (functions/gif.py — full 12-bit LZW both directions, interlace,
   local/global palettes; re-encode quantizes to RGB 3-3-2 when the
   resample exceeds 256 colors, lossy by format not implementation).
   No media libraries involved.
 - **STUB** (clearly marked, fallback only): pixel access for
-  progressive/arithmetic/12-bit JPEG, exotic PNG profiles
+  arithmetic/12-bit JPEG, exotic PNG profiles
   (palette/16-bit/interlaced), and animated-GIF frames past the first
   (disposal/compositing semantics). A production deployment swaps
   those branches for PIL/ffmpeg; schemas, batch iteration, partition
@@ -481,11 +482,11 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     arithmetic), and for non-interlaced 8-bit PNGs, baseline-Huffman
     JPEGs, AND single-frame GIFs the PIXELS are real too: the payload
     is fully decoded (functions/png.py zlib+unfilter /
-    functions/jpeg.py Huffman+IDCT / functions/gif.py LZW),
-    bilinearly resampled, and re-encoded as a valid container of the
-    same format. Profiles we cannot decode without media libs
-    (progressive/arithmetic JPEG, palette/16-bit/interlaced PNG,
-    animated-GIF compositing) fall back to the deterministic
+    functions/jpeg.py Huffman+IDCT incl. progressive / functions/
+    gif.py LZW), bilinearly resampled, and re-encoded as a valid
+    container of the same format. Profiles we cannot decode without
+    media libs (arithmetic/12-bit JPEG, palette/16-bit/interlaced
+    PNG, animated-GIF compositing) fall back to the deterministic
     byte-decimation STUB — a real pipeline swaps that branch for
     PIL/ffmpeg; the mapInPandas batch shape, schema, and
     executor-side payload flow are identical either way.

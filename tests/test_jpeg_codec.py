@@ -141,7 +141,7 @@ def test_unsupported_profiles_raise_typed_errors():
     rgb = _gradient_rgb(8, 8)
     enc = bytearray(J.encode_jpeg(rgb))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    enc[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
     with pytest.raises(J.UnsupportedJPEGError):
         J.decode_jpeg(bytes(enc))
     with pytest.raises(J.JPEGError):
@@ -170,3 +170,81 @@ def test_resize_images_uses_real_jpeg_pixels(spark):
 
     direct = PNG.resize_bilinear(rgb, 8, 16)
     assert np.abs(out.astype(int) - direct.astype(int)).mean() <= 6.0
+
+
+# ------------------------------------------------------------ progressive
+
+
+def _prog_cases():
+    r = np.random.RandomState(11)
+    yield r.randint(0, 255, size=(24, 16, 3)).astype(np.uint8)  # color
+    yield r.randint(0, 255, size=(17, 9)).astype(np.uint8)  # gray, ragged
+    yield _gradient_rgb(40, 24)  # smooth: long zero runs, EOB-heavy
+
+
+def test_progressive_spectral_equals_baseline_pixels():
+    """Spectral-selection-only progressive (Al=0 everywhere) must
+    decode to EXACTLY the baseline decode of the same array: identical
+    coefficients, identical tables, different scan order only."""
+    for arr in _prog_cases():
+        base = J.decode_jpeg(J.encode_jpeg(arr, quality=85))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(arr, quality=85, successive=False)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_successive_approximation_equals_baseline_pixels():
+    """Full successive approximation (Al=1 first passes + DC
+    refinement bits + AC correction-bit scans) — the Annex G protocol
+    real encoders emit — must reconstruct the identical coefficients."""
+    for arr in _prog_cases():
+        base = J.decode_jpeg(J.encode_jpeg(arr, quality=85))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(arr, quality=85, successive=True)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_refinement_zrl_path_sparse_spectrum():
+    """Adversarial sparse blocks: pixels built by inverse-DCT of a
+    spectrum with ONLY an isolated late coefficient -> >15-zero runs
+    inside the refinement band, forcing ZRL symbols with buffered
+    correction bits on both encoder and decoder."""
+    qt = J._quality_scale(J.QTBL_LUMA, 85).astype(np.float64)
+    blocks = []
+    for pos, mag in [((7, 6), 40.0), ((6, 7), -36.0), ((0, 7), 28.0)]:
+        spec = np.zeros((8, 8))
+        spec[0, 0] = 60.0
+        spec[pos] = mag * qt[pos] / 16.0
+        blocks.append(np.clip(J._A.T @ spec @ J._A + 128.0, 0, 255))
+    arr = np.concatenate(blocks, axis=1).astype(np.uint8)  # 8 x 24
+    base = J.decode_jpeg(J.encode_jpeg(arr, quality=85))
+    for succ in (False, True):
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(arr, quality=85, successive=succ)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_quality_sweep_and_multiblock():
+    r = np.random.RandomState(13)
+    arr = r.randint(0, 255, size=(33, 41, 3)).astype(np.uint8)
+    for q in (30, 60, 95):
+        base = J.decode_jpeg(J.encode_jpeg(arr, quality=q))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(arr, quality=q, successive=True)
+        )
+        assert np.array_equal(prog, base)
+
+
+def test_progressive_resize_path_no_longer_stubs():
+    """resize_images on a progressive payload must take the REAL pixel
+    path now (output decodes as a valid baseline JPEG at the target
+    geometry)."""
+    import pytest  # noqa: F401
+
+    arr = _gradient_rgb(64, 32)  # h=64, w=32
+    payload = J.encode_jpeg_progressive(arr, quality=90)
+    out = J.decode_jpeg(payload)
+    assert out.shape == arr.shape == (64, 32, 3)
