@@ -7,13 +7,16 @@ a complete, correct decoder for the overwhelmingly common case
 multimodal pipeline's pixel path can be REAL instead of stubbed, even
 in containers without PIL/ffmpeg.
 
-Scope (explicit, checked, raising beyond it):
-- bit depth 8; color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA); interlace 0 (non-interlaced). Palette (3) and 1/2/4/16-bit
-  depths raise ``UnsupportedPNGError`` — callers fall back to the
-  byte-level stub and say so.
-- all five row filters (None/Sub/Up/Average/Paeth) decode; the encoder
-  can write any fixed filter type (tests roundtrip every one).
+Scope:
+- decode: ALL standard profiles — bit depths 1/2/4/8/16, color types
+  0 (gray), 2 (RGB), 3 (palette, PLTE lookup), 4 (gray+alpha),
+  6 (RGBA), non-interlaced and Adam7-interlaced, all five row
+  filters (None/Sub/Up/Average/Paeth). Output is always uint8
+  (16-bit >> 8, sub-8 gray scaled by the exact 255/(2^d - 1));
+  tRNS is ignored (opaque), the one documented simplification.
+- encode: 8-bit gray/RGB/±alpha, any fixed filter type, optional
+  Adam7 (``interlace=True``); plus palette / 16-bit / sub-8-gray
+  test-vector writers so every decode branch round-trips in-module.
 
 These functions run INSIDE Arrow-batched Python workers
 (mapInPandas) — payload bytes never pass through the driver; the
@@ -37,17 +40,95 @@ class PNGError(ValueError):
 
 
 class UnsupportedPNGError(PNGError):
-    """Valid PNG outside the supported profile (palette, 16-bit,
-    interlaced); callers should fall back, not fail the task."""
+    """PNG outside the decodable profile. All standard color
+    types/depths/interlace decode now, so this survives only for
+    non-standard color-type values; kept as a distinct class because
+    both call sites catch it for the documented stub fallback."""
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # samples per pixel, incl. palette
+_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+           4: (8, 16), 6: (8, 16)}
+
+
+def _unfilter_block(raw: bytes, rows: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct ``rows`` filtered scanlines of ``stride`` bytes
+    (bpp = bytes per complete pixel, the filters' left-neighbor
+    distance). Returns (rows, stride) uint8."""
+    if len(raw) != rows * (stride + 1):
+        raise PNGError(
+            f"scanline size mismatch: {len(raw)} != {rows}*({stride}+1)"
+        )
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(rows, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].astype(np.int16)  # headroom for predictor sums
+    out = np.zeros((rows, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(rows):
+        f, line = int(filters[r]), data[r].copy()
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: cumulative along the row, per byte lane
+            for c in range(bpp):
+                lane = line[c::bpp]
+                np.cumsum(lane, out=lane)  # int16 wraps are fixed by &255
+            line &= 255
+        elif f == 2:  # Up
+            line = (line + prev) & 255
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                c_ = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + up - c_
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c_)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c_)
+                line[i] = (line[i] + pred) & 255
+        else:
+            raise PNGError(f"unknown filter {f}")
+        out[r] = line.astype(np.uint8)
+        prev = line
+    return out
+
+
+def _unpack_samples(rows: np.ndarray, pw: int, depth: int, nch: int) -> np.ndarray:
+    """(rows, stride-bytes) uint8 -> (rows, pw, nch) uint16 samples.
+    Sub-byte samples are MSB-first within each byte (PNG packing)."""
+    n = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(n, -1)[:, : pw * nch].reshape(n, pw, nch).astype(np.uint16)
+    if depth == 16:
+        b = rows.reshape(n, -1)[:, : pw * nch * 2].reshape(n, pw, nch, 2)
+        return (b[..., 0].astype(np.uint16) << 8) | b[..., 1]
+    bits = np.unpackbits(rows, axis=1)[:, : pw * nch * depth]
+    groups = bits.reshape(n, pw * nch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (groups * weights).sum(axis=2).astype(np.uint16)
+    return vals.reshape(n, pw, nch)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a non-interlaced 8-bit PNG to a (h, w, channels) uint8
-    array. Full filter support (None/Sub/Up/Average/Paeth)."""
+    """Decode a PNG to a (h, w, channels) uint8 array — all standard
+    bit depths (1/2/4/8/16), all five color types including palette
+    (PLTE lookup -> RGB), non-interlaced AND Adam7 interlaced streams,
+    full filter support (None/Sub/Up/Average/Paeth). 16-bit samples
+    scale to 8 (>> 8) and sub-8-bit gray scales by the exact
+    255/(2^d - 1) factor; tRNS is ignored (opaque output), the one
+    simplification — at feature/thumbnail fidelity alpha-from-palette
+    is noise, and the resize re-encode is 8-bit anyway."""
     b = bytes(data)
     if len(b) < 33 or b[:8] != _SIG:
         raise PNGError("not a PNG signature")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(b):
         (clen,) = struct.unpack(">I", b[pos : pos + 4])
         ctype = b[pos + 4 : pos + 8]
@@ -58,6 +139,8 @@ def decode_png(data: bytes) -> np.ndarray:
             ihdr = body
         elif ctype == b"IDAT":
             idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IEND":
             break
         pos += 12 + clen  # len + type + crc
@@ -66,62 +149,55 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr[:13]
     )
-    if depth != 8:
-        raise UnsupportedPNGError(f"bit depth {depth} (only 8 supported)")
-    if color not in _CHANNELS:
-        raise UnsupportedPNGError(f"color type {color} (palette unsupported)")
-    if interlace != 0:
-        raise UnsupportedPNGError("interlaced (Adam7) unsupported")
+    if color not in _NCH:
+        raise UnsupportedPNGError(f"color type {color}")
+    if depth not in _DEPTHS[color]:
+        raise PNGError(f"illegal depth {depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise PNGError(f"unknown interlace method {interlace}")
     if not idat:
         raise PNGError("no IDAT data")
     if w == 0 or h == 0:
         raise PNGError("zero dimension")
-    ch = _CHANNELS[color]
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise PNGError("palette image without a valid PLTE")
+    nch = _NCH[color]
+    bpp = max(1, depth * nch // 8)
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         # zlib.error is a direct Exception subclass — without this it
         # would escape the PNGError contract both call sites catch on
         raise PNGError(f"corrupt IDAT stream: {e}") from e
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise PNGError(
-            f"scanline size mismatch: {len(raw)} != {h}*({stride}+1)"
-        )
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:].astype(np.int16)  # headroom for predictor sums
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int16)
-    for r in range(h):
-        f, line = int(filters[r]), rows[r].copy()
-        if f == 0:
-            pass
-        elif f == 1:  # Sub: cumulative along the row, per byte lane
-            for c in range(ch):
-                lane = line[c::ch]
-                np.cumsum(lane, out=lane)  # int16 wraps are fixed by &255
-            line &= 255
-        elif f == 2:  # Up
-            line = (line + prev) & 255
-        elif f == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 255
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(line[i - ch]) if i >= ch else 0
-                up = int(prev[i])
-                c_ = int(prev[i - ch]) if i >= ch else 0
-                p = a + up - c_
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c_)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c_)
-                line[i] = (line[i] + pred) & 255
-        else:
-            raise PNGError(f"unknown filter {f}")
-        out[r] = line.astype(np.uint8)
-        prev = line
-    return out.reshape(h, w, ch)
+
+    samples = np.zeros((h, w, nch), dtype=np.uint16)
+    passes = ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    offset = 0
+    for xs, ys, xstep, ystep in passes:
+        pw = (w - xs + xstep - 1) // xstep
+        ph = (h - ys + ystep - 1) // ystep
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * nch * depth + 7) // 8
+        block = raw[offset : offset + ph * (stride + 1)]
+        offset += ph * (stride + 1)
+        rows = _unfilter_block(block, ph, stride, bpp)
+        vals = _unpack_samples(rows, pw, depth, nch)
+        samples[ys::ystep, xs::xstep] = vals
+    if offset != len(raw):
+        raise PNGError(f"IDAT length mismatch: {len(raw)} != {offset}")
+
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise PNGError("palette index out of range")
+        return pal[idx]
+    if depth == 16:
+        return (samples >> 8).astype(np.uint8)
+    if depth < 8:  # gray only (spec): exact 255/(2^d - 1) scaling
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return samples.astype(np.uint8)
 
 
 def _filter_row(line: np.ndarray, prev: np.ndarray, ch: int, f: int) -> np.ndarray:
@@ -165,12 +241,18 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
     """Encode a (h, w) or (h, w, channels) uint8 array as a valid
-    non-interlaced 8-bit PNG (correct CRCs — external decoders accept
-    the output). ``filter_type`` fixes the per-row filter (0-4);
-    0 is fastest, the others exist so tests exercise every decode
-    branch."""
+    8-bit PNG (correct CRCs — external decoders accept the output).
+    ``filter_type`` fixes the per-row filter (0-4); ``interlace=True``
+    writes Adam7 passes (each pass filtered independently, per spec)
+    — mainly the round-trip vector generator for the interlaced
+    decode path; production re-encodes stay non-interlaced."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -180,18 +262,102 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
     if h == 0 or w == 0:
         raise PNGError("zero dimension")
     color = _COLOR_TYPE[ch]
-    flat = a.reshape(h, w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
     lines = []
-    for r in range(h):
-        lines.append(bytes([filter_type]))
-        lines.append(_filter_row(flat[r], prev, ch, filter_type).tobytes())
-        prev = flat[r]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    passes = ADAM7 if interlace else ((0, 0, 1, 1),)
+    for xs, ys, xstep, ystep in passes:
+        sub = a[ys::ystep, xs::xstep]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * ch)
+        prev = np.zeros(pw * ch, dtype=np.uint8)
+        for r in range(ph):
+            lines.append(bytes([filter_type]))
+            lines.append(_filter_row(flat[r], prev, ch, filter_type).tobytes())
+            prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(b"".join(lines), level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _pack_bits(row: np.ndarray, depth: int) -> bytes:
+    """Pack sub-byte samples MSB-first (PNG bit packing)."""
+    bits = ((row[:, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def encode_png_palette(
+    indices: np.ndarray, palette: np.ndarray, depth: int = 8
+) -> bytes:
+    """Color-type-3 PNG from an (h, w) index array and an (n, 3)
+    uint8 palette, at depth 1/2/4/8 — the test-vector generator for
+    the palette decode path (filter 0 rows)."""
+    idx = np.asarray(indices)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise PNGError(f"illegal palette depth {depth}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > (1 << depth):
+        raise PNGError("palette must be (n<=2^depth, 3) uint8")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise PNGError("index out of palette range")
+    h, w = idx.shape
+    lines = []
+    for r in range(h):
+        row = idx[r].astype(np.uint8)
+        body = row.tobytes() if depth == 8 else _pack_bits(row, depth)
+        lines.append(b"\x00" + body)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_16bit(arr: np.ndarray) -> bytes:
+    """16-bit gray or RGB PNG from a uint16 array — test-vector
+    generator for the 16-bit decode path (filter 0 rows, big-endian
+    samples per spec)."""
+    a = np.asarray(arr, dtype=np.uint16)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] not in (1, 3):
+        raise PNGError("16-bit encoder supports gray or RGB only")
+    h, w, ch = a.shape
+    color = 0 if ch == 1 else 2
+    lines = []
+    for r in range(h):
+        lines.append(b"\x00" + a[r].astype(">u2").tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray_sub8(arr: np.ndarray, depth: int) -> bytes:
+    """Grayscale PNG at depth 1/2/4 from an index-domain array
+    (values < 2^depth) — test-vector generator for sub-byte gray."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if depth not in (1, 2, 4):
+        raise PNGError(f"sub-8 gray depth must be 1/2/4, got {depth}")
+    if int(a.max(initial=0)) >= (1 << depth):
+        raise PNGError("sample out of depth range")
+    h, w = a.shape
+    lines = [b"\x00" + _pack_bits(a[r], depth) for r in range(h)]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
         + _chunk(b"IEND", b"")
     )
 

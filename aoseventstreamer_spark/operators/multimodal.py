@@ -5,19 +5,18 @@ iterators (``mapInPandas``).
 Pixel handling is tiered by what plain stdlib + numpy can do:
 
 - **REAL**: header sniffing for PNG/JPEG/GIF/WAV (sniff_header), and
-  complete decode → resample → re-encode pipelines for non-interlaced
-  8-bit PNGs (functions/png.py — zlib scanlines + all five row
-  filters, bilinear resize), baseline/extended-sequential Huffman
-  JPEGs (functions/jpeg.py — DQT/DHT/DRI/RSTn, any chroma
-  subsampling on decode, 4:4:4 Annex-K encode; PROGRESSIVE/SOF2
-  decode incl. full successive approximation), AND GIF87a/89a
-  (functions/gif.py — full 12-bit LZW both directions, interlace,
-  local/global palettes; re-encode quantizes to RGB 3-3-2 when the
-  resample exceeds 256 colors, lossy by format not implementation).
-  No media libraries involved.
+  complete decode → resample → re-encode pipelines for PNG at EVERY
+  standard profile (functions/png.py — depths 1/2/4/8/16, palette,
+  Adam7 interlace, all five row filters), baseline/extended-
+  sequential AND progressive Huffman JPEGs (functions/jpeg.py —
+  DQT/DHT/DRI/RSTn, any chroma subsampling on decode, 4:4:4 Annex-K
+  encode; SOF2 multi-scan decode incl. full successive
+  approximation), AND GIF87a/89a (functions/gif.py — full 12-bit LZW
+  both directions, interlace, local/global palettes; re-encode
+  quantizes to RGB 3-3-2 when the resample exceeds 256 colors, lossy
+  by format not implementation). No media libraries involved.
 - **STUB** (clearly marked, fallback only): pixel access for
-  arithmetic/12-bit JPEG, exotic PNG profiles
-  (palette/16-bit/interlaced), and animated-GIF frames past the first
+  arithmetic/12-bit JPEG and animated-GIF frames past the first
   (disposal/compositing semantics). A production deployment swaps
   those branches for PIL/ffmpeg; schemas, batch iteration, partition
   behavior, and UDF signatures are identical either way.
@@ -484,12 +483,14 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     is fully decoded (functions/png.py zlib+unfilter /
     functions/jpeg.py Huffman+IDCT incl. progressive / functions/
     gif.py LZW), bilinearly resampled, and re-encoded as a valid
-    container of the same format. Profiles we cannot decode without
-    media libs (arithmetic/12-bit JPEG, palette/16-bit/interlaced
-    PNG, animated-GIF compositing) fall back to the deterministic
-    byte-decimation STUB — a real pipeline swaps that branch for
-    PIL/ffmpeg; the mapInPandas batch shape, schema, and
-    executor-side payload flow are identical either way.
+    container of the same format (palette/16-bit/interlaced PNG
+    re-encodes as plain 8-bit PNG — decode is full-profile, the
+    writer is the common profile). Profiles we cannot decode without
+    media libs (arithmetic/12-bit JPEG, animated-GIF compositing)
+    fall back to the deterministic byte-decimation STUB — a real
+    pipeline swaps that branch for PIL/ffmpeg; the mapInPandas batch
+    shape, schema, and executor-side payload flow are identical
+    either way.
 
     Rows whose header doesn't parse (unknown container, corrupt bytes)
     pass through unchanged with null dims rather than failing the
@@ -522,8 +523,8 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                             payloads.append(PNG.encode_png(pixels))
                         except PNG.PNGError:
                             # header said PNG but body undecodable
-                            # (palette/16-bit/interlaced/truncated):
-                            # stub fallback, never a task failure
+                            # (truncated/corrupt): stub fallback,
+                            # never a task failure
                             payloads.append(_stub_resample(bytes(payload), nw, nh))
                     elif mime == "image/jpeg":
                         try:  # REAL pixel path (functions/jpeg.py)

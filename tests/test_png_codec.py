@@ -32,8 +32,14 @@ def test_roundtrip_every_filter_and_color_type(filter_type, ch):
 def test_decode_rejects_unsupported_profiles():
     img = _gradient(4, 4, 3)
     data = bytearray(PNG.encode_png(img))
-    data[24] = 16  # bit depth byte inside IHDR
-    with pytest.raises(PNG.UnsupportedPNGError):
+    # 16-bit DECODES now (test_png_profiles); an ILLEGAL depth for the
+    # color type must still raise, as must lying headers (declared
+    # depth 16 over an 8-bit stream -> scanline size mismatch)
+    data[24] = 7  # bit depth byte inside IHDR: 7 is illegal everywhere
+    with pytest.raises(PNG.PNGError):
+        PNG.decode_png(bytes(data))
+    data[24] = 16
+    with pytest.raises(PNG.PNGError):
         PNG.decode_png(bytes(data))
     with pytest.raises(PNG.PNGError):
         PNG.decode_png(b"not a png at all, nope....")
