@@ -233,7 +233,188 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise GIFError("no image descriptor before trailer")
 
 
+def decode_gif_frames(data: bytes, max_frames: int = 0) -> list[np.ndarray]:
+    """Every frame of an animated GIF, COMPOSITED to full logical-
+    screen RGB (h, w, 3) uint8 arrays: graphic-control disposal
+    methods (1 = leave, 2 = restore to background, 3 = restore to
+    previous) and the transparent index (transparent pixels keep the
+    canvas underneath) are applied, so frame N is what a viewer
+    displays at step N — not the raw patch rectangle. ``max_frames``
+    > 0 stops early (frame sampling does not need the whole
+    animation decoded)."""
+    if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise GIFError("not a GIF87a/GIF89a stream")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    packed = data[10]
+    bg_idx = data[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise GIFError("truncated global color table")
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) else np.zeros(3, np.uint8)
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    frames: list[np.ndarray] = []
+    disposal, transparent = 0, None
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            sub_start = pos
+            subs = []
+            while pos < len(data) and data[pos] != 0:
+                subs.append(data[pos + 1 : pos + 1 + data[pos]])
+                pos += 1 + data[pos]
+            pos += 1
+            if label == 0xF9 and subs:  # graphic control extension
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 0x07
+                transparent = gce[3] if (gce[0] & 0x01) else None
+        elif block == 0x2C:
+            left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(data):
+                    raise GIFError("truncated local color table")
+                pal = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise GIFError("no color table (neither global nor local)")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                chunks.append(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(min_code, b"".join(chunks), iw * ih)
+            if len(idx) < iw * ih:
+                raise GIFError(
+                    f"LZW stream truncated: {len(idx)} of {iw * ih} pixels"
+                )
+            arr = np.asarray(idx[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if ipacked & 0x40:
+                deinter = np.empty_like(arr)
+                src = 0
+                for start, step in INTERLACE_PASSES:
+                    for row in range(start, ih, step):
+                        deinter[row] = arr[src]
+                        src += 1
+                arr = deinter
+            if np.any(arr >= len(pal)):
+                raise GIFError("pixel index outside the color table")
+            before = canvas.copy() if disposal == 3 else None
+            patch = canvas[top : top + ih, left : left + iw]
+            rgb = pal[arr]
+            if transparent is not None:
+                mask = (arr != transparent)[:, :, None]
+                patch[:] = np.where(mask, rgb, patch)
+            else:
+                patch[:] = rgb
+            frames.append(canvas.copy())
+            if max_frames and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore the patch area to background
+                canvas[top : top + ih, left : left + iw] = bg
+            elif disposal == 3 and before is not None:
+                canvas = before
+            disposal, transparent = 0, None
+        elif block == 0x3B:
+            break
+        else:
+            raise GIFError(f"unknown block 0x{block:02x} at {pos}")
+    if not frames:
+        raise GIFError("no image descriptor before trailer")
+    return frames
+
+
 # ---------------------------------------------------------------- encode
+
+
+def encode_gif_animation(
+    screen_wh: tuple[int, int],
+    items: list[tuple[int, int, np.ndarray, int, np.ndarray | None]],
+    bg_color: tuple[int, int, int] = (0, 0, 0),
+) -> bytes:
+    """Multi-frame GIF89a writer — the test-vector generator for
+    :func:`decode_gif_frames`. ``items`` are
+    (left, top, rgb_patch, disposal, transparent_mask): each becomes
+    an image descriptor at (left, top) preceded by a graphic control
+    extension carrying its disposal method; mask-true pixels encode
+    as the reserved transparent index. One global palette (exact when
+    ≤ 255 colors, else RGB 3-3-2) with slot 0 = background."""
+    sw, sh = screen_wh
+    colors: set[tuple[int, int, int]] = {tuple(int(x) for x in bg_color)}
+    for _, _, patch, _, _ in items:
+        if patch.ndim != 3 or patch.shape[2] != 3 or patch.dtype != np.uint8:
+            raise GIFError("patches must be (h, w, 3) uint8")
+        colors.update(map(tuple, patch.reshape(-1, 3).tolist()))
+    quant = len(colors) > 255  # one slot reserved for transparency
+
+    def q332(c):
+        return (c[0] >> 5 << 5, c[1] >> 5 << 5, c[2] >> 6 << 6)
+
+    if quant:
+        colors = {q332(c) for c in colors} | {q332(tuple(bg_color))}
+    pal_list = sorted(colors)
+    bg_key = q332(tuple(bg_color)) if quant else tuple(int(x) for x in bg_color)
+    pal_list.remove(bg_key)
+    pal_list = [bg_key] + pal_list  # background at index 0
+    lut = {c: i for i, c in enumerate(pal_list)}
+    trans_idx = len(pal_list)  # reserved transparent slot
+    if trans_idx > 255:
+        raise GIFError("no palette slot left for transparency (256 colors)")
+    bits = max(2, int(trans_idx).bit_length())
+    table_n = 1 << bits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[: len(pal_list)] = np.array(pal_list, dtype=np.uint8)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += int(sw).to_bytes(2, "little") + int(sh).to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT, bg index 0
+    out += pal.tobytes()
+    for left, top, patch, disposal, mask in items:
+        ph, pw = patch.shape[:2]
+        flat = patch.reshape(-1, 3)
+        if quant:
+            keys = [q332(tuple(c)) for c in flat.tolist()]
+        else:
+            keys = list(map(tuple, flat.tolist()))
+        idx = np.array([lut[k] for k in keys], dtype=np.int32)
+        if mask is not None:
+            idx = np.where(mask.reshape(-1), trans_idx, idx)
+        # graphic control extension
+        flags = (disposal & 0x07) << 2 | (1 if mask is not None else 0)
+        out += bytes([0x21, 0xF9, 4, flags, 0, 0, trans_idx, 0])
+        out += b"\x2c"
+        out += int(left).to_bytes(2, "little") + int(top).to_bytes(2, "little")
+        out += int(pw).to_bytes(2, "little") + int(ph).to_bytes(2, "little")
+        out += b"\x00"
+        min_code = bits
+        out += bytes([min_code])
+        lzw = _lzw_encode(min_code, idx)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(arr: np.ndarray) -> bytes:

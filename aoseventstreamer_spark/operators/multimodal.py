@@ -14,11 +14,14 @@ Pixel handling is tiered by what plain stdlib + numpy can do:
   approximation), AND GIF87a/89a (functions/gif.py — full 12-bit LZW
   both directions, interlace, local/global palettes; re-encode
   quantizes to RGB 3-3-2 when the resample exceeds 256 colors, lossy
-  by format not implementation). No media libraries involved.
+  by format not implementation), INCLUDING animated-GIF frame
+  extraction (disposal methods + transparency composited to the
+  logical screen — sample_frames emits real frames for GIFs). No
+  media libraries involved.
 - **STUB** (clearly marked, fallback only): pixel access for
-  arithmetic/12-bit JPEG and animated-GIF frames past the first
-  (disposal/compositing semantics). A production deployment swaps
-  those branches for PIL/ffmpeg; schemas, batch iteration, partition
+  arithmetic/12-bit JPEG — the one profile left (patent-era MQ
+  coding, vanishingly rare in crawls). A production deployment swaps
+  that branch for PIL/ffmpeg; schemas, batch iteration, partition
   behavior, and UDF signatures are identical either way.
 
 At 100 TB: binary payloads never pass through the driver; Arrow moves
@@ -153,20 +156,43 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 4) -> DataFrame:
     """Frame-sampling shape: one input row → up to max_frames output
-    rows (why this is mapInPandas, not a scalar UDF). The 'frame' is a
-    byte-slice stand-in for a real ffmpeg keyframe extraction."""
+    rows (why this is mapInPandas, not a scalar UDF).
+
+    For GIF payloads the frames are REAL: the animation is decoded
+    frame by frame (functions/gif.py — disposal methods and
+    transparency composited onto the logical screen, stopping after
+    max_frames) and each composited frame re-encodes as a standalone
+    single-frame GIF. Everything else keeps the byte-slice stand-in
+    for an ffmpeg keyframe extraction — same schema, same fan-out
+    contract, so the registered q_multimodal_frames oracle (text
+    payloads, never GIF) is untouched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from aoseventstreamer_spark.functions import gif as GIF
+        except ImportError:
+            GIF = None
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue  # nothing to sample; don't kill the task
-                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                raw = bytes(payload)
+                if GIF is not None and raw[:4] == b"GIF8":
+                    try:
+                        frames = GIF.decode_gif_frames(raw, max_frames=max_frames)
+                        for i, fr in enumerate(frames):
+                            ids.append(mid)
+                            idxs.append(i)
+                            payloads.append(GIF.encode_gif(fr))
+                        continue
+                    except GIF.GIFError:
+                        pass  # corrupt GIF: byte-slice fallback below
+                n = min(max_frames, max(1, len(raw) // every_n_bytes))
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
-                    payloads.append(bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes]))
+                    payloads.append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
             )

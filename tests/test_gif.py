@@ -131,3 +131,104 @@ def test_resize_images_uses_real_gif_pixels(spark):
     direct = PNG.resize_bilinear(rgb, 16, 8)
     expect = gif.decode_gif(gif.encode_gif(direct))  # same quantization
     assert np.array_equal(out, expect)
+
+
+# ----------------------------------------------------------- animation
+
+
+def test_animation_frames_composite_disposals():
+    """3-frame animation exercising all three disposal methods:
+    frame 1 full red screen (disposal 1 = leave), frame 2 a blue patch
+    (disposal 2 = restore background under the patch), frame 3 a green
+    patch (disposal 3 is irrelevant for the last frame)."""
+    red = np.full((4, 6, 3), [200, 0, 0], dtype=np.uint8)
+    blue = np.full((2, 2, 3), [0, 0, 200], dtype=np.uint8)
+    green = np.full((1, 3, 3), [0, 200, 0], dtype=np.uint8)
+    data = gif.encode_gif_animation(
+        (6, 4),
+        [
+            (0, 0, red, 1, None),
+            (1, 1, blue, 2, None),
+            (2, 0, green, 0, None),
+        ],
+        bg_color=(10, 10, 10),
+    )
+    f = gif.decode_gif_frames(data)
+    assert len(f) == 3
+    assert np.array_equal(f[0], red)
+    # frame 2: red screen with the blue patch at (1,1)
+    want1 = red.copy()
+    want1[1:3, 1:3] = [0, 0, 200]
+    assert np.array_equal(f[1], want1)
+    # frame 3: disposal 2 restored the patch area to BACKGROUND, then
+    # green painted at (0,2)
+    want2 = red.copy()
+    want2[1:3, 1:3] = [10, 10, 10]
+    want2[0, 2:5] = [0, 200, 0]
+    assert np.array_equal(f[2], want2)
+
+
+def test_animation_transparency_keeps_canvas():
+    base = np.full((3, 3, 3), [50, 60, 70], dtype=np.uint8)
+    overlay = np.full((3, 3, 3), [200, 0, 0], dtype=np.uint8)
+    mask = np.zeros((3, 3), dtype=bool)
+    mask[1, 1] = True  # center pixel transparent -> base shows through
+    data = gif.encode_gif_animation(
+        (3, 3), [(0, 0, base, 1, None), (0, 0, overlay, 0, mask)]
+    )
+    f = gif.decode_gif_frames(data)
+    want = overlay.copy()
+    want[1, 1] = [50, 60, 70]
+    assert np.array_equal(f[1], want)
+
+
+def test_animation_disposal_previous_restores():
+    a = np.full((2, 2, 3), [1, 2, 3], dtype=np.uint8)
+    b = np.full((1, 1, 3), [200, 200, 0], dtype=np.uint8)
+    c = np.full((1, 1, 3), [0, 200, 200], dtype=np.uint8)
+    data = gif.encode_gif_animation(
+        (2, 2),
+        [(0, 0, a, 1, None), (0, 0, b, 3, None), (1, 1, c, 0, None)],
+    )
+    f = gif.decode_gif_frames(data)
+    # frame 3: b's pixel was RESTORED to a (disposal 3), c painted
+    want = a.copy()
+    want[1, 1] = [0, 200, 200]
+    assert np.array_equal(f[2], want)
+
+
+def test_decode_frames_max_frames_stops_early():
+    items = [
+        (0, 0, np.full((2, 2, 3), [i * 30, 0, 0], dtype=np.uint8), 1, None)
+        for i in range(5)
+    ]
+    data = gif.encode_gif_animation((2, 2), items)
+    assert len(gif.decode_gif_frames(data, max_frames=2)) == 2
+    assert len(gif.decode_gif_frames(data)) == 5
+
+
+def test_sample_frames_extracts_real_gif_frames(spark):
+    """Integration: an animated-GIF payload through sample_frames
+    yields one decodable single-frame GIF per composited frame —
+    the byte-slice stand-in no longer applies to GIFs."""
+    from aoseventstreamer_spark.operators import multimodal as MM
+
+    red = np.full((4, 4, 3), [200, 0, 0], dtype=np.uint8)
+    blue = np.full((2, 2, 3), [0, 0, 200], dtype=np.uint8)
+    data = gif.encode_gif_animation(
+        (4, 4), [(0, 0, red, 1, None), (1, 1, blue, 0, None)]
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(data))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        MM.sample_frames(media, max_frames=4).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 1]
+    f0 = gif.decode_gif(bytes(rows[0].frame_payload))
+    f1 = gif.decode_gif(bytes(rows[1].frame_payload))
+    assert np.array_equal(f0, red)
+    want1 = red.copy()
+    want1[1:3, 1:3] = [0, 0, 200]
+    assert np.array_equal(f1, want1)
