@@ -224,6 +224,9 @@ def sniff_header(payload: bytes):
     - JPEG: first SOF0/SOF2 marker's height/width
     - GIF:  logical screen width/height (little-endian at 6/8)
     - WAV:  duration from data-chunk size / byte rate
+    - MP4 (ISO BMFF): duration from moov>mvhd (timescale-normalized,
+      v0 and v1 boxes), width/height from the first video trak's
+      tkhd 16.16 fixed-point fields — the video-modality container
 
     Returns (mime, width, height, duration_ms); unknown containers
     return (None, None, None, None) rather than failing the task.
@@ -280,7 +283,64 @@ def sniff_header(payload: bytes):
                 return ("audio/wav", None, None, int(data_len * 1000 / byte_rate))
             i += 8 + clen + (clen % 2)
         return ("audio/wav", None, None, None)
+    if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF / MP4
+        return _sniff_mp4(b)
     return (None, None, None, None)
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) over an ISO-BMFF box
+    range; tolerates 64-bit largesize boxes and stops on garbage."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(b[i : i + 4], "big")
+        btype = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to the end of the enclosure
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def _sniff_mp4(b: bytes):
+    """duration from moov>mvhd, dimensions from the first trak>tkhd
+    whose width/height are nonzero (video tracks; audio tracks carry
+    zeros there)."""
+    dur_ms = None
+    w = h = None
+    for btype, s, e in _walk_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for inner, s2, e2 in _walk_boxes(b, s, e):
+            if inner == b"mvhd" and e2 - s2 >= 20:
+                ver = b[s2]
+                if ver == 1 and e2 - s2 >= 28:
+                    ts = int.from_bytes(b[s2 + 20 : s2 + 24], "big")
+                    dur = int.from_bytes(b[s2 + 24 : s2 + 32], "big")
+                else:
+                    ts = int.from_bytes(b[s2 + 12 : s2 + 16], "big")
+                    dur = int.from_bytes(b[s2 + 16 : s2 + 20], "big")
+                if ts:
+                    dur_ms = int(dur * 1000 / ts)
+            elif inner == b"trak" and w is None:
+                for t2, s3, e3 in _walk_boxes(b, s2, e2):
+                    if t2 == b"tkhd":
+                        ver = b[s3]
+                        off = s3 + (96 if ver == 1 else 84)
+                        if off + 8 <= e3:
+                            tw = int.from_bytes(b[off : off + 4], "big") >> 16
+                            th = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+                            if tw and th:
+                                w, h = tw, th
+        return ("video/mp4", w, h, dur_ms)
+    return ("video/mp4", None, None, None)
 
 
 def sniff_media(media: DataFrame) -> DataFrame:
