@@ -123,7 +123,8 @@ class EventStreamerEngine:
         try:
             return self.spark.read.parquet(self.events_path)
         except AnalysisException as e:
-            if (e.getErrorClass() or "").startswith("PATH_NOT_FOUND"):
+            cond = getattr(e, "getCondition", e.getErrorClass)() or ""
+            if cond.startswith("PATH_NOT_FOUND"):
                 return self.spark.createDataFrame([], schemas.ROUTED_EVENTS_SCHEMA)
             raise
 
