@@ -217,6 +217,10 @@ def decode_gif(data: bytes) -> np.ndarray:
                 arr = deinter
             if np.any(arr >= len(pal)):
                 raise GIFError("pixel index outside the color table")
+            if left + iw > sw or top + ih > sh:
+                # a raw numpy shape error here would escape the
+                # GIFError fallback contract the callers rely on
+                raise GIFError("frame rectangle outside logical screen")
             frame = pal[arr]  # (ih, iw, 3)
             if (left, top, iw, ih) != (0, 0, sw, sh):
                 # frame smaller than the logical screen: paste onto
@@ -318,6 +322,8 @@ def decode_gif_frames(data: bytes, max_frames: int = 0) -> list[np.ndarray]:
                 arr = deinter
             if np.any(arr >= len(pal)):
                 raise GIFError("pixel index outside the color table")
+            if left + iw > sw or top + ih > sh:
+                raise GIFError("frame rectangle outside logical screen")
             before = canvas.copy() if disposal == 3 else None
             patch = canvas[top : top + ih, left : left + iw]
             rgb = pal[arr]

@@ -513,6 +513,11 @@ def _decode_progressive(b, pos, frame, qtables, huff_dc, huff_ac, dri):
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if 0xD0 <= marker <= 0xD7:  # stray RSTn between scans: a scan
+            # whose entropy data ends exactly at a restart boundary
+            # leaves its marker for this walker — skip, it has no body
+            pos += 2
+            continue
         if pos + 4 > len(b):
             raise JPEGError("truncated segment header")
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])

@@ -232,3 +232,19 @@ def test_sample_frames_extracts_real_gif_frames(spark):
     want1 = red.copy()
     want1[1:3, 1:3] = [0, 0, 200]
     assert np.array_equal(f1, want1)
+
+
+def test_out_of_screen_frame_raises_giferror_not_valueerror():
+    """A frame rectangle past the logical screen must surface as
+    GIFError (the fallback contract sample_frames/resize rely on),
+    never a raw numpy shape error that would kill the Spark task."""
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(gif.encode_gif(arr))
+    n_gct = 2 << (data[10] & 0x07)
+    desc = 13 + 3 * n_gct
+    assert data[desc] == 0x2C
+    data[desc + 1 : desc + 3] = (3).to_bytes(2, "little")  # left=3, w=4
+    with pytest.raises(gif.GIFError, match="outside logical screen"):
+        gif.decode_gif(bytes(data))
+    with pytest.raises(gif.GIFError, match="outside logical screen"):
+        gif.decode_gif_frames(bytes(data))
