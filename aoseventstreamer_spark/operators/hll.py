@@ -42,11 +42,17 @@ from aoseventstreamer_spark.operators.dedup import md5_long
 H_BITS = 60  # md5_long yields 60 uniform bits
 
 
-def hll_rhos(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+def hll_rhos(
+    df: DataFrame,
+    key_col: str,
+    p: int = 6,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """Pre-aggregation (bucket, rho) rows — the streaming integration
     point: feed these to ``IncrementalRollup`` with keys=(bucket,) and
     a MAX agg (merge_fn 'max') and the per-batch partials merge to
-    exactly ``hll_sketch`` of the union (tested)."""
+    exactly ``hll_sketch`` of the union (tested). With ``group_cols``
+    the rows carry the group keys, yielding one sketch per group."""
     m = 1 << p
     h = md5_long(key_col)
     # h >> p, NOT h/m: double division drops low bits above 2^53
@@ -56,15 +62,22 @@ def hll_rhos(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
         F.when(r == 0, F.lit(H_BITS - p + 1))
         .otherwise(F.round(F.log2(low)).cast("long") + 1)
     )
-    return df.select((h % m).alias("bucket"), rho.alias("rho"))
+    g = [F.col(c) for c in (group_cols or [])]
+    return df.select(*g, (h % m).alias("bucket"), rho.alias("rho"))
 
 
-def hll_sketch(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    p: int = 6,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """(bucket, max_rho) registers over the keys of ``df`` (duplicate
-    keys are free — MAX absorbs them). At most 2^p rows; one shuffle."""
+    keys are free — MAX absorbs them). At most groups·2^p rows; one
+    shuffle with map-side partial MAX."""
     return (
-        hll_rhos(df, key_col, p)
-        .groupBy("bucket")
+        hll_rhos(df, key_col, p, group_cols)
+        .groupBy(*(group_cols or []), "bucket")
         .agg(F.max("rho").alias("max_rho"))
     )
 
@@ -94,15 +107,18 @@ def denom_shift(p: int) -> int:
     return 62 - p
 
 
-def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
-    """1-row (n_registers, denom_scaled, estimate): denom_scaled is
-    the exact integer Σ 2^(S-max_rho) (S = 62-p) with each empty
-    register contributing 2^S (value-comparable across engines);
-    estimate is the corrected HLL cardinality (derived float — compare
+def hll_estimate(
+    sketch: DataFrame, p: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per group (1 row total without ``group_cols``):
+    (n_registers, denom_scaled, estimate). denom_scaled is the exact
+    integer Σ 2^(S-max_rho) (S = 62-p) with each empty register
+    contributing 2^S (value-comparable across engines); estimate is
+    the corrected HLL cardinality (derived float — compare
     denom_scaled across engines, not this)."""
     m = 1 << p
     s = denom_shift(p)
-    agg = sketch.agg(
+    agg = sketch.groupBy(*(group_cols or [])).agg(
         F.count(F.lit(1)).alias("n_used"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({s} - max_rho AS INT))")
@@ -114,7 +130,9 @@ def hll_estimate(sketch: DataFrame, p: int = 6) -> DataFrame:
     # small-range: linear counting while empty registers remain
     lc = F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double"))
     est = F.when((raw <= 2.5 * m) & (n_empty > 0), lc).otherwise(raw)
+    g = [F.col(c) for c in (group_cols or [])]
     return agg.select(
+        *g,
         F.lit(m).alias("n_registers"),
         denom_scaled.alias("denom_scaled"),
         est.alias("estimate"),

@@ -208,14 +208,56 @@ def q_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # rows-only: HLL sketches differ across engines
+_ADP = 6  # HLL precision for q_approx_distinct: m = 64 registers
+
+
+@query(
+    "q_approx_distinct",
+    oracle=f"""
+    WITH hh AS (SELECT event_type,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS h
+                FROM events),
+    br AS (SELECT event_type, h % {1 << _ADP} AS bucket, h // {1 << _ADP} AS r
+           FROM hh),
+    rr AS (SELECT event_type, bucket,
+                  CASE WHEN r = 0 THEN {60 - _ADP + 1}
+                       ELSE CAST(ROUND(log2(r & (-r))) AS BIGINT) + 1
+                  END AS rho
+           FROM br),
+    sk AS (SELECT event_type, bucket, MAX(rho) AS max_rho
+           FROM rr GROUP BY event_type, bucket),
+    agg AS (SELECT event_type, COUNT(*) AS n_used,
+                   CAST(SUM(CAST(1 AS BIGINT) << CAST({62 - _ADP} - max_rho AS INT))
+                        AS BIGINT) AS di
+            FROM sk GROUP BY event_type)
+    SELECT event_type, CAST({1 << _ADP} AS INT) AS n_registers,
+           di + ({1 << _ADP} - n_used) * (CAST(1 AS BIGINT) << {62 - _ADP})
+             AS denom_scaled
+    FROM agg
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct — the scale path for COUNT(DISTINCT) on
-    100 TB (one pass, bounded memory, no exact-distinct shuffle)."""
-    return (
-        t(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    """Approximate COUNT(DISTINCT user_id) per event_type — the scale
+    path for distinct counting on 100 TB: one pass, 2^p registers per
+    group, mergeable by register-wise MAX (no exact-distinct shuffle).
+
+    Built on the repo's engine-portable HLL (``operators/hll.py``):
+    every register and the fixed-point denominator ``denom_scaled``
+    (= the sketch's entire information content) are exact int64
+    arithmetic reproducible in ANSI SQL, so the driver hash-compares
+    them against DuckDB. The float cardinality estimate is a derived
+    display value (``hll.hll_estimate``; accuracy asserted against the
+    exact count in tests/test_quantile.py); the native HLL++
+    ``approx_count_distinct`` sibling is q_approx_distinct_native."""
+    from aoseventstreamer_spark.operators import hll
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    sk = hll.hll_sketch(ev, "uid", _ADP, group_cols=["event_type"])
+    return hll.hll_estimate(sk, _ADP, group_cols=["event_type"]).select(
+        "event_type", "n_registers", "denom_scaled"
     )
 
 

@@ -1,0 +1,124 @@
+"""Quantile sketch (operators/quantile.py) and grouped portable HLL
+(operators/hll.py group_cols): bucket-map invariants, merge algebra,
+containment/accuracy guarantees, and streaming maintenance through
+IncrementalRollup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators import hll
+from aoseventstreamer_spark.operators import quantile as Q
+from aoseventstreamer_spark.streaming.rollup import IncrementalRollup
+
+K = Q.DEFAULT_K
+
+
+def _values(spark, n=3000, seed=7):
+    # deterministic skewed positives spanning several octaves incl. the
+    # identity range [0, 2^k)
+    rows = [(i, (i * i * 2654435761 + seed) % 1_000_000) for i in range(n)]
+    return spark.createDataFrame(rows, "i long, v long")
+
+
+def test_bucket_monotone_and_bounds_contain(spark):
+    df = _values(spark, 2000)
+    got = df.select(
+        "v",
+        F.expr(Q.bucket_expr("v", K)).alias("bucket"),
+    )
+    lo, hi = Q.bounds_exprs("bucket", K)
+    got = got.withColumn("lo", F.expr(lo)).withColumn("hi", F.expr(hi))
+    rows = got.collect()
+    for r in rows:
+        assert r.lo <= r.v <= r.hi, (r.v, r.bucket, r.lo, r.hi)
+        # relative width bound: hi - lo < 2^-k * lo for lo >= 2^k
+        if r.lo >= (1 << K):
+            assert (r.hi - r.lo + 1) * (1 << K) <= r.lo * 2
+    by_v = sorted((r.v, r.bucket) for r in rows)
+    buckets = [b for _, b in by_v]
+    assert buckets == sorted(buckets), "bucket map must be monotone in v"
+
+
+def test_merge_equals_direct_build(spark):
+    df = _values(spark, 2400)
+    a = df.where("i % 2 = 0")
+    b = df.where("i % 2 = 1")
+    merged = Q.qsketch_merge(Q.qsketch(a, "v", K), Q.qsketch(b, "v", K))
+    direct = Q.qsketch(df, "v", K)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_quantiles_contain_exact_disc(spark):
+    df = _values(spark, 2500)
+    sk = Q.qsketch(df, "v", K)
+    permils = [10, 250, 500, 750, 900, 990, 1000]
+    out = {r.q_permil: r for r in Q.qsketch_quantiles(sk, permils, K).collect()}
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    for p in permils:
+        exact = vals[max(0, -(-p * n // 1000) - 1)]  # rank ceil(p*n/1000), 1-idx
+        r = out[p]
+        assert r.lo <= exact <= r.hi, (p, exact, r.lo, r.hi)
+        assert r.lo <= r.est <= r.hi
+        if r.lo >= (1 << K):
+            assert abs(r.est - exact) / exact <= 2 ** (-K) + 1e-12
+
+
+def test_grouped_sketch_equals_per_group(spark):
+    df = _values(spark, 1200).withColumn("g", (F.col("i") % 3).cast("string"))
+    grouped = Q.qsketch(df, "v", K, group_cols=["g"])
+    for g in ["0", "1", "2"]:
+        sub = Q.qsketch(df.where(F.col("g") == g), "v", K)
+        got = sorted(
+            (r.bucket, r.cnt) for r in grouped.where(F.col("g") == g).collect()
+        )
+        assert got == sorted(map(tuple, sub.collect()))
+
+
+def test_streaming_quantile_partials_equal_batch_build(spark, tmp_path):
+    df = _values(spark, 1800)
+    b0 = df.where("i < 900")
+    b1 = df.where("i >= 900")
+    r = IncrementalRollup(
+        spark,
+        str(tmp_path / "qsk"),
+        keys=["bucket"],
+        aggs={"cnt": F.sum("cnt").cast("long")},
+    )
+    r.process_batch(Q.qsketch(b0, "v", K), 0)
+    r.process_batch(Q.qsketch(b1, "v", K), 1)
+    # at-least-once redelivery must be a no-op
+    r.process_batch(Q.qsketch(b1, "v", K), 1)
+    got = sorted(map(tuple, r.current().collect()))
+    want = sorted(map(tuple, Q.qsketch(df, "v", K).collect()))
+    assert got == want
+
+
+def test_hll_grouped_matches_per_group_and_estimates(spark):
+    df = _values(spark, 2000).withColumn(
+        "g", (F.col("i") % 2).cast("string")
+    ).withColumn("key", (F.col("v") % 400).cast("string"))
+    grouped = hll.hll_sketch(df, "key", 6, group_cols=["g"])
+    for g in ["0", "1"]:
+        sub = hll.hll_sketch(df.where(F.col("g") == g), "key", 6)
+        got = sorted(
+            (r.bucket, r.max_rho)
+            for r in grouped.where(F.col("g") == g).collect()
+        )
+        assert got == sorted(map(tuple, sub.collect()))
+    est = {
+        r.g: r.estimate
+        for r in hll.hll_estimate(grouped, 6, group_cols=["g"]).collect()
+    }
+    exact = {
+        r.g: r.d
+        for r in df.groupBy("g").agg(F.count_distinct("key").alias("d")).collect()
+    }
+    for g, d in exact.items():
+        # m=64 registers: standard error ~1.04/sqrt(64) = 13%; assert 3 sigma
+        assert abs(est[g] - d) / d < 0.4, (g, est[g], d)
