@@ -1,0 +1,109 @@
+"""functions/mp4.py: full moov-tree parse roundtripped against the
+in-module encoder (the repo's codec discipline), plus the strictness
+contract — malformed boxes raise the typed MP4Error (quarantine
+signal) instead of returning corrupt metadata."""
+
+from __future__ import annotations
+
+import pytest
+
+from aoseventstreamer_spark.functions import mp4
+
+
+def test_roundtrip_v0_video_and_audio():
+    b = mp4.encode_mp4(
+        1280, 720, 5500, video_codec=b"avc1", audio_codec=b"mp4a",
+        sample_rate=44100, channels=2, lang="eng",
+    )
+    m = mp4.parse_mp4(b)
+    assert m["brand"] == "isom"
+    assert m["timescale"] == 1000 and m["duration_ms"] == 5500
+    vid, aud = m["tracks"]
+    assert vid["track_id"] == 1 and vid["handler"] == "vide"
+    assert (vid["codec"], vid["width"], vid["height"]) == ("avc1", 1280, 720)
+    assert vid["duration_ms"] == 5500 and vid["language"] == "eng"
+    assert aud["track_id"] == 2 and aud["handler"] == "soun"
+    assert (aud["codec"], aud["sample_rate"], aud["channels"]) == ("mp4a", 44100, 2)
+    # mdhd audio duration floors twice through the 44.1 kHz timescale
+    assert aud["duration_ms"] == (5500 * 44100 // 1000) * 1000 // 44100
+
+
+def test_roundtrip_v1_boxes_and_other_codecs():
+    b = mp4.encode_mp4(
+        3840, 2160, 90_061_000, video_codec=b"hev1", audio_codec=b"ac-3",
+        sample_rate=48000, channels=6, v1=True,
+    )
+    m = mp4.parse_mp4(b)
+    assert m["duration_ms"] == 90_061_000  # >25h: needs the v1 64-bit path
+    vid, aud = m["tracks"]
+    assert (vid["codec"], vid["width"], vid["height"]) == ("hev1", 3840, 2160)
+    assert (aud["codec"], aud["channels"]) == ("ac-3", 6)
+
+
+def test_largesize_moov_box():
+    b = mp4.encode_mp4(640, 480, 2000, largesize_moov=True)
+    m = mp4.parse_mp4(b)
+    assert m["duration_ms"] == 2000
+    assert m["tracks"][0]["width"] == 640
+
+
+def test_video_only_and_audio_first_order():
+    b = mp4.encode_mp4(320, 240, 1000, audio_codec=None)
+    m = mp4.parse_mp4(b)
+    assert len(m["tracks"]) == 1 and m["tracks"][0]["handler"] == "vide"
+
+    # audio trak BEFORE video: per-track metadata must not bleed across
+    ftyp = b[: int.from_bytes(b[:4], "big")]
+    audio = mp4._trak(
+        2, 1000, 8000, 8000, "und", b"soun", mp4._audio_entry(b"mp4a", 8000, 1), 0, 0, False
+    )
+    video = mp4._trak(
+        1, 1000, 30000, 30000, "und", b"vide", mp4._visual_entry(b"avc1", 320, 240), 320, 240, False
+    )
+    swapped = ftyp + mp4._box(b"moov", mp4._mvhd(1000, 1000, False) + audio + video)
+    m2 = mp4.parse_mp4(swapped)
+    aud, vid = m2["tracks"]
+    assert aud["handler"] == "soun" and aud["width"] is None
+    assert vid["width"] == 320 and vid["sample_rate"] is None
+
+
+def test_language_packing():
+    for lang in ("und", "eng", "deu", "jpn"):
+        b = mp4.encode_mp4(64, 64, 100, lang=lang)
+        assert mp4.parse_mp4(b)["tracks"][0]["language"] == lang
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:40],  # truncated mid-moov
+        lambda b: b[:-3],  # last box short of its declared size
+        lambda b: b + b"\x00\x00\x00\x05voyd",  # trailing box, size < header
+        lambda b: b"\x00" * 12,  # no ftyp
+    ],
+)
+def test_malformed_raises_typed_error(mutate):
+    good = mp4.encode_mp4(640, 360, 1000)
+    with pytest.raises(mp4.MP4Error):
+        mp4.parse_mp4(mutate(good))
+
+
+def test_zero_timescale_and_empty_stsd_raise():
+    b = bytearray(mp4.encode_mp4(640, 360, 1000))
+    i = bytes(b).find(b"mvhd")
+    b[i + 4 + 12 : i + 4 + 16] = b"\x00\x00\x00\x00"  # mvhd timescale = 0
+    with pytest.raises(mp4.MP4Error):
+        mp4.parse_mp4(bytes(b))
+
+    b2 = bytearray(mp4.encode_mp4(640, 360, 1000))
+    j = bytes(b2).find(b"stsd")
+    b2[j + 8 : j + 12] = b"\x00\x00\x00\x00"  # entry_count = 0
+    with pytest.raises(mp4.MP4Error):
+        mp4.parse_mp4(bytes(b2))
+
+
+def test_no_moov_raises():
+    good = mp4.encode_mp4(640, 360, 1000)
+    ftyp_len = int.from_bytes(good[:4], "big")
+    with pytest.raises(mp4.MP4Error):
+        mp4.parse_mp4(good[:ftyp_len])

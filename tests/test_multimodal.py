@@ -202,31 +202,17 @@ def test_wrap_as_real_png_tolerates_null_text(spark):
     assert len(rows) == 2 and all(r.payload[:8] == b"\x89PNG\r\n\x1a\n" for r in rows)
 
 
-def _box(btype: bytes, body: bytes) -> bytes:
-    return (8 + len(body)).to_bytes(4, "big") + btype + body
-
-
 def _mp4_fixture(w: int, h: int, dur_s: float, v1: bool = False) -> bytes:
-    """Minimal ISO-BMFF skeleton: ftyp + moov(mvhd + audio trak +
-    video trak) — the audio trak carries zero dims, so the sniffer
-    must skip it and report the video trak's 16.16 geometry."""
-    ts = 1000
-    dur = int(dur_s * ts)
-    if v1:
-        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + ts.to_bytes(4, "big") \
-            + dur.to_bytes(8, "big") + b"\x00" * 80
-    else:
-        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + ts.to_bytes(4, "big") \
-            + dur.to_bytes(4, "big") + b"\x00" * 80
-    def tkhd(tw, th, ver=0):
-        pre = 96 if ver else 84
-        body = bytes([ver, 0, 0, 0]) + b"\x00" * (pre - 4)
-        body += (tw << 16).to_bytes(4, "big") + (th << 16).to_bytes(4, "big")
-        return _box(b"tkhd", body)
-    audio_trak = _box(b"trak", tkhd(0, 0))
-    video_trak = _box(b"trak", tkhd(w, h))
-    moov = _box(b"moov", _box(b"mvhd", mvhd) + audio_trak + video_trak)
-    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    """Spec-conformant fixture from the in-module encoder (the r5
+    hand-rolled skeleton padded tkhd with the same wrong 84/96
+    pre-geometry offsets the sniffer misread, so the suite could not
+    detect the bug — generating from functions/mp4.py validates
+    against the real ISO 14496-12 layout instead). The audio trak
+    carries zero dims, so the sniffer must skip it and report the
+    video trak's 16.16 geometry."""
+    from aoseventstreamer_spark.functions.mp4 import encode_mp4
+
+    return encode_mp4(w, h, int(dur_s * 1000), v1=v1)
 
 
 def test_sniff_mp4_video_dims_and_duration():
@@ -234,7 +220,7 @@ def test_sniff_mp4_video_dims_and_duration():
 
     mime, w, h, dur = sniff_header(_mp4_fixture(640, 360, 12.5))
     assert (mime, w, h, dur) == ("video/mp4", 640, 360, 12500)
-    # version-1 mvhd (64-bit duration)
+    # version-1 mvhd/tkhd (64-bit times)
     mime, w, h, dur = sniff_header(_mp4_fixture(1920, 1080, 3.0, v1=True))
     assert (mime, w, h, dur) == ("video/mp4", 1920, 1080, 3000)
     # truncated moov: typed, no crash, no dims
