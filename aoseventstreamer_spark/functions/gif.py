@@ -381,10 +381,34 @@ def encode_gif_animation(
     bg_key = q332(tuple(bg_color)) if quant else tuple(int(x) for x in bg_color)
     pal_list.remove(bg_key)
     pal_list = [bg_key] + pal_list  # background at index 0
+    if len(pal_list) > 255:
+        # the full 3-3-2 grid (256 colors) would leave no slot for the
+        # reserved transparent index — degrade deterministically by
+        # dropping the least-used non-background color (ties: smallest
+        # RGB) and remapping it to its nearest survivor, instead of
+        # refusing to encode colorful animations (ADVICE r5).
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for _, _, patch, _, _ in items:
+            counts.update(
+                q332(tuple(c)) if quant else tuple(c)
+                for c in patch.reshape(-1, 3).tolist()
+            )
+        drop = min(pal_list[1:], key=lambda c: (counts[c], c))
+        pal_list.remove(drop)
+        nearest = min(
+            pal_list,
+            key=lambda c: (
+                sum((a - b) ** 2 for a, b in zip(c, drop)), c
+            ),
+        )
+    else:
+        drop = nearest = None
     lut = {c: i for i, c in enumerate(pal_list)}
-    trans_idx = len(pal_list)  # reserved transparent slot
-    if trans_idx > 255:
-        raise GIFError("no palette slot left for transparency (256 colors)")
+    if drop is not None:
+        lut[drop] = lut[nearest]
+    trans_idx = len(pal_list)  # reserved transparent slot (≤ 255 now)
     bits = max(2, int(trans_idx).bit_length())
     table_n = 1 << bits
     pal = np.zeros((table_n, 3), dtype=np.uint8)

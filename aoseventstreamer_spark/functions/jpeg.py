@@ -372,6 +372,15 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
             if frame is None:
                 raise JPEGError("SOS before SOF")
             ns = body[0]
+            if ns != len(frame[2]):
+                # legal baseline variant (per-component sequential
+                # scans, ns < ncomp) that _decode_scan's single
+                # interleaved-MCU walk would render with the missing
+                # planes zeroed — corrupt colors, silently. Out of the
+                # supported profile: typed raise -> stub fallback.
+                raise UnsupportedJPEGError(
+                    f"non-interleaved scan ({ns} of {len(frame[2])} components)"
+                )
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]

@@ -26,10 +26,23 @@ the repository grows with time, not with volume.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _subst_metric(pred: str, repl: str) -> str:
+    """Replace the bare identifier ``metric`` in a SQL predicate.
+    Plain substring replace corrupted predicates where 'metric' occurs
+    inside another identifier or a quoted literal (ADVICE r5) — split
+    out single-quoted literals, then word-boundary substitute."""
+    parts = re.split(r"('(?:[^']|'')*')", pred)
+    return "".join(
+        p if p.startswith("'") else re.sub(r"\bmetric\b", repl, p)
+        for p in parts
+    )
 
 
 class StreamingDQMonitor:
@@ -42,7 +55,12 @@ class StreamingDQMonitor:
 
     The metric column must aggregate to a BIGINT-able scalar — use
     integer ``div`` for ratios (the repo's micro-unit discipline), not
-    float division, so the repository stays exactly replayable."""
+    float division, so the repository stays exactly replayable.
+
+    The predicate references the scalar as the bare word ``metric``;
+    substitution is word-boundary-aware, so identifiers merely
+    *containing* it (``max_metric_cents``) and quoted literals like
+    ``'metric'`` pass through untouched."""
 
     def __init__(
         self,
@@ -67,7 +85,7 @@ class StreamingDQMonitor:
             ]
         )
         stack_args = ", ".join(
-            f"'{name}', _m_{i}, ({pred.replace('metric', f'_m_{i}')})"
+            f"'{name}', _m_{i}, ({_subst_metric(pred, f'_m_{i}')})"
             for i, (name, (_, pred)) in enumerate(self.checks.items())
         )
         rows = agg.selectExpr(

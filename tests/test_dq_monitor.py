@@ -89,3 +89,37 @@ def test_attach_end_to_end_with_checkpoint_resume(spark, tmp_path):
     assert {r.batch_id for r in h} == {0, 1}
     late = {r.check_name: r for r in h if r.batch_id == 1}
     assert not late["completeness_v"].passed
+
+
+def test_predicate_metric_word_boundary(spark, tmp_path):
+    """'metric' inside another identifier or a quoted literal must
+    survive substitution (ADVICE r5: plain substring replace corrupted
+    such predicates into invalid SQL)."""
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.streaming.dq_monitor import _subst_metric
+
+    # unit: identifiers containing the word and quoted literals pass
+    # through; the bare word substitutes everywhere else
+    assert (
+        _subst_metric("metric <= max_metric_cents", "_m_0")
+        == "_m_0 <= max_metric_cents"
+    )
+    assert (
+        _subst_metric("'metric' = 'a''metric' AND metric > 0", "_m_1")
+        == "'metric' = 'a''metric' AND _m_1 > 0"
+    )
+
+    # end-to-end: a predicate with the word inside string literals
+    # compiles and evaluates (the r5 substring replace produced
+    # invalid SQL here: stack(..., CASE WHEN '_m_1' = ...)
+    checks = {
+        "tagged": (
+            F.count(F.lit(1)).cast("long"),
+            "CASE WHEN 'metric' = 'metric' THEN metric >= 1 ELSE false END",
+        ),
+    }
+    mon = StreamingDQMonitor(spark, str(tmp_path / "dq_wb"), checks)
+    mon.process_batch(_batch(spark, [(1, 1.0), (2, 2.0)]), 0)
+    rows = {r.check_name: r for r in mon.history().collect()}
+    assert rows["tagged"].passed and rows["tagged"].metric == 2

@@ -248,3 +248,33 @@ def test_out_of_screen_frame_raises_giferror_not_valueerror():
         gif.decode_gif(bytes(data))
     with pytest.raises(gif.GIFError, match="outside logical screen"):
         gif.decode_gif_frames(bytes(data))
+
+
+def test_animation_full_332_palette_with_transparency_degrades():
+    """All 256 quantized 3-3-2 colors + a transparency mask: the
+    encoder must reserve the transparent slot by dropping the
+    least-used color (ADVICE r5 — it used to raise GIFError, making
+    sufficiently colorful animations unencodable)."""
+    import numpy as np
+
+    # 16x16 patch containing every 3-3-2 representative exactly once
+    cols = [
+        (r << 5, g << 5, b << 6)
+        for r in range(8) for g in range(8) for b in range(4)
+    ]
+    patch = np.array(cols, dtype=np.uint8).reshape(16, 16, 3)
+    mask = np.zeros((16, 16), dtype=bool)
+    mask[0, 0] = True  # one transparent pixel over the background
+    data = gif.encode_gif_animation((16, 16), [(0, 0, patch, 1, mask)])
+    [f] = gif.decode_gif_frames(data)
+    # transparent pixel shows the background (black)
+    assert tuple(f[0, 0]) == (0, 0, 0)
+    # every opaque pixel decodes to a palette color within one
+    # quantization step of its source (the single dropped color maps
+    # to its nearest survivor; all others are exact)
+    src = patch.astype(int)
+    out = f.astype(int)
+    diffs = np.abs(src - out).sum(axis=2)
+    diffs[0, 0] = 0  # masked pixel excluded
+    assert (diffs == 0).sum() >= 16 * 16 - 2  # at most the dropped color moved
+    assert diffs.max() <= 3 * 64  # nearest-survivor remap stays local

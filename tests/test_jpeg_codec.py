@@ -248,3 +248,31 @@ def test_progressive_resize_path_no_longer_stubs():
     payload = J.encode_jpeg_progressive(arr, quality=90)
     out = J.decode_jpeg(payload)
     assert out.shape == arr.shape == (64, 32, 3)
+
+
+def test_non_interleaved_scan_raises_unsupported():
+    """A baseline SOS covering fewer components than the frame (legal
+    per-component sequential scans) must raise UnsupportedJPEGError so
+    callers take the stub fallback — the r5 decoder walked the first
+    scan in interleaved-MCU geometry and returned the remaining planes
+    zeroed (silently wrong colors; ADVICE r5)."""
+    import numpy as np
+    import pytest
+
+    from aoseventstreamer_spark.functions import jpeg
+
+    rgb = np.tile(
+        np.arange(64, dtype=np.uint8).reshape(8, 8)[..., None], (2, 2, 3)
+    )
+    data = bytearray(jpeg.encode_jpeg(rgb))
+    i = bytes(data).find(b"\xff\xda")
+    assert i > 0
+    ns = data[i + 4]
+    assert ns == 3
+    # rewrite the SOS to cover only the first component: drop the
+    # other two (cs, td/ta) pairs and fix the segment length
+    seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    new = data[: i + 2] + (seg_len - 4).to_bytes(2, "big") + bytes([1]) \
+        + data[i + 5 : i + 7] + data[i + 2 + seg_len :]
+    with pytest.raises(jpeg.UnsupportedJPEGError, match="non-interleaved"):
+        jpeg.decode_jpeg(bytes(new))
