@@ -205,6 +205,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     portable: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash):
     documents agreeing on any full band become a candidate pair.
@@ -218,7 +219,19 @@ def lsh_candidate_pairs(
     same arguments to get every capped bucket with its true size and
     member count dropped; on the scale path, check it (or route capped
     buckets through exact_dedup, which a giant identical cluster is
-    by definition better served by)."""
+    by definition better served by).
+
+    ``materialize=True`` pins the banded frame with an EAGER
+    localCheckpoint, hash-partitioned on the join keys first: a frame
+    referenced twice re-executes its whole upstream (the repo's
+    documented ``_degree_oriented`` trap), so without it the self-join
+    below computes shingles → minhash → banding TWICE, and every
+    downstream reference multiplies the corpus scans again. With it,
+    both join sides read the same materialized partitions, already
+    hash-partitioned on the join keys (plan gate:
+    tests/test_plans.py::test_near_dup_verified_plan_is_slim). The
+    banded frame is n_docs·bands tiny rows, the cheapest thing in the
+    pipeline to hold."""
     banded = _banded(sigs, bands, rows_per_band, id_col, portable)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
@@ -227,6 +240,11 @@ def lsh_candidate_pairs(
             .filter(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
+    elif materialize:
+        # the bucket-cap window already shuffles on these keys
+        banded = banded.repartition("band_id", "band_hash")
+    if materialize:
+        banded = banded.localCheckpoint()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -278,10 +296,12 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
     portable: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate pipeline. ``portable=True``
     makes every hash md5-derived and cross-engine (see minhash_docs);
-    ``minhash_band_oracle_sql`` emits the matching DuckDB query."""
+    ``minhash_band_oracle_sql`` emits the matching DuckDB query.
+    ``materialize`` pins the banded frame (see lsh_candidate_pairs)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
@@ -289,7 +309,8 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k, portable)
     return lsh_candidate_pairs(
-        sigs, bands, rows_per_band, id_col, max_bucket_size, portable
+        sigs, bands, rows_per_band, id_col, max_bucket_size, portable,
+        materialize,
     )
 
 
@@ -638,13 +659,32 @@ def verified_near_dup_pairs(
     strings and array_intersect compares longs, not strings. Same
     probe: 255 s → 14 s, identical pair set; sparse-regime sf0.1
     runtime unchanged.
+
+    The candidate phase runs with ``materialize=True`` (banded frame
+    checkpointed once, feeding BOTH self-join sides) and the pair set
+    is checkpointed too, because ``melted`` feeds two consumers (the
+    gram-table semi-join and the pair join): without the pins the r5
+    plan re-executed shingle→minhash→band up to 10× — 10 parquet
+    scans / 26 static exchanges for a 25-row answer (VERDICT r5
+    item 2); with them the corpus is scanned once for LSH and once
+    for grams.
     """
-    candidates = minhash_dedup_pairs(df, text_col=text_col, id_col=id_col, **minhash_kwargs)
+    candidates = minhash_dedup_pairs(
+        df, text_col=text_col, id_col=id_col, materialize=True,
+        **minhash_kwargs,
+    ).localCheckpoint()
     melted = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
+    # melted is broadcast-by-contract on both joins below: checkpointing
+    # hides size stats from AQE (it chose SortMerge for these after the
+    # pin, re-shuffling the corpus), and the pair skeleton is bounded —
+    # 2 rows per candidate pair, and pair count is capped by the bucket
+    # audit (lsh_bucket_overflow / max_bucket_size: each bucket
+    # contributes ≤ C(cap, 2) pairs). The heavy side — the corpus scan
+    # and the gram arrays — streams, never broadcasts.
     gram_tbl = (
-        df.join(melted.select(id_col), id_col, "left_semi")
+        df.join(F.broadcast(melted.select(id_col)), id_col, "left_semi")
         .select(
             F.col(id_col),
             F.transform(
@@ -653,7 +693,7 @@ def verified_near_dup_pairs(
         )
     )
     per_pair = (
-        melted.join(gram_tbl, id_col)
+        F.broadcast(melted).join(gram_tbl, id_col)
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(

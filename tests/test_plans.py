@@ -136,6 +136,7 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
         "q_multimodal_features",
         "q_multimodal_frames",
         "q_media_sniff",
+        "q_video_meta",  # MP4 encode/parse plumbing (functions/mp4.py)
         # fused ANN: single Arrow-batched mapInPandas kernel
         # (bucket+match+cosine in one pass), by design
         "q_ann_lsh",
@@ -367,3 +368,23 @@ def test_interval_join_binned_has_no_nested_loop(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_near_dup_verified_plan_is_slim(spark, sf_dir):
+    """VERDICT r5 item 2: the two-phase near-dup pipeline used to
+    re-execute shingle→minhash→band per plan reference (10 parquet
+    scans / 26 static exchanges for a 25-row answer). With the banded
+    frame and the candidate set pinned (localCheckpoint) and the tiny
+    pair skeleton broadcast-by-contract, the final plan must scan the
+    corpus at most twice (LSH once inside the pin, grams once here),
+    shuffle at most 6 times, and never SortMerge the corpus against
+    the pair skeleton."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    from aoseventstreamer_spark.plans import shuffle_count
+
+    df = QUERIES["q_near_dup_verified"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 2, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert shuffle_count(df) <= 6, plan
