@@ -205,33 +205,30 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     portable: bool = False,
-    materialize: bool = False,
 ) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_hash):
-    documents agreeing on any full band become a candidate pair.
+    """Band the signature and pair up documents agreeing on any full
+    band — via ONE groupBy per bucket, not a self-join: the bucket's
+    sorted member array expands to its C(k, 2) combinations in-place.
+    A self-join references the banded frame twice (re-executing the
+    whole shingle→minhash→band upstream per side — the repo's
+    documented double-reference trap) and costs two join exchanges;
+    the groupBy shape shuffles the banded rows once and generates
+    pairs inside the bucket row (plan gate:
+    tests/test_plans.py::test_near_dup_verified_plan_is_slim).
 
-    ``max_bucket_size`` hardens the join against pathological buckets
-    (mass-duplicated boilerplate makes every copy agree on every band,
-    and pair count inside one bucket is O(b²)): buckets larger than the
-    cap keep only their ``max_bucket_size`` lowest ids (deterministic),
-    bounding any bucket's contribution to C(cap, 2) pairs. The
+    ``max_bucket_size`` hardens the collect against pathological
+    buckets (mass-duplicated boilerplate makes every copy agree on
+    every band; one bucket's pairs are O(b²) and its member array
+    must fit a task): buckets larger than the cap keep only their
+    ``max_bucket_size`` lowest ids (deterministic, via a pre-window
+    whose shuffle the groupBy then reuses — same keys). The
     truncation is NOT silent — run ``lsh_bucket_overflow`` with the
     same arguments to get every capped bucket with its true size and
-    member count dropped; on the scale path, check it (or route capped
-    buckets through exact_dedup, which a giant identical cluster is
-    by definition better served by).
-
-    ``materialize=True`` pins the banded frame with an EAGER
-    localCheckpoint, hash-partitioned on the join keys first: a frame
-    referenced twice re-executes its whole upstream (the repo's
-    documented ``_degree_oriented`` trap), so without it the self-join
-    below computes shingles → minhash → banding TWICE, and every
-    downstream reference multiplies the corpus scans again. With it,
-    both join sides read the same materialized partitions, already
-    hash-partitioned on the join keys (plan gate:
-    tests/test_plans.py::test_near_dup_verified_plan_is_slim). The
-    banded frame is n_docs·bands tiny rows, the cheapest thing in the
-    pipeline to hold."""
+    member count dropped; on the scale path, SET THE CAP and check it
+    (or route capped buckets through exact_dedup, which a giant
+    identical cluster is by definition better served by) — an uncapped
+    collect over a million-copy boilerplate bucket is a task-memory
+    hazard by construction."""
     banded = _banded(sigs, bands, rows_per_band, id_col, portable)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
@@ -240,24 +237,22 @@ def lsh_candidate_pairs(
             .filter(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
-    elif materialize:
-        # the bucket-cap window already shuffles on these keys
-        banded = banded.repartition("band_id", "band_hash")
-    if materialize:
-        banded = banded.localCheckpoint()
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    members = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        members.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -296,12 +291,10 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
     portable: bool = False,
-    materialize: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate pipeline. ``portable=True``
     makes every hash md5-derived and cross-engine (see minhash_docs);
-    ``minhash_band_oracle_sql`` emits the matching DuckDB query.
-    ``materialize`` pins the banded frame (see lsh_candidate_pairs)."""
+    ``minhash_band_oracle_sql`` emits the matching DuckDB query."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
@@ -309,8 +302,7 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_docs(df, text_col, id_col, num_hashes, shingle_k, portable)
     return lsh_candidate_pairs(
-        sigs, bands, rows_per_band, id_col, max_bucket_size, portable,
-        materialize,
+        sigs, bands, rows_per_band, id_col, max_bucket_size, portable
     )
 
 
@@ -632,6 +624,7 @@ def verified_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram_n: int = 3,
+    pin: bool = True,
     **minhash_kwargs,
 ) -> DataFrame:
     """The full two-phase near-dup pipeline: cheap LSH candidate
@@ -660,31 +653,44 @@ def verified_near_dup_pairs(
     probe: 255 s → 14 s, identical pair set; sparse-regime sf0.1
     runtime unchanged.
 
-    The candidate phase runs with ``materialize=True`` (banded frame
-    checkpointed once, feeding BOTH self-join sides) and the pair set
-    is checkpointed too, because ``melted`` feeds two consumers (the
-    gram-table semi-join and the pair join): without the pins the r5
-    plan re-executed shingle→minhash→band up to 10× — 10 parquet
-    scans / 26 static exchanges for a 25-row answer (VERDICT r5
-    item 2); with them the corpus is scanned once for LSH and once
-    for grams.
+    The candidate pair set is pinned with one EAGER localCheckpoint
+    (``pin=True``, the production default) because ``melted`` feeds
+    two consumers (the gram-table semi-join and the pair join):
+    without the pin the r5 plan re-executed shingle→minhash→band per
+    plan reference — 10 parquet scans / 26 static exchanges for a
+    25-row answer (VERDICT r5 item 2). With it (plus the groupBy pair
+    generation in lsh_candidate_pairs) the corpus is scanned once for
+    LSH inside the pin and once for grams here, and the LSH phase
+    costs a single barrier job. ``pin=False`` keeps the whole DAG lazy
+    — runtime ReuseExchange still dedupes the two identical candidate
+    subtrees at their distinct-exchange boundary, so engine work is
+    comparable; bench.py uses it so its timed action contains ALL the
+    engine work under the r4/r5 protocol (plan built outside the
+    timer) instead of letting the pinned phases escape the timing.
     """
     candidates = minhash_dedup_pairs(
-        df, text_col=text_col, id_col=id_col, materialize=True,
-        **minhash_kwargs,
-    ).localCheckpoint()
+        df, text_col=text_col, id_col=id_col, **minhash_kwargs
+    )
+    if pin:
+        candidates = candidates.localCheckpoint()
     melted = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
-    # melted is broadcast-by-contract on both joins below: checkpointing
-    # hides size stats from AQE (it chose SortMerge for these after the
-    # pin, re-shuffling the corpus), and the pair skeleton is bounded —
-    # 2 rows per candidate pair, and pair count is capped by the bucket
-    # audit (lsh_bucket_overflow / max_bucket_size: each bucket
-    # contributes ≤ C(cap, 2) pairs). The heavy side — the corpus scan
-    # and the gram arrays — streams, never broadcasts.
+    # When pinned, melted is broadcast-by-contract on both joins below:
+    # the checkpoint hides size stats from AQE (it chose SortMerge for
+    # these after the pin, re-shuffling the corpus), and the pair
+    # skeleton is bounded — 2 rows per candidate pair, pair count
+    # capped by the bucket audit (lsh_bucket_overflow /
+    # max_bucket_size: each bucket contributes ≤ C(cap, 2) pairs). The
+    # heavy side — the corpus scan and the gram arrays — streams,
+    # never broadcasts. Unpinned, stats are visible and AQE already
+    # picks the broadcast side from runtime sizes; forcing it would
+    # only preempt a better-informed choice.
+    def hint(frame):
+        return F.broadcast(frame) if pin else frame
+
     gram_tbl = (
-        df.join(F.broadcast(melted.select(id_col)), id_col, "left_semi")
+        df.join(hint(melted.select(id_col)), id_col, "left_semi")
         .select(
             F.col(id_col),
             F.transform(
@@ -693,7 +699,7 @@ def verified_near_dup_pairs(
         )
     )
     per_pair = (
-        F.broadcast(melted).join(gram_tbl, id_col)
+        hint(melted).join(gram_tbl, id_col)
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(

@@ -78,9 +78,29 @@ def main() -> None:
     #   reported number is the engine's execution cost, which is what
     #   scales with data. Catalyst still re-optimizes per action; only
     #   the Python plan-tree build is amortized.
+    # q_near_dup_verified's registered form pins its candidate phase
+    # with an EAGER localCheckpoint at build time (the plan-shape
+    # optimization, see operators/dedup.py) — that work would escape a
+    # build-once timer. Benching the pin=False lazy form keeps ALL
+    # engine work inside the timed action under this protocol; runtime
+    # ReuseExchange dedupes the shared candidate subtree, so the
+    # engine cost matches the pinned plan.
+    def _near_dup_unpinned(s, d):
+        from aoseventstreamer_spark.operators import dedup as D
+        from aoseventstreamer_spark.session import load_table
+
+        return D.verified_near_dup_pairs(
+            load_table(s, d, "documents"), threshold=0.4, portable=True,
+            pin=False,
+        )
+
+    builders = dict(Q.QUERIES)
+    builders["q_near_dup_verified"] = _near_dup_unpinned
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = Q.QUERIES[name](spark, sf_dir)
+        build = builders[name]
+        df = build(spark, sf_dir)
         # one untimed execution first: the wide sketch plans (minhash/
         # simhash/LSH) generate kilobytes of codegen that the JVM C2
         # JIT compiles during the first run — a fixed per-plan cost
