@@ -9,21 +9,25 @@ the overwhelming majority of real-world JPEGs:
   — DQT (8/16-bit), multiple DHT segments, restart intervals (DRI +
   RSTn with DC-predictor reset), byte-stuffed entropy stream, 1- or
   3-component scans, any sampling factors (chroma upsampled by sample
-  replication), JFIF YCbCr -> RGB — AND progressive Huffman JPEG
-  (SOF2, T.81 Annex G): multi-scan coefficient accumulation with
-  spectral selection and FULL successive approximation (DC
-  refinement bits, AC correction-bit scans with EOBRUN and ZRL),
-  inter-scan DHT/DQT/DRI updates.
-- **encode**: baseline sequential, 4:4:4 (no subsampling), Annex K
-  quantization tables scaled by libjpeg's quality formula, Annex K
-  Huffman tables, optional restart interval; plus
-  ``encode_jpeg_progressive`` (SOF2 scan script with Al=1 first
-  passes + refinement scans) — primarily the test-vector generator
-  for the progressive decoder, pixel-exact vs the baseline encoding
-  of the same array.
+  replication), JFIF YCbCr -> RGB — 12-bit SOF1 frames included
+  (uint16 output in [0, 4095], DC categories to 15 — the medical/
+  scientific profile) — AND progressive Huffman JPEG (SOF2, T.81
+  Annex G): multi-scan coefficient accumulation with spectral
+  selection and FULL successive approximation (DC refinement bits,
+  AC correction-bit scans with EOBRUN and ZRL), inter-scan
+  DHT/DQT/DRI updates.
+- **encode**: sequential 4:4:4 (no subsampling), Annex K quantization
+  tables scaled by libjpeg's quality formula, optional restart
+  interval — baseline SOF0 for 8-bit with the Annex K Huffman tables,
+  extended-sequential SOF1 for 12-bit with 16-bit DQT entries and
+  flat canonical Huffman tables (Annex K publishes no 12-bit
+  examples); plus ``encode_jpeg_progressive`` (SOF2 scan script with
+  Al=1 first passes + refinement scans) — primarily the test-vector
+  generators for the decoder, pixel-exact roundtrips asserted.
 - **out of scope** (raise UnsupportedJPEGError -> callers fall back
   to the documented stub, never a task failure): arithmetic coding
-  (SOF9+), hierarchical, 12-bit precision, CMYK.
+  (SOF9+), hierarchical, CMYK, per-component sequential scans
+  (ns < ncomp), 12-bit progressive.
 
 Everything is uint8/int32/float64 numpy; the 2-D DCT runs as two
 matmuls against the orthonormal DCT-II basis (A @ block @ A.T), so
@@ -165,6 +169,28 @@ HUFF_AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+
+def _flat_table(symbols: list[int], length: int) -> tuple[list[int], list[int]]:
+    """Canonical Huffman table with every symbol at ``length`` bits —
+    valid iff len(symbols) < 2^length (keeps the all-ones code free,
+    T.81 C.2). Annex K has no 12-bit example tables, so the 12-bit
+    encoder uses these flat ones; any T.81 decoder reads them fine."""
+    if len(symbols) >= (1 << length):
+        raise ValueError("too many symbols for flat code length")
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+# 12-bit precision: DC categories 0..15, AC (run, size) with size 1..14
+# plus EOB (0x00) and ZRL (0xF0) — 226 symbols
+HUFF_DC_12 = _flat_table(list(range(16)), 5)
+HUFF_AC_12 = _flat_table(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+    8,
 )
 
 
@@ -321,7 +347,9 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
             if len(body) < 6:
                 raise JPEGError("truncated SOF")
             precision = body[0]
-            if precision != 8:
+            # baseline (SOF0) is 8-bit by definition; extended
+            # sequential (SOF1) additionally allows 12-bit samples
+            if precision != 8 and not (marker == 0xC1 and precision == 12):
                 raise UnsupportedJPEGError(f"{precision}-bit precision")
             h, w = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
@@ -333,7 +361,7 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, precision)
         elif marker == 0xC2:  # SOF2 — progressive: hand the rest of
             # the stream to the multi-scan coefficient decoder
             if len(body) < 6:
@@ -396,7 +424,9 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
 
 
 def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    center = 1 << (prec - 1)
+    max_dc_size = 11 if prec == 8 else 15  # T.81 tables F.1 / F.6
     if h == 0 or w == 0:
         raise JPEGError("zero dimension")
     by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
@@ -436,7 +466,7 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
                     for hblk in range(hi):
                         coef = np.zeros(64, dtype=np.int32)
                         s = reader.huff(dct)
-                        if s > 11:
+                        if s > max_dc_size:
                             raise JPEGError("bad DC size")
                         diff = _extend(reader.receive(s), s)
                         pred[cs] += diff
@@ -457,31 +487,36 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
                             k += 1
                         blk = np.zeros(64, dtype=np.float64)
                         blk[ZIGZAG] = coef * qt.reshape(-1)[ZIGZAG]
-                        spatial = _A.T @ blk.reshape(8, 8) @ _A + 128.0
+                        spatial = _A.T @ blk.reshape(8, 8) @ _A + float(center)
                         y0 = (my * vi + v) * 8
                         x0 = (mx * hi + hblk) * 8
                         planes[cs][y0 : y0 + 8, x0 : x0 + 8] = spatial
             n_mcu += 1
 
-    return _assemble(planes, comps, h, w, hmax, vmax)
+    return _assemble(planes, comps, h, w, hmax, vmax, prec)
 
 
-def _assemble(planes, comps, h, w, hmax, vmax):
+def _assemble(planes, comps, h, w, hmax, vmax, prec=8):
     """Upsample component planes to full resolution, crop, and color
-    convert — shared by the sequential and progressive paths."""
+    convert — shared by the sequential and progressive paths. 12-bit
+    frames come back as uint16 in [0, 4095] (the medical/scientific
+    profile); 8-bit as uint8."""
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     full = []
     for cid, hi, vi, tq in comps:
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
     y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bl = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, bl], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 # --------------------------------------------------------------------------
@@ -806,10 +841,10 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, pattern
 
 
-def _encode_block(bw, block, qt, dc_tbl, ac_tbl, pred):
+def _encode_block(bw, block, qt, dc_tbl, ac_tbl, pred, center=128.0):
     """Forward DCT + quantize + Huffman one 8x8 block; returns new DC
     predictor."""
-    coefs = _A @ (block - 128.0) @ _A.T
+    coefs = _A @ (block - center) @ _A.T
     q = np.round(coefs / qt).astype(np.int32)
     zz = q.reshape(-1)[ZIGZAG]  # raster -> zigzag stream order
     dc = int(zz[0])
@@ -1069,15 +1104,31 @@ def encode_jpeg_progressive(
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 85, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Encode uint8 pixels — (h, w) grayscale or (h, w, 3) RGB — as a
-    baseline sequential 4:4:4 JFIF JPEG. ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs (mainly to exercise
-    the decoder's restart path without external fixtures)."""
+    """Encode pixels — (h, w) grayscale or (h, w, 3) RGB — as a
+    sequential 4:4:4 JFIF JPEG. ``restart_interval`` > 0 emits DRI +
+    RSTn markers every that many MCUs (mainly to exercise the
+    decoder's restart path without external fixtures).
+
+    ``precision=8`` (uint8 input) emits baseline SOF0 with the Annex K
+    tables; ``precision=12`` (uint16 input in [0, 4095]) emits
+    extended-sequential SOF1 with 16-bit DQT entries and the flat
+    12-bit Huffman tables (Annex K has no 12-bit examples) — the
+    test-vector generator for the 12-bit decode path."""
+    if precision not in (8, 12):
+        raise JPEGError(f"unsupported encode precision {precision}")
     a = np.asarray(arr)
-    if a.dtype != np.uint8:
-        raise JPEGError(f"expected uint8 pixels, got {a.dtype}")
+    want = np.uint8 if precision == 8 else np.uint16
+    if a.dtype != want:
+        raise JPEGError(f"expected {want.__name__} pixels, got {a.dtype}")
+    maxv = (1 << precision) - 1
+    center = float(1 << (precision - 1))
+    if precision == 12 and a.max(initial=0) > maxv:
+        raise JPEGError("12-bit sample out of range")
     if a.ndim == 3 and a.shape[2] == 4:
         a = a[:, :, :3]  # drop alpha
     if a.ndim == 3 and a.shape[2] == 1:
@@ -1099,9 +1150,9 @@ def encode_jpeg(
         rgb = a.astype(np.float64)
         r, g, bl = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * bl
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
-        planes = [y, np.clip(cb, 0, 255), np.clip(cr, 0, 255)]
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + center
+        planes = [y, np.clip(cb, 0, maxv), np.clip(cr, 0, maxv)]
         qts = [qt_l, qt_c, qt_c]
 
     # pad to multiples of 8 by edge replication
@@ -1113,15 +1164,26 @@ def encode_jpeg(
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
     for tq, qt in ((0, qt_l),) if gray else ((0, qt_l), (1, qt_c)):
-        zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+        if precision == 8:
+            zz = qt.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+        else:  # 16-bit DQT entries (pq=1), as 12-bit profiles use
+            zz = qt.reshape(-1)[ZIGZAG].astype(">u2").tobytes()
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | tq]) + zz
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp)
     for c in range(ncomp):
         out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    hts = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if precision == 8:
+        dc_tables = (HUFF_DC_LUMA, HUFF_DC_CHROMA)
+        ac_tables = (HUFF_AC_LUMA, HUFF_AC_CHROMA)
+    else:
+        dc_tables = (HUFF_DC_12, HUFF_DC_12)
+        ac_tables = (HUFF_AC_12, HUFF_AC_12)
+    hts = [(0x00, dc_tables[0]), (0x10, ac_tables[0])]
     if not gray:
-        hts += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+        hts += [(0x01, dc_tables[1]), (0x11, ac_tables[1])]
     for tcth, (bits, values) in hts:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) \
             + bytes([tcth]) + bytes(bits) + bytes(values)
@@ -1132,10 +1194,10 @@ def encode_jpeg(
         out += bytes([c + 1, 0x00 if c == 0 else 0x11])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
 
-    dc_l = _huff_encode_table(*HUFF_DC_LUMA)
-    ac_l = _huff_encode_table(*HUFF_AC_LUMA)
-    dc_c = _huff_encode_table(*HUFF_DC_CHROMA)
-    ac_c = _huff_encode_table(*HUFF_AC_CHROMA)
+    dc_l = _huff_encode_table(*dc_tables[0])
+    ac_l = _huff_encode_table(*ac_tables[0])
+    dc_c = _huff_encode_table(*dc_tables[1])
+    ac_c = _huff_encode_table(*ac_tables[1])
     if gray:
         enc_tbls = [(dc_l, ac_l)]
     else:
@@ -1161,6 +1223,7 @@ def encode_jpeg(
                     dc_tbl,
                     ac_tbl,
                     preds[c],
+                    center,
                 )
             n_mcu += 1
     bw.flush()

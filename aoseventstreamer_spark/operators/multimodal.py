@@ -658,8 +658,9 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     container of the same format (palette/16-bit/interlaced PNG
     re-encodes as plain 8-bit PNG — decode is full-profile, the
     writer is the common profile). Profiles we cannot decode without
-    media libs (arithmetic/12-bit JPEG, animated-GIF compositing)
-    fall back to the deterministic byte-decimation STUB — a real
+    media libs (arithmetic-coded JPEG; 12-bit frames downshift to the
+    8-bit pipeline) fall back to the deterministic byte-decimation
+    STUB — a real
     pipeline swaps that branch for PIL/ffmpeg; the mapInPandas batch
     shape, schema, and executor-side payload flow are identical
     either way.
@@ -667,6 +668,8 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     Rows whose header doesn't parse (unknown container, corrupt bytes)
     pass through unchanged with null dims rather than failing the
     task — at 100 TB some blobs are always garbage."""
+    import numpy as np
+
     from ..functions import gif as GIF
     from ..functions import jpeg as JPEG
     from ..functions import png as PNG
@@ -701,12 +704,16 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                     elif mime == "image/jpeg":
                         try:  # REAL pixel path (functions/jpeg.py)
                             pixels = JPEG.decode_jpeg(bytes(payload))
+                            if pixels.dtype != np.uint8:
+                                # 12-bit frames: the resize/re-encode
+                                # pipeline is 8-bit; keep the top bits
+                                pixels = (pixels >> 4).astype(np.uint8)
                             if (nw, nh) != (w, h):
                                 pixels = PNG.resize_bilinear(pixels, nw, nh)
                             payloads.append(JPEG.encode_jpeg(pixels))
                         except JPEG.JPEGError:
-                            # progressive/arithmetic/12-bit/corrupt:
-                            # stub fallback, never a task failure
+                            # arithmetic-coded/corrupt: stub fallback,
+                            # never a task failure
                             payloads.append(_stub_resample(bytes(payload), nw, nh))
                     elif mime == "image/gif":
                         try:  # REAL pixel path (functions/gif.py)

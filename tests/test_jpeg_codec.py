@@ -276,3 +276,67 @@ def test_non_interleaved_scan_raises_unsupported():
         + data[i + 5 : i + 7] + data[i + 2 + seg_len :]
     with pytest.raises(jpeg.UnsupportedJPEGError, match="non-interleaved"):
         jpeg.decode_jpeg(bytes(new))
+
+
+def test_12bit_grayscale_roundtrip():
+    """Extended-sequential 12-bit (SOF1): encode with the in-module
+    12-bit generator (16-bit DQT, flat Huffman tables, DC categories
+    to 15), decode back as uint16 in [0, 4095] within quantization
+    tolerance."""
+    import numpy as np
+
+    from aoseventstreamer_spark.functions import jpeg
+
+    rng = np.arange(24 * 24, dtype=np.uint16).reshape(24, 24) * 7 % 4096
+    data = jpeg.encode_jpeg(rng, quality=95, precision=12)
+    out = jpeg.decode_jpeg(data)
+    assert out.dtype == np.uint16 and out.shape == (24, 24)
+    assert out.max() <= 4095
+    # q95 Annex K tables on a smooth-ish ramp: stay within a generous
+    # quantization band (the point is wiring, not rate-distortion)
+    assert np.abs(out.astype(int) - rng.astype(int)).mean() < 200
+
+
+def test_12bit_rgb_roundtrip_and_restart():
+    import numpy as np
+
+    from aoseventstreamer_spark.functions import jpeg
+
+    yy, xx = np.mgrid[0:17, 0:19]
+    rgb = np.stack(
+        [(xx * 215) % 4096, (yy * 181) % 4096, ((xx + yy) * 97) % 4096],
+        axis=-1,
+    ).astype(np.uint16)
+    data = jpeg.encode_jpeg(rgb, quality=90, precision=12, restart_interval=2)
+    out = jpeg.decode_jpeg(data)
+    assert out.dtype == np.uint16 and out.shape == (17, 19, 3)
+    # SOF marker is C1 and DQT uses 16-bit (pq=1) entries
+    assert b"\xff\xc1" in data and data[data.find(b"\xff\xdb") + 4] & 0xF0 == 0x10
+
+
+def test_12bit_smooth_image_is_accurate():
+    """On a DC-dominated image the 12-bit path must be near-exact —
+    catches center/level-shift mistakes that a noisy ramp would hide."""
+    import numpy as np
+
+    from aoseventstreamer_spark.functions import jpeg
+
+    flat = np.full((16, 16), 3000, dtype=np.uint16)
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=95, precision=12))
+    assert np.abs(out.astype(int) - 3000).max() <= 16
+
+
+def test_12bit_baseline_sof0_still_rejected():
+    """12-bit is legal only for SOF1; a 12-bit SOF0 must stay
+    UnsupportedJPEGError (baseline is 8-bit by definition)."""
+    import numpy as np
+    import pytest
+
+    from aoseventstreamer_spark.functions import jpeg
+
+    flat = np.full((8, 8), 1000, dtype=np.uint16)
+    data = bytearray(jpeg.encode_jpeg(flat, quality=95, precision=12))
+    i = bytes(data).find(b"\xff\xc1")
+    data[i + 1] = 0xC0  # rewrite SOF1 -> SOF0, keep precision byte 12
+    with pytest.raises(jpeg.UnsupportedJPEGError, match="12-bit"):
+        jpeg.decode_jpeg(bytes(data))
