@@ -44,15 +44,40 @@ class DemuxGroup:
 
 
 class DemuxRunner:
-    def __init__(self, spark: SparkSession, events_path: str, checkpoint: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        checkpoint: str,
+        slice_partitions: int | None = None,
+    ):
         self.spark = spark
         self.events_path = events_path
         self.checkpoint = checkpoint
+        # Partition count of the cached per-batch matched frame. Every
+        # DELIVERING group's slice action schedules one task per cached
+        # partition, so fleet delivery cost is
+        # O(matching_groups × slice_partitions) tasks per batch — while
+        # a single group's slice parallelism is bounded by the same
+        # number. The default biases toward fleet fan-out (the demux's
+        # reason to exist); a deployment with few groups and huge
+        # per-group slices should raise it.
+        self.slice_partitions = slice_partitions or max(
+            4, int(spark.sparkContext.defaultParallelism) // 8
+        )
         self._groups: list[DemuxGroup] = []
         self._started = False
         # ONE empty frame shared by every idle group in every batch:
-        # zero per-group construction or planning cost
-        self.empty_frame = spark.createDataFrame([], schemas.ROUTED_EVENTS_SCHEMA)
+        # zero per-group construction or planning cost. Built as a
+        # LocalRelation folded empty by Catalyst — NOT
+        # createDataFrame([], schema), whose RDD backing carries
+        # defaultParallelism empty partitions and turns every idle
+        # subscriber's count() into a 32-task job (measured 533 ms vs
+        # 65 ms per action, tools/demux_scale.py)
+        one_null_row = [tuple(None for _ in schemas.ROUTED_EVENTS_SCHEMA.fields)]
+        self.empty_frame = spark.createDataFrame(
+            one_null_row, schemas.ROUTED_EVENTS_SCHEMA
+        ).where(F.lit(False))
 
     def register(
         self, group_id: str, filter_subject: str, deliver: Callable[[int, DataFrame], None]
@@ -132,6 +157,16 @@ class DemuxRunner:
                 batch_df.withColumn("__key", F.explode(S.candidate_query_subjects()))
                 .join(F.broadcast(groups_dim), F.col("__key") == F.col("__group_key"))
                 .select("__group_id", *event_cols)
+                # co-locate AND sort each group's rows before caching:
+                # the per-group slice filter then prunes cached batches
+                # by their __group_id min/max stats (InMemoryTableScan
+                # partition pruning needs the sort for narrow ranges),
+                # and the bounded partition count caps the tasks each
+                # slice action schedules — together measured 0.8
+                # s/group -> ~0.05 s/group marginal at 1k-group fleets
+                # (tools/demux_scale.py)
+                .repartition(self.slice_partitions, "__group_id")
+                .sortWithinPartitions("__group_id")
                 # which groups have data rides the materialization job
                 # as an observation metric (map-side collect_set into
                 # ONE row, bounded by the registered-group count) — no
