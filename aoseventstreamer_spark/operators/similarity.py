@@ -670,3 +670,109 @@ def semantic_dedup(
         .distinct()
     )
     return base.join(dup_ids, "id", "left_anti").select("id", "cluster")
+
+
+# --------------------------------------------------------------------------
+# Engine-portable integer LSH — the hash-exact variant of the ANN
+# candidate structure (the same discipline operators/hll.py applies to
+# cardinality: the STRUCTURE is value-verified cross-engine, floats are
+# derived display values).
+# --------------------------------------------------------------------------
+
+Q_SCALE = 1 << 20  # embedding quantization: floor(x * 2^20)
+W_SPAN = 1 << 20  # plane weights in [-2^20, 2^20]
+
+
+def _int_plane(table: int, plane: int, dim: int) -> list[int]:
+    """md5-derived integer hyperplane, reproducible in ANSI SQL:
+    w[d] = md5_long('ann:t:p:d') % (2S+1) - S."""
+    import hashlib
+
+    s = W_SPAN
+    return [
+        int(hashlib.md5(f"ann:{table}:{plane}:{d}".encode()).hexdigest()[:15], 16)
+        % (2 * s + 1)
+        - s
+        for d in range(dim)
+    ]
+
+
+def quantize_vec(col: Column | str, scale: int = Q_SCALE) -> Column:
+    """floor(x * 2^20) per component as BIGINT — floor, not round: a
+    float32 times a power of two is exact in double, so a .5 tie is
+    possible and the two engines round ties differently; floor is
+    unambiguous. Every downstream sum stays under 2^53, so even an
+    engine that folds in double is exact."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product (zip_with + fold, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def portable_lsh_pairs(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH over INTEGER-quantized
+    embeddings: every sign bit, bucket id, and the per-pair integer
+    dot/norm evidence is exact int64 arithmetic a DuckDB oracle
+    replays bit-for-bit — the first hash-exact member of the ANN
+    family (q_ann_lsh et al. stay rows-only: their xxhash64/float
+    planes are engine-specific).
+
+    Returns one row per colliding (query, candidate) pair:
+    (query_id, cand_id, n_tables_hit, dot_scaled, qnormsq, cnormsq) —
+    dot_scaled/Q_SCALE² and the norms reconstruct cosine as a derived
+    float; ranking by cross-multiplied integers needs no float at all.
+
+    Scale shape: same as lsh_ann_topk — bucket equi-join, query side
+    broadcast, candidates never pair outside a shared bucket."""
+
+    def sig(qv: Column) -> Column:
+        cells = []
+        for t in range(n_tables):
+            bucket = F.lit(0)
+            for p in range(n_planes):
+                w = F.array(*[F.lit(v) for v in _int_plane(t, p, dim)])
+                bit = (int_dot(qv, w) >= 0).cast("int")
+                bucket = bucket + bit * (1 << p)
+            cells.append(
+                F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("bucket"))
+            )
+        return F.array(*cells)
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        q = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            quantize_vec(vec_col).alias(f"{prefix}_q"),
+        ).where(F.size(f"{prefix}_q") == dim)
+        return q.withColumn(f"{prefix}_normsq", int_dot(F.col(f"{prefix}_q"), F.col(f"{prefix}_q"))) \
+                .withColumn("tb", F.explode(sig(F.col(f"{prefix}_q"))))
+
+    cand = prep(embeddings, "cand")
+    qry = prep(queries, "query")
+    pairs = cand.join(
+        F.broadcast(qry),
+        (cand["tb"] == qry["tb"]) & (F.col("query_id") != F.col("cand_id")),
+    )
+    return (
+        pairs.groupBy("query_id", "cand_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tables_hit"),
+            F.first(int_dot(F.col("query_q"), F.col("cand_q"))).alias("dot_scaled"),
+            F.first("query_normsq").alias("qnormsq"),
+            F.first("cand_normsq").alias("cnormsq"),
+        )
+    )

@@ -239,6 +239,58 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, dim=64)
 
 
+@query(
+    "q_ann_lsh_portable",
+    oracle="""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+                        AS qv
+               FROM embeddings),
+    pw AS (SELECT t.t, p.p, d.d,
+             CAST(('0x' || substr(md5('ann:' || CAST(t.t AS VARCHAR) || ':'
+                                      || CAST(p.p AS VARCHAR) || ':'
+                                      || CAST(d.d AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2097153 - 1048576 AS w
+           FROM range(0,4) t(t), range(0,4) p(p), range(0,64) d(d)),
+    dots AS (SELECT q.vec_id, pw.t, pw.p,
+                    CAST(SUM(q.qv[pw.d + 1] * pw.w) AS BIGINT) AS s
+             FROM q, pw GROUP BY q.vec_id, pw.t, pw.p),
+    buckets AS (SELECT vec_id, t,
+                       CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END)
+                            AS BIGINT) AS bucket
+                FROM dots GROUP BY vec_id, t),
+    qb AS (SELECT * FROM buckets WHERE vec_id < 10),
+    hits AS (SELECT qb.vec_id AS query_id, cb.vec_id AS cand_id, qb.t
+             FROM qb JOIN buckets cb
+               ON qb.t = cb.t AND qb.bucket = cb.bucket
+              AND qb.vec_id <> cb.vec_id)
+    SELECT h.query_id, h.cand_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tables_hit,
+           CAST(list_dot_product(q1.qv, q2.qv) AS BIGINT) AS dot_scaled,
+           CAST(list_dot_product(q1.qv, q1.qv) AS BIGINT) AS qnormsq,
+           CAST(list_dot_product(q2.qv, q2.qv) AS BIGINT) AS cnormsq
+    FROM hits h
+    JOIN q q1 ON q1.vec_id = h.query_id
+    JOIN q q2 ON q2.vec_id = h.cand_id
+    GROUP BY h.query_id, h.cand_id, dot_scaled, qnormsq, cnormsq
+    """,
+)
+def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first HASH-EXACT member of the ANN family: multi-table
+    random-hyperplane LSH over integer-quantized embeddings
+    (floor(x·2^20); md5-derived integer planes) — every sign bit,
+    bucket id, table-hit count, and the integer dot/norm evidence per
+    colliding pair is replayed bit-for-bit by the DuckDB oracle. All
+    sums stay under 2^53, so even a double-folding engine is exact
+    (operators/similarity.py portable_lsh_pairs). The production
+    xxhash64/float-plane variants (q_ann_lsh/ivf/pq) remain rows-only
+    by design; this query proves the bucket-join candidate STRUCTURE
+    cross-engine the way q_hll_sketch proves the HLL registers."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.portable_lsh_pairs(emb, emb.filter(F.col("vec_id") < 10), dim=64)
+
+
 @query("q_ann_ivf")  # rows-only: KMeans centroids are engine-specific
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (KMeans coarse quantizer, n_probe cluster lists)."""

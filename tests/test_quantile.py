@@ -122,3 +122,39 @@ def test_hll_grouped_matches_per_group_and_estimates(spark):
     for g, d in exact.items():
         # m=64 registers: standard error ~1.04/sqrt(64) = 13%; assert 3 sigma
         assert abs(est[g] - d) / d < 0.4, (g, est[g], d)
+
+
+def test_portable_lsh_recall_and_evidence(spark):
+    """portable_lsh_pairs (operators/similarity.py): integer evidence
+    must reconstruct cosine, collisions must be plane-consistent, and
+    recall over the true nearest neighbor must beat chance."""
+    import math
+
+    from aoseventstreamer_spark.operators import similarity as SIM
+    from aoseventstreamer_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 25)
+    rows = SIM.portable_lsh_pairs(emb, queries, dim=64).collect()
+    assert rows, "no collisions at all — signature layer broken"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.n_tables_hit <= 4
+        assert r.qnormsq > 0 and r.cnormsq > 0
+        cos = r.dot_scaled / math.sqrt(r.qnormsq * r.cnormsq)
+        assert -1.0000001 <= cos <= 1.0000001
+        by_q.setdefault(r.query_id, []).append((r.cand_id, cos))
+
+    # recall vs brute force: these fixture vectors are only weakly
+    # similar (top-1 cosine ~0.3-0.4 → plane-agreement p = 1 - θ/π ≈
+    # 0.6 → per-table p^4 ≈ 0.13 → 4-table OR ≈ 0.43 expected), so
+    # demand clearly-above-chance, not high, recall: chance is the
+    # bucket occupancy ≈ 4 tables / 2^4 buckets ≈ 0.25 of the corpus
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in SIM.brute_force_topk(emb, queries, k=1).collect()
+    }
+    found = sum(
+        1 for q, n in top1.items() if any(c == n for c, _ in by_q.get(q, []))
+    )
+    assert found >= 5, f"recall too low: {found}/25"
