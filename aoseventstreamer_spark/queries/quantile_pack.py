@@ -116,6 +116,37 @@ def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_quantile_groups",
+    oracle=f"""
+    WITH c AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v
+               FROM events),
+    b AS (SELECT event_type, {_SQL_B} AS bucket FROM c),
+    sk AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM b GROUP BY event_type, bucket),
+    cum AS (SELECT event_type, bucket, cnt,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n_total
+            FROM sk),
+    qq AS (SELECT * FROM cum, (VALUES (500),(950)) AS q(q_permil)),
+    hit AS (SELECT event_type, q_permil, bucket FROM qq
+            WHERE cum >= (q_permil * n_total + 999) // 1000
+              AND cum - cnt < (q_permil * n_total + 999) // 1000)
+    SELECT event_type, q_permil, ({_SQL_LO} + {_SQL_HI}) // 2 AS est,
+           {_SQL_LO} AS lo, {_SQL_HI} AS hi
+    FROM hit
+    """,
+)
+def q_quantile_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile extraction from the per-group sketches
+    (p50/p95 per event_type) — the grouped path of
+    ``qsketch_quantiles``: the running-count window partitions by the
+    group key over the BOUNDED sketch (never the data), so extraction
+    cost is O(groups · buckets) at any input size. Hash-exact."""
+    sk = Q.qsketch(_cents_events(spark, sf_dir), "v", _K, group_cols=["event_type"])
+    return Q.qsketch_quantiles(sk, [500, 950], _K, group_cols=["event_type"])
+
+
 @query("q_approx_distinct_native")  # rows-only: HLL++ registers are engine-specific
 def q_approx_distinct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in HLL++ ``approx_count_distinct`` — engine
