@@ -389,11 +389,12 @@ def encode_gif_animation(
         # refusing to encode colorful animations (ADVICE r5).
         from collections import Counter
 
+        # quant is necessarily True here: an exact (unquantized)
+        # palette is capped at 255 colors by the quant flag itself
         counts: Counter = Counter()
         for _, _, patch, _, _ in items:
             counts.update(
-                q332(tuple(c)) if quant else tuple(c)
-                for c in patch.reshape(-1, 3).tolist()
+                q332(tuple(c)) for c in patch.reshape(-1, 3).tolist()
             )
         drop = min(pal_list[1:], key=lambda c: (counts[c], c))
         pal_list.remove(drop)

@@ -136,8 +136,12 @@ def _parse_stsd_entry(b: bytes, s: int, e: int, handler: str) -> dict:
     n_entries = _be(b, s + 4, 4)
     if n_entries == 0:
         raise MP4Error("stsd declares 0 entries")
-    entries = _boxes(b, s + 8, e)
-    fourcc, es, ee = next(entries)
+    entry = next(_boxes(b, s + 8, e), None)
+    if entry is None:
+        # declared entries but no entry bytes — a bare next() here
+        # leaked StopIteration past the MP4Error quarantine catch
+        raise MP4Error("stsd entry missing")
+    fourcc, es, ee = entry
     out: dict = {"codec": fourcc.decode("ascii", "replace")}
     if handler == "vide":
         if ee - es < 28:

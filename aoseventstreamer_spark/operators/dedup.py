@@ -242,17 +242,20 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    # two-level explode, NOT flatten-all-combinations-into-one-array:
+    # posexplode emits one row per (anchor, rest-of-bucket) so the
+    # largest materialized array is O(b) per row — a single flattened
+    # C(b,2) struct array would be O(b²) in one task row, a memory
+    # regression vs the streaming self-join this replaced
+    anchored = members.select(
+        F.posexplode("ids").alias("i", "doc_a"),
+        F.col("ids"),
+    )
     return (
-        members.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+        anchored.select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -625,6 +628,7 @@ def verified_near_dup_pairs(
     id_col: str = "doc_id",
     ngram_n: int = 3,
     pin: bool = True,
+    max_bucket_size: int | None = 1000,
     **minhash_kwargs,
 ) -> DataFrame:
     """The full two-phase near-dup pipeline: cheap LSH candidate
@@ -669,25 +673,28 @@ def verified_near_dup_pairs(
     timer) instead of letting the pinned phases escape the timing.
     """
     candidates = minhash_dedup_pairs(
-        df, text_col=text_col, id_col=id_col, **minhash_kwargs
+        df, text_col=text_col, id_col=id_col,
+        max_bucket_size=max_bucket_size, **minhash_kwargs,
     )
     if pin:
         candidates = candidates.localCheckpoint()
     melted = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
-    # When pinned, melted is broadcast-by-contract on both joins below:
-    # the checkpoint hides size stats from AQE (it chose SortMerge for
-    # these after the pin, re-shuffling the corpus), and the pair
-    # skeleton is bounded — 2 rows per candidate pair, pair count
-    # capped by the bucket audit (lsh_bucket_overflow /
-    # max_bucket_size: each bucket contributes ≤ C(cap, 2) pairs). The
-    # heavy side — the corpus scan and the gram arrays — streams,
-    # never broadcasts. Unpinned, stats are visible and AQE already
-    # picks the broadcast side from runtime sizes; forcing it would
-    # only preempt a better-informed choice.
+    # When pinned AND capped, melted is broadcast-by-contract on both
+    # joins below: the checkpoint hides size stats from AQE (it chose
+    # SortMerge for these after the pin, re-shuffling the corpus), and
+    # the pair skeleton is bounded — 2 rows per candidate pair, each
+    # bucket contributing ≤ C(cap, 2) pairs (the default cap is 1000,
+    # the production posture; audit truncation with
+    # lsh_bucket_overflow). With the cap explicitly disabled the bound
+    # is gone, so the hint is withheld and Spark decides. The heavy
+    # side — the corpus scan and the gram arrays — streams, never
+    # broadcasts. Unpinned, stats are visible and AQE already picks
+    # the broadcast side from runtime sizes; forcing it would only
+    # preempt a better-informed choice.
     def hint(frame):
-        return F.broadcast(frame) if pin else frame
+        return F.broadcast(frame) if pin and max_bucket_size else frame
 
     gram_tbl = (
         df.join(hint(melted.select(id_col)), id_col, "left_semi")

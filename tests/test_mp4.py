@@ -107,3 +107,24 @@ def test_no_moov_raises():
     ftyp_len = int.from_bytes(good[:4], "big")
     with pytest.raises(mp4.MP4Error):
         mp4.parse_mp4(good[:ftyp_len])
+
+
+def test_stsd_declared_entry_but_no_bytes_raises_mp4error():
+    """stsd with entry_count>=1 but zero entry bytes used to leak a
+    raw StopIteration past the MP4Error quarantine catch (round-6
+    self-review) — it must be the typed error."""
+    good = mp4.encode_mp4(320, 240, 1000, audio_codec=None)
+    i = good.find(b"stsd")
+    # keep the stsd header (ver/flags + entry_count) but drop the
+    # entry bytes; shrink every enclosing box size accordingly
+    stsd_size = int.from_bytes(good[i - 4 : i], "big")
+    cut = stsd_size - 16  # bytes removed (entry), keep 8 hdr + 8 body
+    out = bytearray(good[: i + 12] + good[i - 4 + stsd_size :])
+    out[i - 4 : i] = (16).to_bytes(4, "big")
+    # fix ancestors: moov > trak > mdia > minf > stbl sizes
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(out).find(tag)
+        size = int.from_bytes(out[j - 4 : j], "big")
+        out[j - 4 : j] = (size - cut).to_bytes(4, "big")
+    with pytest.raises(mp4.MP4Error, match="stsd entry missing"):
+        mp4.parse_mp4(bytes(out))
