@@ -19,8 +19,9 @@ Pixel handling is tiered by what plain stdlib + numpy can do:
   logical screen — sample_frames emits real frames for GIFs). No
   media libraries involved.
 - **STUB** (clearly marked, fallback only): pixel access for
-  arithmetic/12-bit JPEG — the one profile left (patent-era MQ
-  coding, vanishingly rare in crawls). A production deployment swaps
+  arithmetic-coded JPEG — the one profile left (patent-era QM
+  coding, vanishingly rare in crawls; 12-bit Huffman SOF1 decodes
+  for real since r6). A production deployment swaps
   that branch for PIL/ffmpeg; schemas, batch iteration, partition
   behavior, and UDF signatures are identical either way.
 
