@@ -72,10 +72,14 @@ def bounds_exprs(bucket: str, k: int = DEFAULT_K) -> tuple[str, str]:
         f"CAST(CASE WHEN {q} = 0 THEN {bucket} "
         f"ELSE shiftleft({r} + {m}, CAST({q} - 1 AS INT)) END AS BIGINT)"
     )
+    # hi = lo + (2^(q-1) - 1): the inner parens matter — the top
+    # octave's lo + 2^(q-1) is exactly 2^63 and overflows int64 before
+    # the -1 lands (left-associative evaluation raised under ANSI on
+    # v = 2^63-1; caught by the int64-extremes test)
     hi = (
         f"CAST(CASE WHEN {q} = 0 THEN {bucket} "
         f"ELSE shiftleft({r} + {m}, CAST({q} - 1 AS INT)) "
-        f"   + shiftleft(CAST(1 AS BIGINT), CAST({q} - 1 AS INT)) - 1 "
+        f"   + (shiftleft(CAST(1 AS BIGINT), CAST({q} - 1 AS INT)) - 1) "
         f"END AS BIGINT)"
     )
     return lo, hi

@@ -158,3 +158,37 @@ def test_portable_lsh_recall_and_evidence(spark):
         1 for q, n in top1.items() if any(c == n for c, _ in by_q.get(q, []))
     )
     assert found >= 5, f"recall too low: {found}/25"
+
+
+def test_bucket_map_at_int64_extremes(spark):
+    """Pin the bucket arithmetic at the edges the fixtures never
+    reach: 0, the identity-range boundary, exact powers of two, and
+    2^62/2^63-1 (the round-6 review verified these manually against
+    DuckDB; this keeps them verified)."""
+    extremes = [
+        0, 1, (1 << K) - 1, 1 << K, (1 << K) + 1,
+        (1 << 31) - 1, 1 << 31, (1 << 52) + 3, 1 << 62, (1 << 63) - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in extremes], "v long")
+    lo_e, hi_e = Q.bounds_exprs("bucket", K)
+    rows = (
+        df.select("v", F.expr(Q.bucket_expr("v", K)).alias("bucket"))
+        .withColumn("lo", F.expr(lo_e))
+        .withColumn("hi", F.expr(hi_e))
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    sql_b = Q.sql_bucket_expr("v", K)
+    sql_lo, sql_hi = Q.sql_bounds_exprs("bucket", K)
+    want = {
+        v: con.sql(
+            f"SELECT bucket, {sql_lo} AS lo, {sql_hi} AS hi FROM "
+            f"(SELECT CAST({v} AS BIGINT) AS v, {sql_b} AS bucket)"
+        ).fetchone()
+        for v in extremes
+    }
+    for r in rows:
+        assert (r.bucket, r.lo, r.hi) == want[r.v], (r.v, tuple(r), want[r.v])
+        assert r.lo <= r.v <= r.hi
