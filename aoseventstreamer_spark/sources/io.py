@@ -277,3 +277,72 @@ def read_json_quarantine(
     good = parsed.filter(ok).select("__rec.*").drop(corrupt_col)
     bad = parsed.filter(~ok).select("raw")
     return good, bad
+
+
+_MEDIA_EXT_KIND = {
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "mov": "video", "webm": "video", "mkv": "video",
+}
+
+
+def read_binary_media(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+    stream: bool = False,
+) -> DataFrame:
+    """Ingest raw media blobs via Spark's built-in ``binaryFile``
+    source — how image/audio/video actually enters a 100 TB pipeline
+    (object-store prefixes of loose files, not parquet). Emits the
+    repo's media-frame shape: (media_id, kind, payload, path,
+    n_bytes, mod_time), ready for sniff_media / extract_video_meta /
+    the decode operators (operators/multimodal.py).
+
+    - media_id = xxhash64(path): deterministic, join-stable across
+      reruns, independent of listing order.
+    - kind derives from the file extension (unknown → 'binary');
+      it is a routing hint only — sniff_media types by CONTENT.
+    - payload bytes go executor-side only (binaryFile reads on the
+      workers; nothing passes through the driver).
+    - ``stream=True`` returns the streaming flavor (binaryFile is a
+      file-stream source): same schema, maxFilesPerTrigger et al. via
+      the normal writeStream trigger controls.
+
+    Scale notes: binaryFile caps single files at
+    spark.sql.sources.binaryFile.maxLength (int32 max) — larger blobs
+    belong in chunked storage anyway; pathGlobFilter prunes at LISTING
+    time, before any read."""
+    opts = {"recursiveFileLookup": str(recursive).lower()}
+    if glob:
+        opts["pathGlobFilter"] = glob
+    reader = (
+        spark.readStream if stream else spark.read
+    ).format("binaryFile").options(**opts)
+    if stream:
+        # streaming file sources require a declared schema; binaryFile's
+        # is fixed by the format
+        reader = reader.schema(
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("modificationTime", T.TimestampType()),
+                    T.StructField("length", T.LongType()),
+                    T.StructField("content", T.BinaryType()),
+                ]
+            )
+        )
+    raw = reader.load(path)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in _MEDIA_EXT_KIND.items() for x in kv]
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.coalesce(kind_map[ext], F.lit("binary")).alias("kind"),
+        F.col("content").alias("payload"),
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("mod_time"),
+    )
