@@ -227,3 +227,21 @@ def test_sniff_mp4_video_dims_and_duration():
     data = _mp4_fixture(640, 360, 1.0)[:40]
     mime, w, h, dur = sniff_header(data)
     assert mime == "video/mp4" and w is None
+
+
+def test_extract_video_meta_quarantines_truncated(spark):
+    """One corrupt payload must become an err row, not a task failure
+    (the r6 review found — and fixed — a StopIteration leak through
+    this exact catch)."""
+    from aoseventstreamer_spark.functions.mp4 import encode_mp4
+    from aoseventstreamer_spark.operators.multimodal import extract_video_meta
+
+    good = encode_mp4(640, 360, 1500, sample_rate=16000, channels=1)
+    df = spark.createDataFrame(
+        [(1, good), (2, good[:32]), (3, b"\x00" * 16)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_video_meta(df).collect()}
+    assert rows[1].err is None and rows[1].width == 640 and rows[1].sample_rate == 16000
+    assert rows[2].err == "MP4Error" and rows[2].width is None
+    assert rows[3].err == "MP4Error"

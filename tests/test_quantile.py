@@ -192,3 +192,19 @@ def test_bucket_map_at_int64_extremes(spark):
     for r in rows:
         assert (r.bucket, r.lo, r.hi) == want[r.v], (r.v, tuple(r), want[r.v])
         assert r.lo <= r.v <= r.hi
+
+
+def test_quantile_degenerate_inputs(spark):
+    """Single value, all-equal values, and q=1000: the target-rank
+    arithmetic must hit the only/last bucket, with est == the value
+    for identity-range inputs."""
+    one = spark.createDataFrame([(42,)], "v long")
+    sk = Q.qsketch(one, "v", K)
+    out = {r.q_permil: r for r in Q.qsketch_quantiles(sk, [1, 500, 1000], K).collect()}
+    for p in (1, 500, 1000):
+        assert (out[p].est, out[p].lo, out[p].hi) == (42, 42, 42)
+
+    same = spark.createDataFrame([(7,)] * 50, "v long")
+    sk2 = Q.qsketch(same, "v", K)
+    [r] = Q.qsketch_quantiles(sk2, [990], K).collect()
+    assert (r.est, r.lo, r.hi) == (7, 7, 7)
