@@ -841,12 +841,22 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, pattern
 
 
-def _encode_block(bw, block, qt, dc_tbl, ac_tbl, pred, center=128.0):
+def _encode_block(bw, block, qt, dc_tbl, ac_tbl, pred, center=128.0,
+                  max_ac=1023):
     """Forward DCT + quantize + Huffman one 8x8 block; returns new DC
-    predictor."""
+    predictor.
+
+    ``max_ac`` clamps quantized AC magnitudes to the Huffman table's
+    representable range (1023 = size 10 for the Annex K 8-bit tables,
+    16383 = size 14 for the flat 12-bit tables): the float DCT of a
+    max-amplitude block at quality 100 (qt entries of 1) can round one
+    coefficient past the T.81 amplitude bound (|AC| = 16384 → size 15),
+    which would otherwise surface as a raw KeyError from the table
+    lookup instead of a conformant stream."""
     coefs = _A @ (block - center) @ _A.T
     q = np.round(coefs / qt).astype(np.int32)
     zz = q.reshape(-1)[ZIGZAG]  # raster -> zigzag stream order
+    np.clip(zz[1:], -max_ac, max_ac, out=zz[1:])
     dc = int(zz[0])
     diff = dc - pred
     size, pattern = _magnitude(diff)
@@ -1007,6 +1017,9 @@ def encode_jpeg_progressive(
             for cc in range(cols):
                 coefs = _A @ (p[rr * 8 : rr * 8 + 8, cc * 8 : cc * 8 + 8] - 128.0) @ _A.T
                 g_[rr, cc] = np.round(coefs / qt).astype(np.int32).reshape(-1)[ZIGZAG]
+        # same AC amplitude clamp as _encode_block: the Annex K 8-bit
+        # AC tables stop at size 10 (|AC| <= 1023)
+        np.clip(g_[:, :, 1:], -1023, 1023, out=g_[:, :, 1:])
         grids.append(g_)
 
     out = bytearray()
@@ -1224,6 +1237,7 @@ def encode_jpeg(
                     ac_tbl,
                     preds[c],
                     center,
+                    max_ac=16383 if precision == 12 else 1023,
                 )
             n_mcu += 1
     bw.flush()

@@ -237,9 +237,13 @@ def lsh_candidate_pairs(
             .filter(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
+    # collect_set, not collect_list: a duplicated id landing twice in
+    # one bucket would otherwise pair with itself (sorted [x, x] ->
+    # slice yields the second x -> degenerate (x, x) with jaccard 1.0),
+    # where the old self-join's strict a.id < b.id excluded it
     members = (
         banded.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     # two-level explode, NOT flatten-all-combinations-into-one-array:
@@ -266,13 +270,16 @@ def lsh_bucket_overflow(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     max_bucket_size: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """The audit side of ``lsh_candidate_pairs(max_bucket_size=...)``:
     every bucket the cap would truncate, with its true size and how
     many members were dropped. Empty result == the cap changed
-    nothing."""
+    nothing. Pass the SAME ``portable`` flag as the pipeline under
+    audit — md5 and xxhash64 banding bucket differently, so auditing
+    the wrong hash family inspects buckets the cap never touches."""
     return (
-        _banded(sigs, bands, rows_per_band, id_col)
+        _banded(sigs, bands, rows_per_band, id_col, portable)
         .groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket_size)
@@ -316,12 +323,17 @@ def minhash_band_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> str:
     """DuckDB SQL computing EXACTLY minhash_dedup_pairs(portable=True):
     same shingles (split on whitespace of the trimmed text), same
     md5-derived shingle hashes, same universal-hash permutations over
     P31, same md5 band keys — so the candidate-pair output value-hashes
-    identically across engines."""
+    identically across engines. ``max_bucket_size`` replays the Spark
+    side's bucket cap (row_number over (band_id, band_hash) ordered by
+    id, keep <= cap) so a capped pipeline stays hash-exact at SFs where
+    a bucket actually overflows; pass the SAME value as the Spark
+    call — default None matches minhash_dedup_pairs' default."""
     a, b = _perm_constants(num_hashes)
     rows_per_band = num_hashes // bands
     toks = f"regexp_split_to_array(trim({text_col}), '\\s+')"
@@ -342,6 +354,16 @@ def minhash_band_oracle_sql(
         )
         for bnd in range(bands)
     )
+    if max_bucket_size is None:
+        capped = "SELECT * FROM bands_all"
+    else:
+        capped = f"""
+      SELECT {id_col}, band_id, band_hash FROM (
+        SELECT *, row_number() OVER (
+                    PARTITION BY band_id, band_hash ORDER BY {id_col}
+                  ) AS __rn
+        FROM bands_all
+      ) WHERE __rn <= {int(max_bucket_size)}"""
     return f"""
     WITH toks AS (
       SELECT {id_col}, sg.s FROM (
@@ -361,8 +383,11 @@ def minhash_band_oracle_sql(
        {mins}
       FROM h GROUP BY {id_col}
     ),
-    bands AS (
+    bands_all AS (
       {band_rows}
+    ),
+    bands AS (
+      {capped}
     )
     SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
     FROM bands a JOIN bands b
@@ -448,14 +473,19 @@ def verified_near_dup_oracle_sql(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
 ) -> str:
     """DuckDB SQL computing EXACTLY verified_near_dup_pairs(
     portable=True): the portable LSH candidate set
     (minhash_band_oracle_sql) joined back to char-n-gram Jaccard with
     the same integer micro-unit round + threshold, so (doc_a, doc_b, jaccard)
-    value-hashes identically across engines."""
+    value-hashes identically across engines. ``max_bucket_size``
+    defaults to 1000 to MATCH verified_near_dup_pairs' production
+    default — the oracle models the bucket cap, so an overflowing
+    bucket at a larger SF truncates identically on both engines
+    instead of silently diverging on the Spark side only."""
     cand = minhash_band_oracle_sql(
-        num_hashes, bands, shingle_k, table, text_col, id_col
+        num_hashes, bands, shingle_k, table, text_col, id_col, max_bucket_size
     )
     return f"""
     WITH cand AS (SELECT * FROM ({cand}) __c),
@@ -629,6 +659,7 @@ def verified_near_dup_pairs(
     ngram_n: int = 3,
     pin: bool = True,
     max_bucket_size: int | None = 1000,
+    broadcast_pair_limit: int = 2_000_000,
     **minhash_kwargs,
 ) -> DataFrame:
     """The full two-phase near-dup pipeline: cheap LSH candidate
@@ -676,25 +707,35 @@ def verified_near_dup_pairs(
         df, text_col=text_col, id_col=id_col,
         max_bucket_size=max_bucket_size, **minhash_kwargs,
     )
+    n_pairs = None
     if pin:
         candidates = candidates.localCheckpoint()
+        # count on the checkpointed pairs is a cheap block scan — no
+        # recompute — and gives the ACTUAL pair total the broadcast
+        # decision needs (C(cap, 2) bounds one bucket, but total pairs
+        # scale with bucket count: at 100 TB the per-bucket bound alone
+        # can't justify shipping the skeleton to every executor)
+        n_pairs = candidates.count()
+    # When pinned AND the skeleton is measured small, melted is
+    # broadcast-by-contract on both joins below: the checkpoint hides
+    # size stats from AQE (it chose SortMerge for these after the pin,
+    # re-shuffling the corpus), and the hint is granted from the real
+    # pair count, not the per-bucket C(cap, 2) bound (which is local
+    # only — audit truncation with lsh_bucket_overflow). Above the
+    # limit (~2M pairs ≈ 4M melted rows ≈ low hundreds of MB — far
+    # under the 8 GB broadcast ceiling but big enough that a shuffle
+    # join is competitive) the hint is withheld and Spark decides.
+    # The heavy side — the corpus scan and the gram arrays — streams,
+    # never broadcasts. Unpinned, stats are visible and AQE already
+    # picks the broadcast side from runtime sizes; forcing it would
+    # only preempt a better-informed choice.
     melted = candidates.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     )
-    # When pinned AND capped, melted is broadcast-by-contract on both
-    # joins below: the checkpoint hides size stats from AQE (it chose
-    # SortMerge for these after the pin, re-shuffling the corpus), and
-    # the pair skeleton is bounded — 2 rows per candidate pair, each
-    # bucket contributing ≤ C(cap, 2) pairs (the default cap is 1000,
-    # the production posture; audit truncation with
-    # lsh_bucket_overflow). With the cap explicitly disabled the bound
-    # is gone, so the hint is withheld and Spark decides. The heavy
-    # side — the corpus scan and the gram arrays — streams, never
-    # broadcasts. Unpinned, stats are visible and AQE already picks
-    # the broadcast side from runtime sizes; forcing it would only
-    # preempt a better-informed choice.
+    broadcast_ok = n_pairs is not None and n_pairs <= broadcast_pair_limit
+
     def hint(frame):
-        return F.broadcast(frame) if pin and max_bucket_size else frame
+        return F.broadcast(frame) if broadcast_ok else frame
 
     gram_tbl = (
         df.join(hint(melted.select(id_col)), id_col, "left_semi")
