@@ -97,26 +97,45 @@ def main() -> None:
     builders = dict(Q.QUERIES)
     builders["q_near_dup_verified"] = _near_dup_unpinned
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        build = builders[name]
-        df = build(spark, sf_dir)
-        # one untimed execution first: the wide sketch plans (minhash/
-        # simhash/LSH) generate kilobytes of codegen that the JVM C2
-        # JIT compiles during the first run — a fixed per-plan cost
-        # that at real scale amortizes to zero, and on this 5k-doc
-        # fixture otherwise dominates (measured 3.4s first vs 1.0s
-        # steady on q_doc_minhash_band). The timed best-of-2 then
-        # measures the data-proportional steady state, which is what
-        # scales.
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    dfs = {name: builders[name](spark, sf_dir) for name in HEADLINE}
 
+    # one untimed execution per query first: the wide sketch plans
+    # (minhash/simhash/LSH) generate kilobytes of codegen that the JVM
+    # C2 JIT compiles during the first run — a fixed per-plan cost that
+    # at real scale amortizes to zero, and on this 5k-doc fixture
+    # otherwise dominates (measured 3.4s first vs 1.0s steady on
+    # q_doc_minhash_band). The timed passes then measure the
+    # data-proportional steady state, which is what scales.
+    for name in HEADLINE:
+        dfs[name].write.format("noop").mode("overwrite").save()
+
+    # min-of-N over INTERLEAVED full passes (VERDICT r6 item 1): a
+    # single timing window can sample host contention that neither a
+    # repeat run nor an idle machine reproduces (BENCH_r06 recorded
+    # 31.2 s against a verified 7.8 s steady state — a 4x phantom).
+    # Interleaving whole passes (pass loop OUTSIDE the query loop)
+    # spreads each query's N samples across the full wall-clock span
+    # of the bench, so a contention burst must last the entire bench
+    # to poison every sample of any query. The reported value is the
+    # sum of per-query minima — the contention-free estimate — and the
+    # spread (per-query max-min plus per-pass totals) is printed
+    # alongside so a regression claim is falsifiable from the artifact
+    # alone. tools/bench_repeat.py remains for cross-JVM repeats.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    pass_totals: list[float] = []
+    for _ in range(passes):
+        pt = 0.0
+        for name in HEADLINE:
+            t0 = time.time()
+            dfs[name].write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            pt += dt
+        pass_totals.append(round(pt, 3))
+
+    timings = {name: round(min(v), 3) for name, v in samples.items()}
+    spread = {name: round(max(v) - min(v), 3) for name, v in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -126,6 +145,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "passes": passes,
+                "pass_totals": pass_totals,
+                "spread": spread,
             }
         )
     )
