@@ -232,7 +232,10 @@ def sniff_header(payload: bytes):
     Returns (mime, width, height, duration_ms); unknown containers
     return (None, None, None, None) rather than failing the task.
     """
-    if not payload or len(payload) < 12:
+    # 4 bytes is enough to dispatch on any magic here; every branch
+    # guards its own deeper offsets (a 9-byte truncated FLAC still
+    # types as audio/flac, mime-only)
+    if not payload or len(payload) < 4:
         return (None, None, None, None)
     b = bytes(payload)
     if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
@@ -286,6 +289,24 @@ def sniff_header(payload: bytes):
         return ("audio/wav", None, None, None)
     if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF / MP4
         return _sniff_mp4(b)
+    if b[:4] == b"fLaC":
+        from aoseventstreamer_spark.functions import audio as A
+
+        try:
+            d = A.parse_flac(b)["duration_ms"]
+        except A.FLACError:
+            d = None
+        return ("audio/flac", None, None, d)
+    if b[:3] == b"ID3" or (b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+        # MP3: ID3v2-prefixed or bare frame sync (after every other
+        # 0xFF-leading format — JPEG's FF D8 fails the 3-bit sync test)
+        from aoseventstreamer_spark.functions import audio as A
+
+        try:
+            d = A.parse_mp3(b)["duration_ms"]
+        except A.MP3Error:
+            d = None
+        return ("audio/mpeg", None, None, d)
     return (None, None, None, None)
 
 
@@ -486,6 +507,148 @@ def extract_video_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+_FLAC_RATES = [8000, 16000, 22050, 44100, 48000, 96000]
+_FLAC_BITS = [8, 12, 16, 24, 32]
+
+
+def wrap_as_audio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table whose payloads are REAL conformant audio headers
+    (functions/audio.py encoders): even ids get FLAC (STREAMINFO +
+    optional VORBIS_COMMENT/PADDING blocks), odd ids get Layer III MP3
+    (MPEG1/MPEG2 cycled, per-frame padding cadence, optional
+    ID3v2/ID3v1 tags) — every metadata field derived deterministically
+    from row fields so extract_audio_meta must recover exactly what
+    was written (oracle-checked as q_audio_meta). Rows with
+    id % 19 == 0 are truncated to 9 bytes to exercise the typed
+    quarantine path (mid-STREAMINFO for FLAC, mid-ID3v2/mid-frame for
+    MP3)."""
+    from ..functions.audio import encode_flac, encode_mp3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                k = did // 2
+                n_chars = len(text or "")
+                if did % 2 == 0:
+                    b = encode_flac(
+                        sample_rate=_FLAC_RATES[k % 6],
+                        channels=k % 8 + 1,
+                        bits_per_sample=_FLAC_BITS[k % 5],
+                        total_samples=(did % 9000) * 100 + n_chars,
+                        vendor=f"aoses-{did}" if did % 5 == 0 else None,
+                        padding=64 if did % 7 == 0 else 0,
+                    )
+                else:
+                    b = encode_mp3(
+                        n_frames=did % 40 + 1,
+                        bitrate_idx=k % 14 + 1,
+                        samplerate_idx=k % 3,
+                        mode=k % 4,
+                        mpeg2=(did % 4 == 3),
+                        id3v2_size=n_chars % 200 if did % 5 == 0 else None,
+                        id3v1=(did % 7 == 0),
+                        pad_phase=k % 2,
+                    )
+                payloads.append(b[:9] if did % 19 == 0 else b)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_audio_meta(media: DataFrame) -> DataFrame:
+    """FLAC/MP3 metadata per payload (functions/audio.py), Arrow
+    batched, at the same depth the MP4 leg carries for video:
+    container + sample rate + channels + bit depth (FLAC) / bitrate
+    (MP3) + exact sample count and duration. Malformed payloads
+    quarantine as (nulls..., err=FLACError|MP3Error) instead of
+    failing the task — same contract as extract_video_meta: one
+    corrupt blob must not kill a 1000-executor stage, and err is the
+    routable quarantine signal. Container dispatch is by CONTENT
+    (magic bytes), not extension."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import (
+            AudioError,
+            parse_flac,
+            parse_mp3,
+        )
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_META_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["media_id"] = mid
+                b = bytes(p) if p is not None else b""
+                try:
+                    if b[:4] == b"fLaC":
+                        m = parse_flac(b)
+                        row.update(
+                            container="flac",
+                            sample_rate=m["sample_rate"],
+                            channels=m["channels"],
+                            bits_per_sample=m["bits_per_sample"],
+                            n_samples=m["total_samples"],
+                            duration_ms=m["duration_ms"],
+                        )
+                    else:
+                        m = parse_mp3(b)
+                        row.update(
+                            container="mp3",
+                            sample_rate=m["sample_rate"],
+                            channels=m["channels"],
+                            bitrate_kbps=m["bitrate_kbps"],
+                            n_samples=m["n_samples"],
+                            duration_ms=m["duration_ms"],
+                        )
+                except AudioError as e:
+                    row["err"] = type(e).__name__
+                for key, v in row.items():
+                    out[key].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "container": out["container"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "channels": pd.array(out["channels"], dtype="Int32"),
+                    "bits_per_sample": pd.array(
+                        out["bits_per_sample"], dtype="Int32"
+                    ),
+                    "bitrate_kbps": pd.array(out["bitrate_kbps"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                    "err": out["err"],
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

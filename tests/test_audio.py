@@ -1,0 +1,209 @@
+"""functions/audio.py: FLAC STREAMINFO + MP3 Layer III frame walk —
+roundtrip against the in-module encoders (the repo's codec
+discipline), strict-parser quarantine on malformed/truncated input,
+and the Spark-side wrap/extract plumbing (VERDICT r6 item 2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aoseventstreamer_spark.functions.audio import (
+    FLACError,
+    MP3Error,
+    encode_flac,
+    encode_mp3,
+    parse_flac,
+    parse_mp3,
+)
+
+
+# --------------------------------------------------------------------- FLAC
+
+def test_flac_roundtrip_basic():
+    b = encode_flac(44100, 2, 16, 44100 * 3)
+    m = parse_flac(b)
+    assert m["sample_rate"] == 44100
+    assert m["channels"] == 2
+    assert m["bits_per_sample"] == 16
+    assert m["total_samples"] == 44100 * 3
+    assert m["duration_ms"] == 3000
+    assert m["n_metadata_blocks"] == 1
+
+
+def test_flac_roundtrip_extremes_and_blocks():
+    # 20-bit rate field ceiling, 8 channels, 32-bit depth, 36-bit count
+    b = encode_flac(
+        (1 << 20) - 1, 8, 32, (1 << 36) - 1, vendor="v", padding=128
+    )
+    m = parse_flac(b)
+    assert m["sample_rate"] == (1 << 20) - 1
+    assert m["channels"] == 8
+    assert m["bits_per_sample"] == 32
+    assert m["total_samples"] == (1 << 36) - 1
+    assert m["n_metadata_blocks"] == 3  # STREAMINFO + VORBIS + PADDING
+
+
+def test_flac_unknown_length_duration_is_none():
+    m = parse_flac(encode_flac(48000, 1, 24, 0))
+    assert m["total_samples"] == 0 and m["duration_ms"] is None
+
+
+def test_flac_duration_integer_floor():
+    # 44100 samples + 1 at 44100 Hz -> 1000 ms floor
+    assert parse_flac(encode_flac(44100, 1, 16, 44101))["duration_ms"] == 1000
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:3],                      # cut magic
+        lambda b: b"xLaC" + b[4:],            # wrong magic
+        lambda b: b[:6],                      # cut block header
+        lambda b: b[:20],                     # cut STREAMINFO body
+        lambda b: b[:4] + b"\x84\x00\x00\x04" + b"\x00" * 4,  # first != SI
+        lambda b: b[:4] + b"\x80\x00\x00\x20" + b[8:],  # SI length 32 != 34
+    ],
+)
+def test_flac_malformed_raises_typed(mutate):
+    b = encode_flac(44100, 2, 16, 1000)
+    with pytest.raises(FLACError):
+        parse_flac(mutate(b))
+
+
+def test_flac_zero_sample_rate_rejected():
+    b = bytearray(encode_flac(1, 1, 16, 0))
+    # zero out the 20-bit rate field (top 2.5 bytes of the packed 8)
+    b[18] = b[19] = 0
+    b[20] &= 0x0F
+    with pytest.raises(FLACError, match="sample rate"):
+        parse_flac(bytes(b))
+
+
+# ---------------------------------------------------------------------- MP3
+
+def test_mp3_roundtrip_mpeg1():
+    b = encode_mp3(n_frames=10, bitrate_idx=9, samplerate_idx=0, mode=0)
+    m = parse_mp3(b)
+    assert m["version"] == "MPEG1" and m["layer"] == 3
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    assert m["mode"] == "stereo" and m["channels"] == 2
+    assert m["n_frames"] == 10 and m["n_samples"] == 11520
+    assert m["duration_ms"] == 11520 * 1000 // 44100
+    assert not m["id3v2"] and not m["id3v1"]
+
+
+def test_mp3_roundtrip_mpeg2_mono_with_tags():
+    b = encode_mp3(
+        n_frames=7, bitrate_idx=3, samplerate_idx=2, mode=3,
+        mpeg2=True, id3v2_size=77, id3v1=True,
+    )
+    m = parse_mp3(b)
+    assert m["version"] == "MPEG2"
+    assert m["bitrate_kbps"] == 24 and m["sample_rate"] == 16000
+    assert m["mode"] == "mono" and m["channels"] == 1
+    assert m["n_samples"] == 7 * 576
+    assert m["id3v2"] and m["id3v1"]
+
+
+def test_mp3_padding_cadence_both_phases():
+    # per-frame padding alternation must not derail the frame walk
+    for phase in (0, 1):
+        b = encode_mp3(4, bitrate_idx=9, samplerate_idx=0, pad_phase=phase)
+        assert parse_mp3(b)["n_frames"] == 4
+
+
+def test_mp3_empty_id3v2_body():
+    b = encode_mp3(2, 1, 0, id3v2_size=0)
+    m = parse_mp3(b)
+    assert m["id3v2"] and m["n_frames"] == 2
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:-1],                     # truncated final frame
+        lambda b: b + b"\x00",                # trailing garbage byte
+        lambda b: b"ID3\x04\x00\x00" + b"\x7f" * 4 + b,  # ID3 overflow
+        lambda b: b"\x00" + b,                # no sync at 0
+        lambda b: b[:1],                      # lone 0xFF
+    ],
+)
+def test_mp3_malformed_raises_typed(mutate):
+    b = encode_mp3(3, bitrate_idx=9, samplerate_idx=0)
+    with pytest.raises(MP3Error):
+        parse_mp3(mutate(b))
+
+
+def test_mp3_reserved_indices_raise():
+    b = bytearray(encode_mp3(1, bitrate_idx=9, samplerate_idx=0))
+    bad_bitrate = bytes(b[:2]) + bytes([0xF0 | (b[2] & 0x0F)]) + bytes(b[3:])
+    with pytest.raises(MP3Error):
+        parse_mp3(bad_bitrate)
+    bad_rate = bytes(b[:2]) + bytes([(b[2] & 0xF0) | 0x0C | (b[2] & 0x02)]) + bytes(b[3:])
+    with pytest.raises(MP3Error):
+        parse_mp3(bad_rate)
+
+
+def test_mp3_empty_and_id3_only_raise():
+    with pytest.raises(MP3Error):
+        parse_mp3(b"")
+    with pytest.raises(MP3Error, match="no frames"):
+        parse_mp3(b"ID3\x04\x00\x00" + b"\x00" * 4)
+
+
+def test_mp3_samplerate_change_midstream_raises():
+    a = encode_mp3(1, bitrate_idx=9, samplerate_idx=0)
+    c = encode_mp3(1, bitrate_idx=9, samplerate_idx=1)
+    with pytest.raises(MP3Error, match="changed mid-stream"):
+        parse_mp3(a + c)
+
+
+def test_mp3_varying_bitrate_is_legal_vbr():
+    a = encode_mp3(1, bitrate_idx=9, samplerate_idx=0)
+    c = encode_mp3(1, bitrate_idx=14, samplerate_idx=0)
+    m = parse_mp3(a + c)
+    assert m["n_frames"] == 2
+    assert m["bitrate_kbps"] == 128  # first frame's
+
+
+# ------------------------------------------------------------- sniff_header
+
+def test_sniff_header_types_audio_by_content():
+    from aoseventstreamer_spark.operators.multimodal import sniff_header
+
+    fl = encode_flac(48000, 2, 16, 48000)
+    assert sniff_header(fl) == ("audio/flac", None, None, 1000)
+    mp = encode_mp3(5, bitrate_idx=9, samplerate_idx=0)
+    mime, w, h, d = sniff_header(mp)
+    assert mime == "audio/mpeg" and d == 5 * 1152 * 1000 // 44100
+    # malformed degrades to mime-only, never raises
+    assert sniff_header(fl[:9]) == ("audio/flac", None, None, None)
+    assert sniff_header(mp[:9]) == ("audio/mpeg", None, None, None)
+
+
+# --------------------------------------------------------------- Spark side
+
+def test_wrap_extract_audio_meta_quarantine(spark):
+    from aoseventstreamer_spark.operators.multimodal import (
+        extract_audio_meta,
+        wrap_as_audio,
+    )
+
+    rows = [(i, "x" * (i % 50 + 1)) for i in range(0, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.media_id: r for r in extract_audio_meta(wrap_as_audio(df)).collect()}
+    assert len(out) == 60
+    # quarantined rows: 0 (FLAC), 19 (MP3), 38 (FLAC), 57 (MP3)
+    assert out[0].err == "FLACError" and out[0].container is None
+    assert out[19].err == "MP3Error" and out[19].sample_rate is None
+    assert out[38].err == "FLACError"
+    assert out[57].err == "MP3Error"
+    # a live FLAC row: doc_id=2 -> k=1
+    assert out[2].container == "flac"
+    assert out[2].sample_rate == 16000 and out[2].channels == 2
+    assert out[2].bits_per_sample == 12 and out[2].bitrate_kbps is None
+    # a live MP3 row: doc_id=1 -> k=0, MPEG1, idx1=32kbps, 44100, stereo
+    assert out[1].container == "mp3"
+    assert out[1].bitrate_kbps == 32 and out[1].sample_rate == 44100
+    assert out[1].channels == 2 and out[1].bits_per_sample is None
+    assert out[1].n_samples == 2 * 1152  # n_frames = 1 % 40 + 1
