@@ -1,0 +1,185 @@
+"""Event-log compaction: OPTIMIZE-style small-file rewrite.
+
+The engine's write path is built around 250 ms micro-batch triggers
+(streaming/groups.py — the reference's pull-expiry cadence,
+natsio.rs:195-210), and an emit storm on one project therefore
+produces thousands of tiny parquet files in that project's partition
+(docs/SCALE.md "Write path"). Small files poison the read path at
+scale twice over: listing cost grows linearly with file count, and
+each file becomes its own (tiny) scan split, so a 1000-executor stage
+degenerates into open/footer/close overhead.
+
+``compact_event_log`` is the standard maintenance job that fixes this:
+
+- LIST files per leaf partition (Hadoop FileSystem API — works on any
+  Hadoop-compatible store, not just local disk; hidden/_SUCCESS files
+  ignored);
+- SELECT partitions breaching the small-file predicate (more than
+  ``min_files`` files AND mean file size under ``small_file_bytes``);
+- REWRITE each selected partition with a partition-pruned scan
+  coalesced to ceil(bytes / target_file_bytes) output files — rows
+  are copied verbatim (no sort, no schema change), so the rewrite is
+  row-identical by construction and cheap (one narrow scan+write per
+  partition, no shuffle: coalesce, never repartition);
+- ATOMIC SWAP: the rewrite lands in a hidden ``.compact-tmp`` sibling,
+  the live dir is renamed to ``.compact-bak``, tmp renamed live, bak
+  deleted — a crash at any point leaves either the old or the new
+  data recoverable, and ``recover_compaction`` (run automatically at
+  the start of every compact) rolls an interrupted swap back/forward;
+- IDEMPOTENT: a re-run sees big files and selects nothing.
+
+Scale notes: partition rewrites are independent narrow jobs, submitted
+concurrently from a bounded driver thread pool (Spark's scheduler
+interleaves them); the listing is one RemoteIterator walk, not a
+recursive getContentSummary per partition. On an object store without
+atomic rename, point the log at a table format (Delta/Iceberg) whose
+OPTIMIZE subsumes this job — this operator models the HDFS-semantics
+swap the reference deployment shape implies.
+"""
+
+from __future__ import annotations
+
+import math
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_TMP_SUFFIX = ".compact-tmp"
+_BAK_SUFFIX = ".compact-bak"
+
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.StringType()),
+        T.StructField("files_before", T.IntegerType()),
+        T.StructField("bytes_before", T.LongType()),
+        T.StructField("files_after", T.IntegerType()),
+        T.StructField("compacted", T.BooleanType()),
+    ]
+)
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _is_hidden(name: str) -> bool:
+    return name.startswith("_") or name.startswith(".")
+
+
+def _walk_leaf_partitions(fs, jpath, jvm) -> dict[str, list]:
+    """{relative partition dir ('' for flat) -> [FileStatus of data
+    files]} via one recursive listing."""
+    base = jpath.toUri().getPath().rstrip("/")
+    out: dict[str, list] = {}
+    it = fs.listFiles(jpath, True)  # recursive RemoteIterator
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if _is_hidden(name):
+            continue
+        parent = p.getParent().toUri().getPath().rstrip("/")
+        rel = parent[len(base):].strip("/")
+        if any(_is_hidden(seg) for seg in rel.split("/") if seg):
+            continue  # files under .compact-tmp/.compact-bak leftovers
+        out.setdefault(rel, []).append(st)
+    return out
+
+
+def recover_compaction(spark: SparkSession, path: str) -> list[str]:
+    """Roll back/forward any swap a crash interrupted. For each
+    ``<dir>.compact-bak``: if the live dir exists the swap completed
+    (delete the bak); if not, the crash hit between the two renames —
+    restore the bak to live. Stray ``.compact-tmp`` dirs are deleted
+    (the rewrite will simply run again). Returns the actions taken."""
+    fs, jpath, jvm = _fs(spark, path)
+    actions: list[str] = []
+    if not fs.exists(jpath):
+        return actions
+    Path = jvm.org.apache.hadoop.fs.Path
+    stack = [jpath]
+    while stack:
+        d = stack.pop()
+        for st in fs.listStatus(d):
+            if not st.isDirectory():
+                continue
+            p = st.getPath()
+            name = p.getName()
+            s = p.toUri().getPath()
+            if name.endswith(_BAK_SUFFIX):
+                live = Path(s[: -len(_BAK_SUFFIX)])
+                if fs.exists(live):
+                    fs.delete(p, True)
+                    actions.append(f"deleted completed-swap bak {s}")
+                else:
+                    fs.rename(p, live)
+                    actions.append(f"restored interrupted swap {s}")
+            elif name.endswith(_TMP_SUFFIX):
+                fs.delete(p, True)
+                actions.append(f"deleted stale tmp {s}")
+            elif not _is_hidden(name):
+                stack.append(p)
+    return actions
+
+
+def compact_event_log(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    min_files: int = 4,
+    max_concurrency: int = 4,
+) -> DataFrame:
+    """Compact small-file partitions of a parquet event log in place.
+    Returns the per-partition report (REPORT_SCHEMA); ``compacted``
+    False rows were inspected and left untouched. See module
+    docstring for the selection predicate and swap protocol."""
+    recover_compaction(spark, path)
+    fs, jpath, jvm = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = jpath.toUri().getPath().rstrip("/")
+    parts = _walk_leaf_partitions(fs, jpath, jvm)
+
+    def work(item):
+        rel, statuses = item
+        n = len(statuses)
+        total = sum(st.getLen() for st in statuses)
+        if n <= min_files or (total // max(n, 1)) >= small_file_bytes:
+            return (rel or "<root>", n, total, n, False)
+        part_dir = f"{base}/{rel}" if rel else base
+        tmp_dir = part_dir + _TMP_SUFFIX
+        bak_dir = part_dir + _BAK_SUFFIX
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        # partition-pruned scan of exactly this leaf dir; partition
+        # values live in the DIR NAME, so the files are read and
+        # rewritten verbatim without touching partition columns
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        if not fs.rename(Path(part_dir), Path(bak_dir)):
+            raise IOError(f"compaction swap failed renaming {part_dir}")
+        if not fs.rename(Path(tmp_dir), Path(part_dir)):
+            # roll back so the log stays readable
+            fs.rename(Path(bak_dir), Path(part_dir))
+            raise IOError(f"compaction swap failed installing {tmp_dir}")
+        fs.delete(Path(bak_dir), True)
+        n_after = sum(
+            1
+            for st in fs.listStatus(Path(part_dir))
+            if not st.isDirectory() and not _is_hidden(st.getPath().getName())
+        )
+        return (rel or "<root>", n, total, n_after, True)
+
+    items = sorted(parts.items())
+    if max_concurrency > 1 and len(items) > 1:
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            rows = list(pool.map(work, items))
+    else:
+        rows = [work(i) for i in items]
+    return spark.createDataFrame(rows, REPORT_SCHEMA)

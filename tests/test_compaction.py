@@ -1,0 +1,154 @@
+"""operators/compaction.py: small-file rewrite of the partitioned
+event log — row-hash identity pre/post, file-count reduction, swap
+idempotence, and crash recovery (VERDICT r6 item 3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.operators.compaction import (
+    compact_event_log,
+    recover_compaction,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _table_hash(spark, path):
+    """Order-independent content hash over every column."""
+    df = spark.read.parquet(path)
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    return (
+        df.select(F.md5(F.concat_ws("\x1f", *cols)).alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)"))
+            .alias("s"),
+        )
+        .collect()[0]
+    )
+
+
+def _n_files(root):
+    out = 0
+    for dirpath, dirnames, filenames in os.walk(root):
+        if any(seg.startswith(".") for seg in dirpath.split(os.sep)):
+            continue
+        out += sum(
+            1 for f in filenames if not f.startswith(("_", "."))
+        )
+    return out
+
+
+def _write_fragmented(spark, tmp_path, partitioned=True):
+    from aoseventstreamer_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type",
+        F.concat(F.lit("p"), (F.col("user_id") % 5)).alias("project_id"),
+    )
+    path = str(tmp_path / "log")
+    w = ev.repartition(40).write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("project_id")
+    w.parquet(path)
+    return path
+
+
+def test_compaction_row_identity_and_file_reduction(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path)
+    before_hash = _table_hash(spark, path)
+    files_before = _n_files(path)
+
+    report = compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    ).collect()
+
+    assert any(r.compacted for r in report)
+    for r in report:
+        if r.compacted:
+            assert r.files_after < r.files_before
+            assert r.files_after == 1  # tiny partitions, huge target
+    assert _n_files(path) < files_before
+    assert _table_hash(spark, path) == before_hash
+
+
+def test_compaction_idempotent(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path)
+    compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    )
+    h = _table_hash(spark, path)
+    n = _n_files(path)
+    report2 = compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    ).collect()
+    assert all(not r.compacted for r in report2)
+    assert _n_files(path) == n
+    assert _table_hash(spark, path) == h
+
+
+def test_compaction_flat_layout(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path, partitioned=False)
+    before = _table_hash(spark, path)
+    report = compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    ).collect()
+    assert len(report) == 1 and report[0].partition == "<root>"
+    assert report[0].compacted and report[0].files_after == 1
+    assert _table_hash(spark, path) == before
+
+
+def test_compaction_skips_healthy_partitions(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path)
+    # small_file_bytes=0 -> nothing is "small", nothing rewritten
+    report = compact_event_log(
+        spark, path, small_file_bytes=0, min_files=2
+    ).collect()
+    assert all(not r.compacted for r in report)
+
+
+def test_recovery_restores_interrupted_swap(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path)
+    before = _table_hash(spark, path)
+    # simulate a crash between the two renames: live dir moved to bak,
+    # tmp never installed
+    parts = [
+        d for d in os.listdir(path)
+        if d.startswith("project_id=") and not d.startswith(".")
+    ]
+    victim = os.path.join(path, parts[0])
+    os.rename(victim, victim + ".compact-bak")
+    actions = recover_compaction(spark, path)
+    assert any("restored" in a for a in actions)
+    assert os.path.isdir(victim)
+    assert _table_hash(spark, path) == before
+    # completed swap (live present + stale bak) -> bak deleted
+    os.makedirs(victim + ".compact-bak")
+    actions = recover_compaction(spark, path)
+    assert any("deleted completed-swap bak" in a for a in actions)
+    assert not os.path.exists(victim + ".compact-bak")
+
+
+def test_recovery_runs_inside_compact(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path)
+    parts = [
+        d for d in os.listdir(path)
+        if d.startswith("project_id=") and not d.startswith(".")
+    ]
+    victim = os.path.join(path, parts[0])
+    os.rename(victim, victim + ".compact-bak")
+    before_rows = None
+    report = compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    ).collect()
+    # the interrupted partition was restored and then compacted
+    got = {r.partition for r in report}
+    assert parts[0] in got
