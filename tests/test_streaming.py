@@ -237,6 +237,51 @@ def test_demux_single_pass_matches_per_group_filters(spark, tmp_path, log_dir):
     assert local_empties and all(local_empties)
 
 
+def test_demux_deliveries_overlap_within_batch(spark, tmp_path, log_dir):
+    """r7: per-group deliveries in one batch run concurrently from the
+    bounded driver pool — 16 sleeping subscribers must finish in far
+    less than 16 serial sleeps, and deliver_concurrency=1 must keep
+    the strict serial order for callers that need it."""
+    import threading
+    import time as _time
+
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+
+    _route_and_write(spark, _emit_rows(0, "p1", 2), log_dir)
+    runner = DemuxRunner(spark, log_dir, str(tmp_path / "ck_ov"))
+    in_flight, peak = [0], [0]
+    lock = threading.Lock()
+
+    def deliver(cid, df):
+        with lock:
+            in_flight[0] += 1
+            peak[0] = max(peak[0], in_flight[0])
+        _time.sleep(0.3)
+        df.count()
+        with lock:
+            in_flight[0] -= 1
+
+    for i in range(16):
+        runner.register(f"g{i}", "UPDATES.STORAGE._.p1.>", deliver)
+    t0 = _time.time()
+    q = runner.start(trigger={"availableNow": True})
+    q.awaitTermination(120)
+    wall = _time.time() - t0
+    assert peak[0] > 1  # genuinely overlapped
+    assert wall < 16 * 0.3  # strictly better than serial sleeps
+
+    # serial mode: no overlap ever
+    runner1 = DemuxRunner(
+        spark, log_dir, str(tmp_path / "ck_ov1"), deliver_concurrency=1
+    )
+    peak[0] = in_flight[0] = 0
+    for i in range(4):
+        runner1.register(f"s{i}", "UPDATES.STORAGE._.p1.>", deliver)
+    q = runner1.start(trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert peak[0] == 1
+
+
 def test_demux_rejects_non_canonical_filter(spark, tmp_path, log_dir):
     from aoseventstreamer_spark.streaming.demux import DemuxRunner
 
