@@ -776,3 +776,277 @@ def portable_lsh_pairs(
             F.first("cand_normsq").alias("cnormsq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-portable integer IVF — the same discipline extended to the
+# coarse-quantizer family (VERDICT r6 item 5): md5-derived seeding,
+# fixed Lloyd rounds in exact int64 arithmetic, portable floor
+# division — so assignments and probe lists hash-compare in DuckDB the
+# way portable_lsh_pairs' buckets do. q_ann_ivf (MLlib KMeans, float)
+# stays the production path; this is its cross-engine-verifiable twin.
+# --------------------------------------------------------------------------
+
+
+def _floordiv_py(a: int, n: int) -> int:
+    """Python // is true floor division — the reference semantics the
+    SQL formula (a - ((a % n + n) % n)) / n reproduces on engines
+    whose integer division truncates (Spark div) or floors (DuckDB //):
+    the pmod subtraction makes the numerator exactly divisible, so the
+    rounding mode stops mattering."""
+    return a // n
+
+
+def _ivf_dist2(qq: Column, qv: Column, cv: list[int]) -> Column:
+    """Exact integer squared distance via qq - 2*q·c + c·c with the
+    centroid folded in as literals (c·c precomputed in Python)."""
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in cv])
+    cc = sum(int(v) * int(v) for v in cv)
+    return qq - 2 * int_dot(qv, carr) + F.lit(cc).cast("long")
+
+
+def _ivf_assign(df: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Nearest-centroid assignment, tie → smaller cluster id. The
+    (dist2, cluster) structs compare lexicographically, so array_min
+    IS the argmin with the tie rule — one narrow projection, no
+    shuffle, no UDF."""
+    qq = int_dot(F.col("qv"), F.col("qv"))
+    cells = [
+        F.struct(
+            _ivf_dist2(qq, F.col("qv"), cv).alias("d2"),
+            F.lit(cid).cast("int").alias("cluster"),
+        )
+        for cid, cv in sorted(cents.items())
+    ]
+    return df.withColumn("cluster", F.array_min(F.array(*cells))["cluster"])
+
+
+def portable_ivf_pairs(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer IVF over quantized embeddings, exact cross-engine:
+
+    - seeds = the n_clusters vectors with smallest
+      (md5_long(id), id) — data-dependent yet reproducible in ANSI SQL
+      (TakeOrdered on the Spark side, never a global-window shuffle);
+    - ``rounds`` Lloyd iterations: exact int64 assignment
+      (dist² = qq - 2q·c + cc, tie → smaller cluster), centroid update
+      by PORTABLE floor division of per-dim sums (pmod-adjusted, so
+      truncating and flooring engines agree on negatives); an emptied
+      cluster keeps its previous centroid;
+    - queries probe the ``n_probe`` nearest final centroids; candidates
+      join on their final cluster (equi-join — a candidate is scored
+      only when its list is probed, the IVF contract).
+
+    Returns (query_id, cand_id, cluster, probe_rank, dot_scaled,
+    qnormsq, cnormsq) — all integers, replayed bit-for-bit by
+    portable_ivf_oracle_sql. Scale shape: per round one narrow
+    assignment pass + one (cluster, dim)-keyed partial-agg shuffle
+    whose result is K·dim rows (driver-collected — bounded by the
+    cluster count, never the corpus); the probe join broadcasts the
+    query side like every ANN family member."""
+    from .dedup import md5_long
+
+    def prep(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            quantize_vec(vec_col).alias("qv"),
+        ).where(F.size("qv") == dim)
+
+    cand = prep(embeddings, "cand")
+
+    seed_rows = (
+        cand.select(
+            "cand_id", "qv",
+            md5_long(F.col("cand_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cand_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents: dict[int, list[int]] = {
+        i: [int(v) for v in r.qv] for i, r in enumerate(seed_rows)
+    }
+
+    for _ in range(rounds):
+        assigned = _ivf_assign(cand, cents)
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, {})[r.d] = _floordiv_py(
+                int(r.s), int(r.n)
+            )
+        cents = {
+            c: [by_cluster[c][d] for d in range(dim)]
+            if c in by_cluster
+            else cents[c]  # emptied cluster keeps its centroid
+            for c in range(n_clusters)
+        }
+
+    assigned = _ivf_assign(cand, cents).withColumn(
+        "cnormsq", int_dot(F.col("qv"), F.col("qv"))
+    )
+
+    qry = prep(queries, "query")
+    qq = int_dot(F.col("qv"), F.col("qv"))
+    probe_cells = F.array(
+        *[
+            F.struct(
+                _ivf_dist2(qq, F.col("qv"), cv).alias("d2"),
+                F.lit(cid).cast("int").alias("cluster"),
+            )
+            for cid, cv in sorted(cents.items())
+        ]
+    )
+    probed = (
+        qry.withColumn("qnormsq", qq)
+        .withColumn(
+            "pc", F.slice(F.sort_array(probe_cells), 1, n_probe)
+        )
+        .select(
+            "query_id",
+            F.col("qv").alias("query_qv"),
+            "qnormsq",
+            F.posexplode("pc").alias("p", "cell"),
+        )
+        .select(
+            "query_id", "query_qv", "qnormsq",
+            (F.col("p") + 1).cast("int").alias("probe_rank"),
+            F.col("cell.cluster").alias("cluster"),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(probed), "cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cluster",
+            "probe_rank",
+            int_dot(F.col("query_qv"), F.col("qv")).alias("dot_scaled"),
+            "qnormsq",
+            "cnormsq",
+        )
+    )
+
+
+def portable_ivf_oracle_sql(
+    n_clusters: int = 8,
+    rounds: int = 2,
+    n_probe: int = 2,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL replaying portable_ivf_pairs EXACTLY: same md5
+    seeding, the same unrolled Lloyd rounds with the same pmod floor
+    division, same tie rules — (cluster, probe list, integer evidence)
+    value-hash identically across engines."""
+    md5h = (
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+    def dist(qv: str, cv: str) -> str:
+        return (
+            f"(CAST(list_dot_product({qv}, {qv}) AS BIGINT)"
+            f" - 2 * CAST(list_dot_product({qv}, {cv}) AS BIGINT)"
+            f" + CAST(list_dot_product({cv}, {cv}) AS BIGINT))"
+        )
+
+    ctes = [
+        f"""q AS (
+      SELECT {id_col} AS vec_id,
+             list_transform({vec_col},
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS qv
+      FROM {table} WHERE len({vec_col}) = {dim}
+    )""",
+        f"""c0 AS (
+      SELECT rn - 1 AS cluster, qv AS cv FROM (
+        SELECT qv, row_number() OVER (ORDER BY {md5h}, {id_col}) AS rn
+        FROM q
+      ) WHERE rn <= {n_clusters}
+    )""",
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT q.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist('q.qv', 'c.cv')}, c.cluster) AS rn
+        FROM q, {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+      SELECT cluster, list(fd ORDER BY d) AS cv FROM (
+        SELECT cluster, d,
+               (s - (((s % n) + n) % n)) // n AS fd
+        FROM (
+          SELECT a1.cluster, g.d,
+                 CAST(SUM(q.qv[g.d + 1]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM a{r} a1 JOIN q USING (vec_id), range(0, {dim}) g(d)
+          GROUP BY a1.cluster, g.d
+        )
+      ) GROUP BY cluster
+    )"""
+        )
+        ctes.append(
+            f"""c{r} AS (
+      SELECT p.cluster, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN m{r} m USING (cluster)
+    )"""
+        )
+        prev = f"c{r}"
+    ctes.append(
+        f"""af AS (
+      SELECT vec_id, cluster,
+             CAST(list_dot_product(qv, qv) AS BIGINT) AS cnormsq, qv
+      FROM (
+        SELECT q.vec_id, c.cluster, q.qv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist('q.qv', 'c.cv')}, c.cluster) AS rn
+        FROM q, {prev} c
+      ) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"""probe AS (
+      SELECT vec_id AS query_id, cluster, CAST(rn AS INT) AS probe_rank,
+             qv AS query_qv,
+             CAST(list_dot_product(qv, qv) AS BIGINT) AS qnormsq
+      FROM (
+        SELECT q.vec_id, c.cluster, q.qv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist('q.qv', 'c.cv')}, c.cluster) AS rn
+        FROM q, {prev} c WHERE q.{query_pred.replace(id_col, 'vec_id')}
+      ) WHERE rn <= {n_probe}
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT p.query_id, a.vec_id AS cand_id,
+           CAST(a.cluster AS INT) AS cluster, p.probe_rank,
+           CAST(list_dot_product(p.query_qv, a.qv) AS BIGINT) AS dot_scaled,
+           p.qnormsq, a.cnormsq
+    FROM probe p JOIN af a ON a.cluster = p.cluster
+    WHERE a.vec_id <> p.query_id
+    """

@@ -298,6 +298,21 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, n_probe=4)
 
 
+@query("q_ann_ivf_portable", oracle=SIM.portable_ivf_oracle_sql())
+def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-EXACT twin of q_ann_ivf (VERDICT r6 item 5): integer
+    IVF — md5-derived seeding, two exact-int64 Lloyd rounds with
+    portable pmod floor division, n_probe=2 probe lists — so the
+    coarse-quantizer assignment and every probed pair's integer
+    evidence replay bit-for-bit in DuckDB, extending the
+    q_ann_lsh_portable discipline from hash buckets to learned
+    centroids (operators/similarity.py portable_ivf_pairs /
+    portable_ivf_oracle_sql). The MLlib float KMeans stays the
+    production path."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.portable_ivf_pairs(emb, emb.filter(F.col("vec_id") < 10))
+
+
 @query("q_ann_pq")  # rows-only: codebooks are engine-specific (MLlib KMeans)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): the compressed-

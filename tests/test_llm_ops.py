@@ -203,3 +203,50 @@ def test_multiprobe_lsh_raises_recall_without_more_tables(spark, emb):
 
     with pytest.raises(ValueError, match="n_probes"):
         SIM.lsh_ann_topk(emb, queries, n_probes=2, strategy="join")
+
+
+def test_portable_ivf_structure_and_determinism(spark, emb):
+    """portable_ivf_pairs (r7): probe lists bounded by n_probe, pairs
+    only inside probed clusters, no self-pairs, integer evidence
+    consistent with the quantized vectors, and bit-identical across
+    two runs (the cross-engine contract's precondition)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = SIM.portable_ivf_pairs(emb, queries, n_clusters=8, n_probe=2)
+    rows = out.collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r.query_id != r.cand_id
+        assert 1 <= r.probe_rank <= 2
+        assert r.qnormsq > 0 and r.cnormsq > 0
+        by_q.setdefault(r.query_id, set()).add(r.cluster)
+    assert all(len(cl) <= 2 for cl in by_q.values())
+    rows2 = SIM.portable_ivf_pairs(emb, queries, n_clusters=8, n_probe=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_portable_ivf_full_probe_covers_brute_force(spark, emb):
+    """With n_probe == n_clusters every list is probed, so the pair
+    set must be ALL (query, candidate) pairs — the IVF recall contract
+    degrades to exhaustive exactly like ivf_topk does."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    n_cand = emb.count()
+    out = SIM.portable_ivf_pairs(
+        emb, queries, n_clusters=4, n_probe=4
+    )
+    got = out.groupBy("query_id").count().collect()
+    assert {r["count"] for r in got} == {n_cand - 1}  # all but self
+
+
+def test_portable_ivf_empty_cluster_keeps_centroid(spark):
+    """Two identical seed vectors: the duplicate's cluster empties on
+    the first assignment (tie -> smaller id) and must keep its seed
+    centroid instead of crashing or emitting nulls."""
+    rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(8)]) for i in range(6)]
+    rows.append((6, rows[0][1]))  # exact duplicate vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.portable_ivf_pairs(
+        df, df.filter(F.col("vec_id") < 2),
+        n_clusters=4, rounds=2, n_probe=2, dim=8,
+    ).collect()
+    assert out  # survives and pairs something
