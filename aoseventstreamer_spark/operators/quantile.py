@@ -170,3 +170,48 @@ def qsketch_quantiles(
         F.expr(lo).alias("lo"),
         F.expr(hi).alias("hi"),
     )
+
+
+def bucketize(
+    df: DataFrame,
+    value_col: str,
+    k: int = DEFAULT_K,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The per-row bucket projection shared by the batch sketch and
+    the streaming maintenance path: (group..., bucket). Narrow — safe
+    to apply to a STREAMING frame before foreachBatch."""
+    g = group_cols or []
+    return df.select(
+        *[F.col(c) for c in g], F.expr(bucket_expr(value_col, k)).alias("bucket")
+    )
+
+
+def qsketch_rollup(
+    spark,
+    state_root: str,
+    group_cols: list[str] | None = None,
+):
+    """Streaming maintenance of the quantile sketch (VERDICT r6
+    item 6): an ``IncrementalRollup`` whose keys are
+    (group..., bucket) and whose only aggregate is the cell count —
+    so each micro-batch contributes ``qsketch(batch)`` as its partial
+    and ``current()`` IS ``qsketch_merge`` over all committed batches
+    (cell-wise add, the sketch's merge algebra). Inherits the rollup's
+    replay idempotence: a redelivered batch overwrites its own
+    ``batch_id`` partition instead of double-counting, so the sketch
+    survives kill/restart under at-least-once delivery. Wire it as
+
+        stream -> bucketize(...) -> rollup.attach(..., checkpoint)
+
+    and read quantiles at any time with
+    ``qsketch_quantiles(rollup.current(), permils)``."""
+    from ..streaming.rollup import IncrementalRollup
+
+    g = group_cols or []
+    return IncrementalRollup(
+        spark,
+        state_root,
+        keys=[*g, "bucket"],
+        aggs={"cnt": F.count(F.lit(1)).cast("long")},
+    )
