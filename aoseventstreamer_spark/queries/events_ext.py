@@ -429,3 +429,123 @@ def q_triangle_top_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "node")
         .limit(20)
     )
+
+
+_DSP = 6  # HLL precision for q_distinct_sliding: m = 64 registers
+
+
+@query(
+    "q_distinct_sliding",
+    oracle=f"""
+    WITH hh AS (
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS tumb,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    rr AS (
+      SELECT tumb, h % {1 << _DSP} AS bucket,
+             CASE WHEN h // {1 << _DSP} = 0 THEN {60 - _DSP + 1}
+                  ELSE CAST(ROUND(log2((h // {1 << _DSP})
+                                       & (-(h // {1 << _DSP})))) AS BIGINT) + 1
+             END AS rho
+      FROM hh
+    ),
+    sk AS (SELECT tumb, bucket, MAX(rho) AS max_rho
+           FROM rr GROUP BY tumb, bucket),
+    slid AS (
+      SELECT tumb AS win_start, bucket, max_rho FROM sk
+      UNION ALL
+      SELECT tumb - INTERVAL '15 minutes' AS win_start, bucket, max_rho FROM sk
+    ),
+    merged AS (SELECT win_start, bucket, MAX(max_rho) AS max_rho
+               FROM slid GROUP BY win_start, bucket),
+    agg AS (SELECT win_start, COUNT(*) AS n_used,
+                   CAST(SUM(CAST(1 AS BIGINT)
+                            << CAST({62 - _DSP} - max_rho AS INT))
+                        AS BIGINT) AS di
+            FROM merged GROUP BY win_start)
+    SELECT win_start, CAST({1 << _DSP} AS INT) AS n_registers,
+           di + ({1 << _DSP} - n_used) * (CAST(1 AS BIGINT) << {62 - _DSP})
+             AS denom_scaled
+    FROM agg
+    """,
+)
+def q_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users (30 min width / 15 min slide) the
+    way it must be done at 100 TB (VERDICT r6 item 7): the raw rows
+    aggregate ONCE into per-TUMBLING-bucket HLL registers (map-side
+    partial MAX, the only shuffle that sees event-derived rows), and
+    each sliding window is the register-wise MAX of its two tumbling
+    sketches — the naive plan instead explodes every event into both
+    windows and re-shuffles the doubled user_id column. Registers and
+    the integer denom_scaled hash-compare in DuckDB; the float
+    cardinality is a derived display value (the q_approx_distinct
+    discipline; operators/hll.py)."""
+    from aoseventstreamer_spark.operators import hll
+
+    ev = t(spark, sf_dir, "events").select(
+        F.window("ts", "15 minutes").start.alias("tumb"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    sk = hll.hll_sketch(ev, "uid", _DSP, group_cols=["tumb"])
+    slid = sk.select(
+        F.explode(
+            F.array(
+                F.col("tumb"),
+                F.col("tumb") - F.expr("INTERVAL 15 minutes"),
+            )
+        ).alias("win_start"),
+        "bucket",
+        "max_rho",
+    )
+    merged = slid.groupBy("win_start", "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    return hll.hll_estimate(merged, _DSP, group_cols=["win_start"]).select(
+        "win_start", "n_registers", "denom_scaled"
+    )
+
+
+@query(
+    "q_topk_per_window",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+             user_id
+      FROM events
+    ),
+    counted AS (
+      SELECT win_start, user_id, COUNT(*) AS cnt
+      FROM w GROUP BY win_start, user_id
+    )
+    SELECT win_start, user_id, cnt, CAST(rnk AS INT) AS rnk FROM (
+      SELECT win_start, user_id, cnt,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY cnt DESC, user_id) AS rnk
+      FROM counted
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most active users per tumbling hour — the weekly-report
+    shape over the event log (VERDICT r6 item 7). Plan: ONE partial-agg
+    shuffle of (window, user) counts, then the rank window re-shuffles
+    only the aggregated rows (windows x users, never raw events);
+    deterministic tie-break (cnt DESC, user_id ASC) keeps the answer
+    hash-exact."""
+    ev = t(spark, sf_dir, "events")
+    counted = (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("win_start"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("win_start", "user_id", "cnt", "rnk")
+    )
