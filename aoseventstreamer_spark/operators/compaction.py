@@ -28,6 +28,12 @@ degenerates into open/footer/close overhead.
   the start of every compact) rolls an interrupted swap back/forward;
 - IDEMPOTENT: a re-run sees big files and selects nothing.
 
+Relation to ``operators/maintenance.compact_event_log``: that one is
+the COPY-based full rewrite (all partitions, new location — a
+migration shape); this one is the routine in-place OPTIMIZE that
+touches only the partitions whose file profile actually breaches the
+threshold.
+
 Scale notes: partition rewrites are independent narrow jobs, submitted
 concurrently from a bounded driver thread pool (Spark's scheduler
 interleaves them); the listing is one RemoteIterator walk, not a

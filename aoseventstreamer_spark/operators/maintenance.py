@@ -21,7 +21,15 @@ def compact_event_log(
     """Rewrite ``src`` into ``dst`` with files consolidated per
     partition directory. Returns (rows, distinct_partitions). Writes
     to a NEW location — atomic swap/retention is the deployment's
-    concern, not silently destructive here."""
+    concern, not silently destructive here.
+
+    This is the full copy-based rewrite (every partition, new
+    location). The in-place selective OPTIMIZE — per-partition
+    small-file predicate, rewrite of only breaching partitions,
+    atomic rename swap with crash recovery, idempotent re-run — is
+    ``operators/compaction.compact_event_log``; prefer it for
+    routine maintenance of a live log (it touches only what needs
+    rewriting), and this one for migrations that want a fresh copy."""
     from pyspark.sql import Observation
 
     df = spark.read.parquet(src)

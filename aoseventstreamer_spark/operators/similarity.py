@@ -805,20 +805,75 @@ def _ivf_dist2(qq: Column, qv: Column, cv: list[int]) -> Column:
     return qq - 2 * int_dot(qv, carr) + F.lit(cc).cast("long")
 
 
-def _ivf_assign(df: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+def _ivf_assign(
+    df: DataFrame, cents: dict[int, list[int]], vec: str = "qv",
+    out: str = "cluster",
+) -> DataFrame:
     """Nearest-centroid assignment, tie → smaller cluster id. The
     (dist2, cluster) structs compare lexicographically, so array_min
     IS the argmin with the tie rule — one narrow projection, no
     shuffle, no UDF."""
-    qq = int_dot(F.col("qv"), F.col("qv"))
+    qq = int_dot(F.col(vec), F.col(vec))
     cells = [
         F.struct(
-            _ivf_dist2(qq, F.col("qv"), cv).alias("d2"),
+            _ivf_dist2(qq, F.col(vec), cv).alias("d2"),
             F.lit(cid).cast("int").alias("cluster"),
         )
         for cid, cv in sorted(cents.items())
     ]
-    return df.withColumn("cluster", F.array_min(F.array(*cells))["cluster"])
+    return df.withColumn(out, F.array_min(F.array(*cells))["cluster"])
+
+
+def _lloyd_rounds(
+    df: DataFrame,
+    id_name: str,
+    n_clusters: int,
+    rounds: int,
+    dim: int,
+    vec: str = "qv",
+) -> dict[int, list[int]]:
+    """The shared portable-Lloyd core (IVF coarse quantizer AND each
+    PQ subspace codebook): md5-seeded initial centroids (the
+    n_clusters smallest (md5_long(id), id) vectors — TakeOrdered, no
+    global-window shuffle), ``rounds`` exact-int64 assignment/update
+    iterations with Python ``//`` floor division (reproduced in SQL by
+    the pmod formula), emptied clusters keeping their centroid.
+    Returns {cluster -> centroid ints}; per round the corpus incurs
+    one narrow assignment pass + one (cluster, dim)-keyed partial-agg
+    shuffle collected as K·dim rows."""
+    from .dedup import md5_long
+
+    seed_rows = (
+        df.select(
+            id_name, vec, md5_long(F.col(id_name).cast("string")).alias("h")
+        )
+        .orderBy("h", id_name)
+        .limit(n_clusters)
+        .collect()
+    )
+    cents: dict[int, list[int]] = {
+        i: [int(v) for v in r[vec]] for i, r in enumerate(seed_rows)
+    }
+    for _ in range(rounds):
+        assigned = _ivf_assign(df, cents, vec=vec)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec).alias("d", "v"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, {})[r.d] = _floordiv_py(
+                int(r.s), int(r.n)
+            )
+        cents = {
+            c: [by_cluster[c][d] for d in range(dim)]
+            if c in by_cluster
+            else cents[c]
+            for c in range(n_clusters)
+        }
+    return cents
 
 
 def portable_ivf_pairs(
@@ -852,7 +907,6 @@ def portable_ivf_pairs(
     whose result is K·dim rows (driver-collected — bounded by the
     cluster count, never the corpus); the probe join broadcasts the
     query side like every ANN family member."""
-    from .dedup import md5_long
 
     def prep(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
@@ -861,39 +915,7 @@ def portable_ivf_pairs(
         ).where(F.size("qv") == dim)
 
     cand = prep(embeddings, "cand")
-
-    seed_rows = (
-        cand.select(
-            "cand_id", "qv",
-            md5_long(F.col("cand_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "cand_id")
-        .limit(n_clusters)
-        .collect()
-    )
-    cents: dict[int, list[int]] = {
-        i: [int(v) for v in r.qv] for i, r in enumerate(seed_rows)
-    }
-
-    for _ in range(rounds):
-        assigned = _ivf_assign(cand, cents)
-        sums = (
-            assigned.select("cluster", F.posexplode("qv").alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, int]] = {}
-        for r in sums:
-            by_cluster.setdefault(r.cluster, {})[r.d] = _floordiv_py(
-                int(r.s), int(r.n)
-            )
-        cents = {
-            c: [by_cluster[c][d] for d in range(dim)]
-            if c in by_cluster
-            else cents[c]  # emptied cluster keeps its centroid
-            for c in range(n_clusters)
-        }
+    cents = _lloyd_rounds(cand, "cand_id", n_clusters, rounds, dim)
 
     assigned = _ivf_assign(cand, cents).withColumn(
         "cnormsq", int_dot(F.col("qv"), F.col("qv"))
@@ -1049,4 +1071,237 @@ def portable_ivf_oracle_sql(
            p.qnormsq, a.cnormsq
     FROM probe p JOIN af a ON a.cluster = p.cluster
     WHERE a.vec_id <> p.query_id
+    """
+
+
+# --------------------------------------------------------------------------
+# Engine-portable integer PQ — ADC scoring over integer codebooks: the
+# compressed-corpus scale path (operators/pq.py) made cross-engine
+# hash-exact the way portable_ivf_pairs did for the coarse quantizer.
+# --------------------------------------------------------------------------
+
+
+def portable_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m_subspaces: int = 4,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization with integer codebooks, exact cross-engine:
+    the vector splits into ``m_subspaces`` slices; each slice gets its
+    own md5-seeded portable-Lloyd codebook (the _lloyd_rounds core the
+    IVF coarse quantizer uses); every candidate encodes to one code id
+    per subspace (argmin, tie → smaller id); a query scores a candidate
+    by ADC — the sum of its slice-to-centroid distances looked up by
+    the candidate's codes — all int64, so the top-k table (codes, ADC
+    distance, rank) replays bit-for-bit in DuckDB
+    (portable_pq_oracle_sql).
+
+    Scale shape: candidates carry m small ints through the scoring
+    join instead of ``dim`` floats (the PQ bandwidth win); the query
+    side folds its per-subspace distance TABLES (m·K ints per query)
+    in as broadcast literals, so scoring is m element_at lookups per
+    (query, candidate) — JVM-side, no shuffle beyond the final rank
+    window over the top-k frontier. q_ann_pq (MLlib float codebooks)
+    stays the production path."""
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+
+    cand = embeddings.select(
+        F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("full")
+    ).where(F.size("full") == dim)
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("full")
+    ).where(F.size("full") == dim)
+
+    def slice_m(m: int) -> Column:
+        return F.slice(F.col("full"), m * sub + 1, sub)
+
+    codebooks: list[dict[int, list[int]]] = []
+    for m in range(m_subspaces):
+        sliced = cand.select("cand_id", slice_m(m).alias("qv"))
+        codebooks.append(
+            _lloyd_rounds(sliced, "cand_id", n_clusters, rounds, sub)
+        )
+
+    encoded = cand
+    for m in range(m_subspaces):
+        encoded = _ivf_assign(
+            encoded.withColumn("qv", slice_m(m)), codebooks[m],
+            out=f"code_{m}",
+        )
+    encoded = encoded.select(
+        "cand_id", *[F.col(f"code_{m}") for m in range(m_subspaces)]
+    )
+
+    # per-query ADC lookup tables: dist2(query slice, centroid c) for
+    # every (subspace, c) — arrays ordered by cluster id so the
+    # candidate's code indexes them directly
+    qtabs = qry
+    adc = F.lit(0).cast("long")
+    for m in range(m_subspaces):
+        sl = slice_m(m)
+        qq = int_dot(sl, sl)
+        tab = F.array(
+            *[
+                _ivf_dist2(qq, sl, codebooks[m][c])
+                for c in range(n_clusters)
+            ]
+        )
+        qtabs = qtabs.withColumn(f"tab_{m}", tab)
+        adc = adc + F.element_at(f"tab_{m}", F.col(f"code_{m}") + 1)
+    qtabs = qtabs.drop("full")
+
+    scored = (
+        encoded.join(F.broadcast(qtabs), F.col("query_id") != F.col("cand_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            *[F.col(f"code_{m}") for m in range(m_subspaces)],
+            "adc_dist",
+            "rnk",
+        )
+    )
+
+
+def portable_pq_oracle_sql(
+    m_subspaces: int = 4,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL replaying portable_pq_topk EXACTLY: per-subspace
+    unrolled Lloyd codebooks (same seeding/floor-division/tie rules as
+    the IVF oracle), argmin codes, ADC = sum of slice-to-centroid
+    distances by code, deterministic (adc, cand_id) ranking."""
+    sub = dim // m_subspaces
+    md5h = (
+        f"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+    def dist(qv: str, cv: str) -> str:
+        return (
+            f"(CAST(list_dot_product({qv}, {qv}) AS BIGINT)"
+            f" - 2 * CAST(list_dot_product({qv}, {cv}) AS BIGINT)"
+            f" + CAST(list_dot_product({cv}, {cv}) AS BIGINT))"
+        )
+
+    ctes = [
+        f"""q AS (
+      SELECT {id_col} AS vec_id,
+             list_transform({vec_col},
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS qv
+      FROM {table} WHERE len({vec_col}) = {dim}
+    )"""
+    ]
+    for m in range(m_subspaces):
+        ctes.append(
+            f"""s{m} AS (
+      SELECT vec_id, list_slice(qv, {m * sub + 1}, {(m + 1) * sub}) AS qv
+      FROM q
+    )"""
+        )
+        ctes.append(
+            f"""c{m}_0 AS (
+      SELECT rn - 1 AS cluster, qv AS cv FROM (
+        SELECT qv, row_number() OVER (ORDER BY {md5h}, vec_id) AS rn
+        FROM s{m}
+      ) WHERE rn <= {n_clusters}
+    )"""
+        )
+        prev = f"c{m}_0"
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""a{m}_{r} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT s.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.qv', 'c.cv')}, c.cluster) AS rn
+        FROM s{m} s, {prev} c
+      ) WHERE rn = 1
+    )"""
+            )
+            ctes.append(
+                f"""m{m}_{r} AS (
+      SELECT cluster, list(fd ORDER BY d) AS cv FROM (
+        SELECT cluster, d,
+               (s - (((s % n) + n) % n)) // n AS fd
+        FROM (
+          SELECT a.cluster, g.d,
+                 CAST(SUM(s.qv[g.d + 1]) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM a{m}_{r} a JOIN s{m} s USING (vec_id), range(0, {sub}) g(d)
+          GROUP BY a.cluster, g.d
+        )
+      ) GROUP BY cluster
+    )"""
+            )
+            ctes.append(
+                f"""c{m}_{r} AS (
+      SELECT p.cluster, COALESCE(mm.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN m{m}_{r} mm USING (cluster)
+    )"""
+            )
+            prev = f"c{m}_{r}"
+        ctes.append(
+            f"""f{m} AS (
+      SELECT vec_id, cluster AS code FROM (
+        SELECT s.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.qv', 'c.cv')}, c.cluster) AS rn
+        FROM s{m} s, {prev} c
+      ) WHERE rn = 1
+    )"""
+        )
+    final_c = [f"c{m}_{rounds}" for m in range(m_subspaces)]
+    adc_terms = " + ".join(
+        dist(f"qs{m}.qv", f"cb{m}.cv") for m in range(m_subspaces)
+    )
+    code_joins = "\n      ".join(
+        f"JOIN f{m} ON f{m}.vec_id = cand.vec_id\n"
+        f"      JOIN {final_c[m]} cb{m} ON cb{m}.cluster = f{m}.code\n"
+        f"      JOIN s{m} qs{m} ON qs{m}.vec_id = qq.vec_id"
+        for m in range(m_subspaces)
+    )
+    code_cols = ", ".join(
+        f"CAST(f{m}.code AS INT) AS code_{m}" for m in range(m_subspaces)
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT qq.vec_id AS query_id, cand.vec_id AS cand_id,
+             {code_cols},
+             CAST({adc_terms} AS BIGINT) AS adc_dist
+      FROM (SELECT vec_id FROM q WHERE {query_pred}) qq
+      CROSS JOIN (SELECT vec_id FROM q) cand
+      {code_joins}
+      WHERE cand.vec_id <> qq.vec_id
+    )"""
+    )
+    body = ",\n    ".join(ctes)
+    code_out = ", ".join(f"code_{m}" for m in range(m_subspaces))
+    return f"""
+    WITH {body}
+    SELECT query_id, cand_id, {code_out}, adc_dist, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
     """

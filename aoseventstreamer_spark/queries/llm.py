@@ -313,6 +313,21 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.portable_ivf_pairs(emb, emb.filter(F.col("vec_id") < 10))
 
 
+@query("q_ann_pq_portable", oracle=SIM.portable_pq_oracle_sql())
+def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-EXACT twin of q_ann_pq: product quantization with
+    integer codebooks — per-subspace md5-seeded portable-Lloyd
+    training (the _lloyd_rounds core shared with q_ann_ivf_portable),
+    argmin codes, and ADC scoring as exact int64 slice-to-centroid
+    lookups — so the codes, ADC distances, and top-k ranking replay
+    bit-for-bit in DuckDB (operators/similarity.py portable_pq_topk /
+    portable_pq_oracle_sql). Candidates carry m small ints through the
+    scoring join instead of dim floats — the PQ bandwidth win, now
+    cross-engine-verifiable."""
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.portable_pq_topk(emb, emb.filter(F.col("vec_id") < 10))
+
+
 @query("q_ann_pq")  # rows-only: codebooks are engine-specific (MLlib KMeans)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): the compressed-

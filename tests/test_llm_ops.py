@@ -250,3 +250,32 @@ def test_portable_ivf_empty_cluster_keeps_centroid(spark):
         n_clusters=4, rounds=2, n_probe=2, dim=8,
     ).collect()
     assert out  # survives and pairs something
+
+
+def test_portable_pq_structure_and_duplicate_is_nearest(spark):
+    """portable_pq_topk (r7): codes bounded by the codebook size,
+    ranks dense 1..k, deterministic across runs; an exact duplicate of
+    the query vector encodes to the query's own codes, so its ADC
+    distance is the attainable minimum."""
+    rows = [
+        (i, [float(((i * 13 + d * 7) % 11) - 5) / 5.0 for d in range(16)])
+        for i in range(40)
+    ]
+    rows.append((100, rows[2][1]))  # exact duplicate of vec_id=2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 2)
+    out = SIM.portable_pq_topk(
+        df, q, m_subspaces=4, n_clusters=4, k=10, dim=16
+    ).collect()
+    assert out
+    assert sorted(r.rnk for r in out) == list(range(1, len(out) + 1))
+    for r in out:
+        for m in range(4):
+            assert 0 <= r[f"code_{m}"] < 4
+        assert r.cand_id != 2
+    dup = next(r for r in out if r.cand_id == 100)
+    assert dup.adc_dist == min(r.adc_dist for r in out)
+    out2 = SIM.portable_pq_topk(
+        df, q, m_subspaces=4, n_clusters=4, k=10, dim=16
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
