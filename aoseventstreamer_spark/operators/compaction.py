@@ -138,12 +138,31 @@ def compact_event_log(
     small_file_bytes: int = 32 * 1024 * 1024,
     min_files: int = 4,
     max_concurrency: int = 4,
+    min_age_seconds: float | None = None,
 ) -> DataFrame:
     """Compact small-file partitions of a parquet event log in place.
     Returns the per-partition report (REPORT_SCHEMA); ``compacted``
     False rows were inspected and left untouched. See module
-    docstring for the selection predicate and swap protocol."""
+    docstring for the selection predicate and swap protocol.
+
+    ``min_age_seconds`` restricts eligibility to partitions whose
+    NEWEST data file is at least that old — two reasons to set it on a
+    live log: (1) a partition still receiving appends would be
+    re-listed and re-compacted every run; (2) **file-source streaming
+    readers checkpoint file PATHS, so compacting a region a stream has
+    already consumed makes the rewritten files look NEW on restart and
+    the stream re-delivers those rows**
+    (tests/test_compaction.py::test_compaction_makes_live_file_stream_redeliver
+    demonstrates it). At-least-once consumers (the engine's delivery
+    contract — chunk replay is already legal) tolerate that; exactly-
+    once readers must only tail regions compaction will never touch
+    (set min_age_seconds beyond the stream's lag) or read through a
+    table format (Delta/Iceberg) whose snapshot isolation decouples
+    file layout from read progress."""
     recover_compaction(spark, path)
+    import time as _time
+
+    now = _time.time()
     fs, jpath, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
     base = jpath.toUri().getPath().rstrip("/")
@@ -153,7 +172,15 @@ def compact_event_log(
         rel, statuses = item
         n = len(statuses)
         total = sum(st.getLen() for st in statuses)
-        if n <= min_files or (total // max(n, 1)) >= small_file_bytes:
+        too_young = min_age_seconds is not None and any(
+            st.getModificationTime() / 1000.0 > now - min_age_seconds
+            for st in statuses
+        )
+        if (
+            too_young
+            or n <= min_files
+            or (total // max(n, 1)) >= small_file_bytes
+        ):
             return (rel or "<root>", n, total, n, False)
         part_dir = f"{base}/{rel}" if rel else base
         tmp_dir = part_dir + _TMP_SUFFIX

@@ -152,3 +152,57 @@ def test_recovery_runs_inside_compact(spark, tmp_path):
     # the interrupted partition was restored and then compacted
     got = {r.partition for r in report}
     assert parts[0] in got
+
+
+def test_min_age_guard_skips_young_partitions(spark, tmp_path):
+    path = _write_fragmented(spark, tmp_path)
+    # everything was just written -> a 1-hour age floor skips it all
+    report = compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2, min_age_seconds=3600,
+    ).collect()
+    assert all(not r.compacted for r in report)
+    # age floor of 0 -> everything old enough, compaction proceeds
+    report = compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2, min_age_seconds=0,
+    ).collect()
+    assert any(r.compacted for r in report)
+
+
+def test_compaction_makes_live_file_stream_redeliver(spark, tmp_path):
+    """The documented hazard, demonstrated: a file-source stream
+    checkpoints file PATHS, so compacting an already-consumed region
+    re-delivers those rows when the stream restarts — legal under the
+    engine's at-least-once contract, fatal for an exactly-once reader.
+    This is WHY min_age_seconds (or a table format) must keep
+    compaction behind the stream frontier on a live-tailed log."""
+    path = _write_fragmented(spark, tmp_path)
+    schema = spark.read.parquet(path).drop("project_id").schema
+    total = spark.read.parquet(path).count()
+    ckpt = str(tmp_path / "ck")
+    seen = []
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+            .writeStream.foreachBatch(lambda df, bid: seen.append(df.count()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert sum(seen) == total  # consumed everything once
+
+    compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    )
+    run_stream()
+    # the compacted files are NEW paths -> the restarted stream
+    # re-delivers every compacted row (at-least-once, not exactly-once)
+    assert sum(seen) > total
