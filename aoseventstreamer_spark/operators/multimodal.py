@@ -703,6 +703,126 @@ def decode_wav_pcm(payload: bytes):
     return sample_rate, n_channels, samples
 
 
+_WAV_RATES = [8000, 16000, 44100]
+
+
+def wrap_as_wav(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table whose payloads are REAL PCM16 WAV files with
+    deterministic samples derived from row fields — sample
+    s[i, c] = ((id·31 + i·17 + c·11) mod 4001) − 2000 — so the decoded
+    feature evidence (q_audio_features) is computable in closed form
+    by a SQL oracle. Rows with id % 23 == 0 truncate to 20 bytes to
+    exercise the null-feature quarantine path."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf = did % 50 + 4
+                ch = did % 2 + 1
+                rate = _WAV_RATES[did % 3]
+                frames = bytearray()
+                for i in range(nf):
+                    for c in range(ch):
+                        s = ((did * 31 + i * 17 + c * 11) % 4001) - 2000
+                        frames += struct.pack("<h", s)
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(frames))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(frames))
+                )
+                b = hdr + bytes(frames)
+                payloads.append(b[:20] if did % 23 == 0 else b)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+AUDIO_EVIDENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("sign_changes", T.LongType()),
+    ]
+)
+
+
+def extract_audio_evidence(media: DataFrame) -> DataFrame:
+    """The INTEGER-evidence sibling of extract_audio_features: decoded
+    PCM16 features expressed in cross-engine-exact integers — sum of
+    squared samples (energy; rms = sqrt(sum_sq/n) is the derived
+    float), int32-safe absolute peak, and sign changes of the
+    integer channel-sum mono mix (< 0 rule, no float signbit) — the
+    q_hll denom_scaled discipline applied to audio. Undecodable
+    payloads yield null evidence, never task failures."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_EVIDENCE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["media_id"] = mid
+                try:
+                    rate, ch, samples = decode_wav_pcm(payload)
+                    s = samples.astype(np.int64)
+                    n = len(s)
+                    mono = s.sum(axis=1)
+                    neg = mono < 0
+                    row.update(
+                        sample_rate=rate,
+                        n_channels=ch,
+                        n_frames=n,
+                        duration_ms=(n * 1000) // rate if rate else None,
+                        sum_sq=int((s * s).sum()),
+                        peak=int(np.abs(s).max()) if n else 0,
+                        sign_changes=int(
+                            np.count_nonzero(neg[1:] != neg[:-1])
+                        ),
+                    )
+                except ValueError:
+                    pass
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_channels": pd.array(out["n_channels"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int64"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                    "sum_sq": pd.array(out["sum_sq"], dtype="Int64"),
+                    "peak": pd.array(out["peak"], dtype="Int32"),
+                    "sign_changes": pd.array(out["sign_changes"], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_EVIDENCE_SCHEMA)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """REAL audio features for PCM16 WAV payloads (decode_wav_pcm):
     duration, RMS, peak, zero-crossing rate over the actual samples —

@@ -86,3 +86,72 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return extract_audio_meta(wrap_as_audio(docs))
+
+
+_AUDIO_FEATURES_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS quarantined,
+         doc_id % 50 + 4 AS nf,
+         doc_id % 2 + 1 AS ch,
+         [8000, 16000, 44100][CAST(doc_id % 3 + 1 AS INT)] AS rate
+  FROM documents
+),
+samp AS (
+  SELECT s.doc_id, i.i, c.c,
+         ((s.doc_id * 31 + i.i * 17 + c.c * 11) % 4001) - 2000 AS v
+  FROM src s, range(0, 54) i(i), range(0, 2) c(c)
+  WHERE i.i < s.nf AND c.c < s.ch AND NOT s.quarantined
+),
+mono AS (
+  SELECT doc_id, i, SUM(v) AS m FROM samp GROUP BY doc_id, i
+),
+flips AS (
+  SELECT doc_id,
+         SUM(CASE WHEN (m < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS sc
+  FROM (
+    SELECT doc_id, m,
+           LAG(m) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM mono
+  ) WHERE prev IS NOT NULL GROUP BY doc_id
+),
+ev AS (
+  SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+         CAST(MAX(ABS(v)) AS INT) AS peak
+  FROM samp GROUP BY doc_id
+)
+SELECT s.doc_id AS media_id,
+  CASE WHEN s.quarantined THEN NULL ELSE CAST(s.rate AS INT) END AS sample_rate,
+  CASE WHEN s.quarantined THEN NULL ELSE CAST(s.ch AS INT) END AS n_channels,
+  CASE WHEN s.quarantined THEN NULL ELSE CAST(s.nf AS BIGINT) END AS n_frames,
+  CASE WHEN s.quarantined THEN NULL
+       ELSE CAST(s.nf * 1000 // s.rate AS BIGINT) END AS duration_ms,
+  CASE WHEN s.quarantined THEN NULL ELSE ev.sum_sq END AS sum_sq,
+  CASE WHEN s.quarantined THEN NULL ELSE ev.peak END AS peak,
+  CASE WHEN s.quarantined THEN NULL
+       ELSE CAST(COALESCE(f.sc, 0) AS BIGINT) END AS sign_changes
+FROM src s
+LEFT JOIN ev ON ev.doc_id = s.doc_id
+LEFT JOIN flips f ON f.doc_id = s.doc_id
+"""
+
+
+@query("q_audio_features", oracle=_AUDIO_FEATURES_ORACLE)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-PCM audio features in cross-engine-exact integers:
+    build REAL 16-bit PCM WAVs on the executors with closed-form
+    samples (wrap_as_wav), decode them back (decode_wav_pcm — genuine
+    RIFF chunk walk + numpy), and emit energy (sum of squared
+    samples), absolute peak, and integer-mono sign changes — the
+    float rms/zero-crossing-rate of extract_audio_features are
+    derived display values of exactly this evidence. Truncated rows
+    (id % 23 = 0) surface as null-evidence quarantine rows. The
+    oracle recomputes every sample with range() generators, so any
+    byte-level encode OR decode error breaks the hash."""
+    from aoseventstreamer_spark.operators.multimodal import (
+        extract_audio_evidence,
+        wrap_as_wav,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_audio_evidence(wrap_as_wav(docs))

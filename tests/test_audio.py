@@ -207,3 +207,37 @@ def test_wrap_extract_audio_meta_quarantine(spark):
     assert out[1].bitrate_kbps == 32 and out[1].sample_rate == 44100
     assert out[1].channels == 2 and out[1].bits_per_sample is None
     assert out[1].n_samples == 2 * 1152  # n_frames = 1 % 40 + 1
+
+
+def test_wrap_extract_audio_evidence_known_values(spark):
+    from aoseventstreamer_spark.operators.multimodal import (
+        extract_audio_evidence,
+        wrap_as_wav,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (23, "z")], "doc_id long, text string"
+    )
+    out = {r.media_id: r for r in extract_audio_evidence(wrap_as_wav(df)).collect()}
+    # doc 23 is the truncation row: null evidence, no task failure
+    assert out[23].sum_sq is None and out[23].sample_rate is None
+    # doc 1: nf=5, ch=2, rate=16000 — recompute evidence in pure Python
+    nf, ch = 5, 2
+    vals = [
+        ((1 * 31 + i * 17 + c * 11) % 4001) - 2000
+        for i in range(nf)
+        for c in range(ch)
+    ]
+    mono = [
+        sum(((1 * 31 + i * 17 + c * 11) % 4001) - 2000 for c in range(ch))
+        for i in range(nf)
+    ]
+    flips = sum(
+        1 for a, b in zip(mono, mono[1:]) if (a < 0) != (b < 0)
+    )
+    r = out[1]
+    assert (r.sample_rate, r.n_channels, r.n_frames) == (16000, 2, 5)
+    assert r.sum_sq == sum(v * v for v in vals)
+    assert r.peak == max(abs(v) for v in vals)
+    assert r.sign_changes == flips
+    assert r.duration_ms == nf * 1000 // 16000
