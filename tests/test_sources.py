@@ -233,16 +233,24 @@ def test_read_binary_media_batch_and_sniff(spark, tmp_path):
 
     root = tmp_path / "blobs"
     (root / "sub").mkdir(parents=True)
+    from aoseventstreamer_spark.functions.audio import encode_flac, encode_mp3
+
     img = np.zeros((5, 7, 3), dtype=np.uint8)
     (root / "a.png").write_bytes(encode_png(img))
     (root / "sub" / "b.mp4").write_bytes(encode_mp4(640, 360, 1500))
     (root / "sub" / "noise.txt").write_bytes(b"not media")
+    (root / "c.flac").write_bytes(encode_flac(48000, 2, 16, 96000))
+    (root / "sub" / "d.mp3").write_bytes(
+        encode_mp3(5, bitrate_idx=9, samplerate_idx=0)
+    )
 
     media = read_binary_media(spark, str(root))
     rows = {r.path.rsplit("/", 1)[-1]: r for r in media.collect()}
-    assert set(rows) == {"a.png", "b.mp4", "noise.txt"}
+    assert set(rows) == {"a.png", "b.mp4", "noise.txt", "c.flac", "d.mp3"}
     assert rows["a.png"].kind == "image"
     assert rows["b.mp4"].kind == "video"
+    assert rows["c.flac"].kind == "audio"
+    assert rows["d.mp3"].kind == "audio"
     assert rows["noise.txt"].kind == "binary"
     assert rows["b.mp4"].n_bytes == len(rows["b.mp4"].payload)
     # ids deterministic across re-list
@@ -260,6 +268,12 @@ def test_read_binary_media_batch_and_sniff(spark, tmp_path):
         "video/mp4", 640, 360, 1500,
     )
     assert sniffed[rows["noise.txt"].media_id].mime is None
+    flac_row = sniffed[rows["c.flac"].media_id]
+    assert (flac_row.mime, flac_row.duration_ms) == ("audio/flac", 2000)
+    mp3_row = sniffed[rows["d.mp3"].media_id]
+    assert (mp3_row.mime, mp3_row.duration_ms) == (
+        "audio/mpeg", 5 * 1152 * 1000 // 44100,
+    )
 
     # glob prunes at listing time
     only_png = read_binary_media(spark, str(root), glob="*.png")
