@@ -241,3 +241,71 @@ def test_wrap_extract_audio_evidence_known_values(spark):
     assert r.peak == max(abs(v) for v in vals)
     assert r.sign_changes == flips
     assert r.duration_ms == nf * 1000 // 16000
+
+
+# ------------------------------------------------------------------ fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=400))
+def test_parsers_never_raise_untyped(blob):
+    """Screen-everything contract: ANY byte string either parses or
+    raises the TYPED error — no IndexError/struct.error/KeyError can
+    escape to kill a 1000-executor stage."""
+    for fn, err in ((parse_flac, FLACError), (parse_mp3, MP3Error)):
+        try:
+            fn(blob)
+        except err:
+            pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, (1 << 20) - 1),
+    st.integers(1, 8),
+    st.integers(4, 32),
+    st.integers(0, (1 << 36) - 1),
+    st.integers(0, 400),
+)
+def test_flac_roundtrip_property(rate, ch, bits, total, cut):
+    b = encode_flac(rate, ch, bits, total)
+    m = parse_flac(b)
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
+            m["total_samples"]) == (rate, ch, bits, total)
+    if cut < len(b):
+        trunc = b[:cut]
+        try:
+            parse_flac(trunc)
+        except FLACError:
+            pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 30),
+    st.integers(1, 14),
+    st.integers(0, 2),
+    st.integers(0, 3),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+)
+def test_mp3_roundtrip_property(n, br, sr, mode, mpeg2, id3v2, id3v1):
+    b = encode_mp3(
+        n, br, sr, mode=mode, mpeg2=mpeg2,
+        id3v2_size=33 if id3v2 else None, id3v1=id3v1,
+    )
+    m = parse_mp3(b)
+    assert m["n_frames"] == n
+    assert m["version"] == ("MPEG2" if mpeg2 else "MPEG1")
+    assert m["channels"] == (1 if mode == 3 else 2)
+    assert m["id3v2"] == id3v2 and m["id3v1"] == id3v1
+    # any strict prefix that cuts INTO the frame region must raise typed
+    trunc = b[: len(b) - (129 if id3v1 else 1)]
+    try:
+        parse_mp3(trunc)
+    except MP3Error:
+        pass
