@@ -293,3 +293,552 @@ def parse_mp3(b: bytes) -> dict:
         "id3v2": has_id3v2,
         "id3v1": has_id3v1,
     }
+
+
+# --------------------------------------------------------------------------
+# FLAC frame codec — REAL sample decode (and the encoder as its vector
+# generator), same tiering as the image legs: PNG/JPEG decode real
+# pixels, this decodes real PCM. Scope: CONSTANT / VERBATIM / FIXED
+# (orders 0-4) / LPC (orders 1-32) subframes, partitioned Rice
+# residuals incl. the escape mode, wasted bits, all four channel
+# assignments (independent, left/side, right/side, mid/side), CRC-8
+# frame-header and CRC-16 frame checks (mismatch -> typed FLACError).
+# Layout facts from RFC 9639 §9 (frame structure) and the libFLAC
+# bit conventions (unary = N zero bits + one; Rice zigzag
+# (v<<1)^(v>>63)).
+# --------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits == 0:
+            return
+        value &= (1 << bits) - 1
+        self.cur = (self.cur << bits) | value
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.cur >> self.nbits) & 0xFF)
+        self.cur &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then the terminating one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # bit position
+        self.end = len(data) * 8
+
+    def read(self, bits: int) -> int:
+        if self.pos + bits > self.end:
+            raise FLACError("bitstream truncated")
+        out = 0
+        p = self.pos
+        d = self.data
+        for _ in range(bits):
+            out = (out << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return out
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        if bits and v >= (1 << (bits - 1)):
+            v -= 1 << bits
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            if self.pos >= self.end:
+                raise FLACError("bitstream truncated in unary")
+            bit = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+            self.pos += 1
+            if bit:
+                return q
+            q += 1
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style extended coded number (frame index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (1 + 5 * nbytes)) and nbytes < 7:
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_coded(br: _BitReader) -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise FLACError("invalid coded number")
+    n = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise FLACError("invalid coded-number continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n
+
+
+def _write_residual(bw: _BitWriter, resid: list[int], block: int, order: int) -> None:
+    """One-partition Rice residual (method 0 when the parameter fits
+    4 bits, method 1 otherwise; escape to raw when even rice2 can't
+    hold it)."""
+    n = len(resid)
+    if n:
+        total = sum(_zigzag(v) for v in resid)
+        param = 0
+        while (n << (param + 1)) < total and param < 30:
+            param += 1
+    else:
+        param = 0
+    method = 0 if param <= 14 else 1
+    pbits = 4 if method == 0 else 5
+    escape_code = 0xF if method == 0 else 0x1F
+    bw.write(method, 2)
+    bw.write(0, 4)  # partition order 0 -> one partition
+    max_u = max((_zigzag(v) for v in resid), default=0)
+    if param <= (30 if method else 14) and (max_u >> param) < (1 << 20):
+        bw.write(param, pbits)
+        for v in resid:
+            u = _zigzag(v)
+            bw.write_unary(u >> param)
+            bw.write(u & ((1 << param) - 1), param)
+    else:  # escape: raw residuals
+        bw.write(escape_code, pbits)
+        width = max(max((abs(v) for v in resid), default=0).bit_length() + 1, 1)
+        bw.write(width, 5)
+        for v in resid:
+            bw.write(v & ((1 << width) - 1), width)
+
+
+def _read_residual(br: _BitReader, block: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise FLACError("reserved residual method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if block % nparts:
+        raise FLACError("partition order does not divide block size")
+    out: list[int] = []
+    for j in range(nparts):
+        cnt = (block >> porder) - (order if j == 0 else 0)
+        if cnt < 0:
+            raise FLACError("predictor order exceeds first partition")
+        param = br.read(pbits)
+        if param == escape:
+            width = br.read(5)
+            for _ in range(cnt):
+                out.append(br.read_signed(width) if width else 0)
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << param) | (br.read(param) if param else 0)
+                out.append(_unzigzag(u))
+    return out
+
+
+def _predict(warm: list[int], resid: list[int], coefs: list[int], shift: int) -> list[int]:
+    out = list(warm)
+    for r in resid:
+        pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
+        out.append(r + (pred >> shift))
+    return out
+
+
+def encode_flac_pcm(
+    samples,
+    sample_rate: int,
+    bits_per_sample: int = 16,
+    block_size: int = 4096,
+    stereo_mode: str = "auto",
+    subframe_type: str = "auto",
+) -> bytes:
+    """Encode PCM (numpy (n, ch) or list-of-lists int) as a REAL FLAC
+    file: STREAMINFO + frames whose subframes pick
+    CONSTANT / FIXED order 0-2 (best by residual magnitude, Rice
+    partition-0) / VERBATIM per block and channel; 2-channel input
+    additionally tries mid/side when ``stereo_mode='auto'`` ('ms'
+    forces it, 'independent' disables). Channels whose samples share
+    trailing zero bits emit the wasted-bits form. decode_flac_pcm must
+    return bit-identical samples. ``subframe_type`` forces a shape for
+    decoder coverage: 'verbatim', or 'lpc1' (true LPC header, order 1,
+    coefficient 2 with shift 1 — the previous-sample predictor encoded
+    through the quantized-LPC path)."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    if not (1 <= ch <= 8):
+        raise ValueError("1..8 channels")
+    lo, hi = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
+    if n and (a.min() < lo or a.max() > hi):
+        raise ValueError("sample out of range for bits_per_sample")
+
+    out = bytearray(
+        encode_flac(sample_rate, ch, bits_per_sample, n, frame_bytes=0)
+    )
+
+    def best_subframe(chan: list[int], bps: int):
+        """(kind, payload-writer) minimizing a cheap size proxy."""
+        if all(v == chan[0] for v in chan) and chan:
+            return ("constant", None, None)
+        best = ("verbatim", None, len(chan) * bps)
+        for order in (0, 1, 2):
+            if len(chan) <= order:
+                continue
+            coefs = _FIXED_COEFS[order]
+            resid = [
+                chan[i] - sum(c * chan[i - j - 1] for j, c in enumerate(coefs))
+                for i in range(order, len(chan))
+            ]
+            cost = order * bps + sum(
+                _zigzag(v).bit_length() + 2 for v in resid
+            )
+            if cost < best[2]:
+                best = (("fixed", order), resid, cost)
+        return (best[0], best[1], best[2]) if best[0] != "verbatim" else (
+            "verbatim", None, None,
+        )
+
+    def write_subframe(bw: _BitWriter, chan: list[int], bps: int) -> None:
+        # wasted bits: shared trailing zeros move into the header so
+        # the payload codes fewer bits per sample
+        wasted = 0
+        if any(chan):
+            wasted = min(
+                (v & -v).bit_length() - 1 for v in chan if v
+            )
+            wasted = min(wasted, bps - 1)
+        if wasted:
+            chan = [v >> wasted for v in chan]
+        eff = bps - wasted
+
+        def header(stype: int) -> None:
+            bw.write(0, 1)  # zero bit
+            bw.write(stype, 6)
+            if wasted:
+                bw.write(1, 1)
+                bw.write_unary(wasted - 1)
+            else:
+                bw.write(0, 1)
+
+        if subframe_type == "verbatim":
+            kind, resid = "verbatim", None
+        elif subframe_type == "lpc1" and len(chan) > 1:
+            header(0b100000)  # LPC, order 1
+            bw.write(chan[0] & ((1 << eff) - 1), eff)  # warmup
+            bw.write(3 - 1, 4)  # precision-1: 3-bit signed coefficients
+            bw.write(1, 5)  # shift 1
+            bw.write(2 & 0b111, 3)  # coef +2 -> pred = (2*prev) >> 1
+            resid = [chan[i] - chan[i - 1] for i in range(1, len(chan))]
+            _write_residual(bw, resid, len(chan), 1)
+            return
+        else:
+            kind, resid, _ = best_subframe(chan, eff)
+        if kind == "constant":
+            header(0b000000)
+            bw.write(chan[0] & ((1 << eff) - 1), eff)
+            return
+        if kind == "verbatim":
+            header(0b000001)
+            for v in chan:
+                bw.write(v & ((1 << eff) - 1), eff)
+            return
+        _, order = kind
+        header(0b001000 | order)
+        for v in chan[:order]:
+            bw.write(v & ((1 << eff) - 1), eff)
+        _write_residual(bw, resid, len(chan), order)
+
+    frame_idx = 0
+    for start in range(0, max(n, 1), block_size):
+        block = a[start : start + block_size]
+        bn = len(block)
+        if bn == 0:
+            break
+        chans = [list(map(int, block[:, c])) for c in range(ch)]
+        assignment = ch - 1
+        bps_per_chan = [bits_per_sample] * ch
+        if ch == 2 and stereo_mode in ("auto", "ms") and bn:
+            left, right = chans
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            side = [l - r for l, r in zip(left, right)]
+            use_ms = stereo_mode == "ms" or (
+                sum(_zigzag(v).bit_length() for v in side)
+                < sum(_zigzag(v).bit_length() for v in right)
+            )
+            if use_ms:
+                chans = [mid, side]
+                assignment = 0b1010
+                bps_per_chan = [bits_per_sample, bits_per_sample + 1]
+
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocking
+        hdr.write(0b0111, 4)  # blocksize: 16-bit at end, value-1
+        hdr.write(0b0000, 4)  # samplerate: from STREAMINFO
+        hdr.write(assignment, 4)
+        bps_code = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}.get(
+            bits_per_sample, 0b000
+        )
+        hdr.write(bps_code, 3)
+        hdr.write(0, 1)  # reserved
+        hdr.align()
+        hdr_bytes = bytearray(hdr.bytes())
+        hdr_bytes += _utf8_coded(frame_idx)
+        hdr_bytes += (bn - 1).to_bytes(2, "big")
+        hdr_bytes.append(_crc8(bytes(hdr_bytes)))
+
+        body = _BitWriter()
+        for c in range(len(chans)):
+            write_subframe(body, chans[c], bps_per_chan[c])
+        body.align()
+        frame = bytes(hdr_bytes) + body.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+        frame_idx += 1
+    return bytes(out)
+
+
+_FRAME_RATES = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+_FRAME_BPS = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
+
+
+def decode_flac_pcm(b: bytes):
+    """REAL FLAC sample decode: STREAMINFO + every frame —
+    constant/verbatim/fixed 0-4/LPC 1-32 subframes, partitioned Rice
+    (+escape), wasted bits, all stereo decorrelations, CRC-8/CRC-16
+    verified. Returns (sample_rate, n_channels, samples) with samples
+    a numpy int64 array of shape (n, ch). Raises FLACError on any
+    malformation — the quarantine contract."""
+    import numpy as np
+
+    info = parse_flac(b)
+    rate = info["sample_rate"]
+    ch = info["channels"]
+    bps = info["bits_per_sample"]
+    total = info["total_samples"]
+
+    # skip the metadata region parse_flac validated
+    i = 4
+    while True:
+        hdr = b[i]
+        blen = int.from_bytes(b[i + 1 : i + 4], "big")
+        i += 4 + blen
+        if hdr & 0x80:
+            break
+
+    # decode EVERY frame to the end of the stream — trailing bytes
+    # that aren't frames, and frame totals disagreeing with STREAMINFO
+    # in either direction, are malformations (strict contract)
+    rows: list[list[int]] = []
+    while i < len(b):
+        frame_start = i
+        br = _BitReader(b, i * 8)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise FLACError(f"lost frame sync at byte {i}")
+        if br.read(1):
+            raise FLACError("reserved frame-header bit set")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        assignment = br.read(4)
+        bps_code = br.read(3)
+        if br.read(1):
+            raise FLACError("reserved frame-header bit set")
+        _read_utf8_coded(br)
+        if bs_code == 0:
+            raise FLACError("reserved blocksize code")
+        elif bs_code == 1:
+            bn = 192
+        elif 2 <= bs_code <= 5:
+            bn = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            bn = br.read(8) + 1
+        elif bs_code == 7:
+            bn = br.read(16) + 1
+        else:
+            bn = 256 << (bs_code - 8)
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        elif sr_code == 0b1111:
+            raise FLACError("invalid samplerate code")
+        elif sr_code and sr_code not in _FRAME_RATES:
+            raise FLACError("reserved samplerate code")
+        # CRC-8 covers the header bytes up to here
+        hdr_end = (br.pos + 7) >> 3
+        if br.pos % 8:
+            raise FLACError("frame header not byte-aligned")
+        if _crc8(b[frame_start:hdr_end]) != br.read(8):
+            raise FLACError("frame header CRC-8 mismatch")
+
+        if assignment <= 0b0111:
+            n_sub = assignment + 1
+            sub_bps = [bps] * n_sub
+        elif assignment in (0b1000, 0b1001, 0b1010):
+            if ch != 2:
+                raise FLACError("stereo decorrelation in non-stereo stream")
+            n_sub = 2
+            sub_bps = [bps, bps + 1] if assignment != 0b1001 else [bps + 1, bps]
+        else:
+            raise FLACError("reserved channel assignment")
+        if assignment <= 0b0111 and n_sub != ch:
+            raise FLACError("channel count mismatch")
+
+        subframes: list[list[int]] = []
+        for c in range(n_sub):
+            if br.read(1):
+                raise FLACError("subframe padding bit set")
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = br.read_unary() + 1
+            eff = sub_bps[c] - wasted
+            if eff <= 0:
+                raise FLACError("wasted bits exceed sample size")
+            if stype == 0b000000:
+                v = br.read_signed(eff)
+                chan = [v] * bn
+            elif stype == 0b000001:
+                chan = [br.read_signed(eff) for _ in range(bn)]
+            elif 0b001000 <= stype <= 0b001100:
+                order = stype & 0x07
+                if order > bn:
+                    raise FLACError("fixed order exceeds block")
+                warm = [br.read_signed(eff) for _ in range(order)]
+                resid = _read_residual(br, bn, order)
+                chan = _predict(warm, resid, _FIXED_COEFS[order], 0)
+            elif stype >= 0b100000:
+                order = (stype & 0x1F) + 1
+                if order > bn:
+                    raise FLACError("lpc order exceeds block")
+                warm = [br.read_signed(eff) for _ in range(order)]
+                prec = br.read(4)
+                if prec == 0xF:
+                    raise FLACError("invalid lpc precision")
+                prec += 1
+                shift = br.read_signed(5)
+                if shift < 0:
+                    raise FLACError("negative lpc shift")
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                resid = _read_residual(br, bn, order)
+                chan = _predict(warm, resid, coefs, shift)
+            else:
+                raise FLACError("reserved subframe type")
+            if wasted:
+                chan = [v << wasted for v in chan]
+            subframes.append(chan)
+
+        br.align()
+        frame_end = br.pos >> 3
+        if frame_end + 2 > len(b):
+            raise FLACError("truncated frame CRC")
+        if _crc16(b[frame_start:frame_end]) != int.from_bytes(
+            b[frame_end : frame_end + 2], "big"
+        ):
+            raise FLACError("frame CRC-16 mismatch")
+        i = frame_end + 2
+
+        if assignment == 0b1000:  # left/side
+            left, side = subframes
+            subframes = [left, [l - s for l, s in zip(left, side)]]
+        elif assignment == 0b1001:  # right/side (side first)
+            side, right = subframes
+            subframes = [[r + s for r, s in zip(right, side)], right]
+        elif assignment == 0b1010:  # mid/side
+            mid, side = subframes
+            left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+            right = [(((m << 1) | (s & 1)) - s) >> 1 for m, s in zip(mid, side)]
+            subframes = [left, right]
+        rows.extend(map(list, zip(*subframes)))
+
+    if total and len(rows) != total:
+        raise FLACError(
+            f"decoded {len(rows)} samples, STREAMINFO declared {total}"
+        )
+    return rate, ch, np.asarray(rows, dtype=np.int64).reshape(-1, ch)

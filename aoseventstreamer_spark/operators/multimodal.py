@@ -709,13 +709,19 @@ _WAV_RATES = [8000, 16000, 44100]
 def wrap_as_wav(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Media table whose payloads are REAL PCM16 WAV files with
+    """Media table whose payloads carry REAL PCM audio with
     deterministic samples derived from row fields — sample
     s[i, c] = ((id·31 + i·17 + c·11) mod 4001) − 2000 — so the decoded
     feature evidence (q_audio_features) is computable in closed form
-    by a SQL oracle. Rows with id % 23 == 0 truncate to 20 bytes to
-    exercise the null-feature quarantine path."""
+    by a SQL oracle. Even ids get PCM16 WAV; odd ids get the SAME
+    samples losslessly compressed as real FLAC
+    (functions/audio.encode_flac_pcm — rice-coded fixed/constant
+    subframes, mid/side, CRCs), so one oracle formula verifies BOTH
+    decode paths bit-for-bit. Rows with id % 23 == 0 truncate to 20
+    bytes to exercise the null-evidence quarantine path."""
     import struct
+
+    from ..functions.audio import encode_flac_pcm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -725,23 +731,33 @@ def wrap_as_wav(
                 nf = did % 50 + 4
                 ch = did % 2 + 1
                 rate = _WAV_RATES[did % 3]
-                frames = bytearray()
-                for i in range(nf):
-                    for c in range(ch):
-                        s = ((did * 31 + i * 17 + c * 11) % 4001) - 2000
-                        frames += struct.pack("<h", s)
-                hdr = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(frames))
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack(
-                        "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16
+                samples = [
+                    [
+                        ((did * 31 + i * 17 + c * 11) % 4001) - 2000
+                        for c in range(ch)
+                    ]
+                    for i in range(nf)
+                ]
+                if did % 2 == 1:
+                    b = encode_flac_pcm(samples, rate, block_size=16)
+                else:
+                    frames = bytearray()
+                    for row in samples:
+                        for s in row:
+                            frames += struct.pack("<h", s)
+                    hdr = (
+                        b"RIFF"
+                        + struct.pack("<I", 36 + len(frames))
+                        + b"WAVE"
+                        + b"fmt "
+                        + struct.pack(
+                            "<IHHIIHH", 16, 1, ch, rate, rate * ch * 2,
+                            ch * 2, 16,
+                        )
+                        + b"data"
+                        + struct.pack("<I", len(frames))
                     )
-                    + b"data"
-                    + struct.pack("<I", len(frames))
-                )
-                b = hdr + bytes(frames)
+                    b = hdr + bytes(frames)
                 payloads.append(b[:20] if did % 23 == 0 else b)
             yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
 
@@ -759,6 +775,7 @@ def wrap_as_wav(
 AUDIO_EVIDENCE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("n_frames", T.LongType()),
@@ -772,22 +789,33 @@ AUDIO_EVIDENCE_SCHEMA = T.StructType(
 
 def extract_audio_evidence(media: DataFrame) -> DataFrame:
     """The INTEGER-evidence sibling of extract_audio_features: decoded
-    PCM16 features expressed in cross-engine-exact integers — sum of
+    PCM features expressed in cross-engine-exact integers — sum of
     squared samples (energy; rms = sqrt(sum_sq/n) is the derived
     float), int32-safe absolute peak, and sign changes of the
     integer channel-sum mono mix (< 0 rule, no float signbit) — the
-    q_hll denom_scaled discipline applied to audio. Undecodable
-    payloads yield null evidence, never task failures."""
+    q_hll denom_scaled discipline applied to audio. Dispatches by
+    CONTENT: RIFF/WAVE payloads through decode_wav_pcm, fLaC payloads
+    through the full FLAC frame decoder
+    (functions/audio.decode_flac_pcm — rice residuals, predictors,
+    stereo decorrelation, CRCs). Undecodable payloads yield null
+    evidence, never task failures."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import decode_flac_pcm
+
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in AUDIO_EVIDENCE_SCHEMA}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 row = dict.fromkeys(out)
                 row["media_id"] = mid
                 try:
-                    rate, ch, samples = decode_wav_pcm(payload)
+                    if bytes(payload or b"")[:4] == b"fLaC":
+                        rate, ch, samples = decode_flac_pcm(bytes(payload))
+                        row["container"] = "flac"
+                    else:
+                        rate, ch, samples = decode_wav_pcm(payload)
+                        row["container"] = "wav"
                     s = samples.astype(np.int64)
                     n = len(s)
                     mono = s.sum(axis=1)
@@ -810,6 +838,7 @@ def extract_audio_evidence(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": out["media_id"],
+                    "container": out["container"],
                     "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
                     "n_channels": pd.array(out["n_channels"], dtype="Int32"),
                     "n_frames": pd.array(out["n_frames"], dtype="Int64"),

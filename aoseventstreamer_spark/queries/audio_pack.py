@@ -121,6 +121,8 @@ ev AS (
   FROM samp GROUP BY doc_id
 )
 SELECT s.doc_id AS media_id,
+  CASE WHEN s.quarantined THEN NULL
+       WHEN s.doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
   CASE WHEN s.quarantined THEN NULL ELSE CAST(s.rate AS INT) END AS sample_rate,
   CASE WHEN s.quarantined THEN NULL ELSE CAST(s.ch AS INT) END AS n_channels,
   CASE WHEN s.quarantined THEN NULL ELSE CAST(s.nf AS BIGINT) END AS n_frames,
@@ -138,16 +140,19 @@ LEFT JOIN flips f ON f.doc_id = s.doc_id
 
 @query("q_audio_features", oracle=_AUDIO_FEATURES_ORACLE)
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded-PCM audio features in cross-engine-exact integers:
-    build REAL 16-bit PCM WAVs on the executors with closed-form
-    samples (wrap_as_wav), decode them back (decode_wav_pcm — genuine
-    RIFF chunk walk + numpy), and emit energy (sum of squared
-    samples), absolute peak, and integer-mono sign changes — the
-    float rms/zero-crossing-rate of extract_audio_features are
-    derived display values of exactly this evidence. Truncated rows
-    (id % 23 = 0) surface as null-evidence quarantine rows. The
-    oracle recomputes every sample with range() generators, so any
-    byte-level encode OR decode error breaks the hash."""
+    """Decoded-PCM audio features in cross-engine-exact integers,
+    across BOTH decode paths: even rows carry 16-bit PCM WAVs (decoded
+    by the genuine RIFF chunk walk), odd rows carry the SAME
+    closed-form samples losslessly compressed as REAL FLAC — rice-coded
+    fixed/constant subframes, mid/side decorrelation, CRC-8/16
+    (functions/audio.encode_flac_pcm / decode_flac_pcm, the full frame
+    codec) — and both emit energy (sum of squared samples), absolute
+    peak, and integer-mono sign changes; the float
+    rms/zero-crossing-rate of extract_audio_features are derived
+    display values of exactly this evidence. Truncated rows
+    (id % 23 = 0) surface as null-evidence quarantine rows. The oracle
+    recomputes every sample with range() generators, so any byte-level
+    error in EITHER codec breaks the hash."""
     from aoseventstreamer_spark.operators.multimodal import (
         extract_audio_evidence,
         wrap_as_wav,

@@ -309,3 +309,110 @@ def test_mp3_roundtrip_property(n, br, sr, mode, mpeg2, id3v2, id3v1):
         parse_mp3(trunc)
     except MP3Error:
         pass
+
+
+# ----------------------------------------------------- FLAC frame codec
+
+def test_flac_pcm_roundtrip_matrix():
+    import numpy as np
+
+    from aoseventstreamer_spark.functions.audio import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        # (samples, rate, bps, kwargs) — each exercises a decode path
+        ((np.arange(1000) % 997 - 500)[:, None], 44100, 16, {}),  # FIXED
+        (np.full((9000, 2), -123), 8000, 16, {}),  # CONSTANT, multiblock
+        (rng.randint(-128, 128, (700, 1)), 16000, 8, {}),  # 8-bit noise
+        (rng.randint(-(1 << 22), 1 << 22, (500, 1)), 96000, 24, {}),  # 24b
+        (rng.randint(-100, 100, (800, 2)) * 16, 22050, 16,
+         {"stereo_mode": "independent"}),  # wasted bits
+        ((np.arange(1000) % 997 - 500)[:, None], 44100, 16,
+         {"subframe_type": "lpc1"}),  # quantized-LPC path
+        ((np.arange(500) % 97 - 48)[:, None], 44100, 16,
+         {"subframe_type": "verbatim"}),  # VERBATIM
+        (np.zeros((0, 2), dtype=np.int64), 44100, 16, {}),  # empty
+    ]
+    for samples, rate, bps, kw in cases:
+        samples = np.asarray(samples, dtype=np.int64)
+        blob = encode_flac_pcm(samples, rate, bits_per_sample=bps, **kw)
+        got_rate, got_ch, got = decode_flac_pcm(blob)
+        assert got_rate == rate
+        assert np.array_equal(got, samples.reshape(-1, samples.shape[-1])), kw
+
+
+def test_flac_pcm_mid_side_exact():
+    import numpy as np
+
+    from aoseventstreamer_spark.functions.audio import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    rng = np.random.RandomState(3)
+    l = rng.randint(-3000, 3000, 5000).astype(np.int64)
+    r = l + rng.randint(-20, 20, 5000)  # correlated -> m/s wins
+    st = np.stack([l, r], axis=1)
+    auto = encode_flac_pcm(st, 48000)
+    forced = encode_flac_pcm(st, 48000, stereo_mode="ms")
+    indep = encode_flac_pcm(st, 48000, stereo_mode="independent")
+    assert np.array_equal(decode_flac_pcm(auto)[2], st)
+    assert np.array_equal(decode_flac_pcm(forced)[2], st)
+    assert np.array_equal(decode_flac_pcm(indep)[2], st)
+    assert len(forced) < len(indep)  # the decorrelation actually pays
+
+
+def test_flac_pcm_compresses():
+    import numpy as np
+
+    from aoseventstreamer_spark.functions.audio import encode_flac_pcm
+
+    s = (np.arange(1000) % 997 - 500).astype(np.int64)[:, None]
+    assert len(encode_flac_pcm(s, 44100)) < s.size * 2 * 0.4
+
+
+def test_flac_pcm_corruption_typed():
+    import numpy as np
+    import pytest as _pytest
+
+    from aoseventstreamer_spark.functions.audio import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    s = (np.arange(400) % 211 - 100).astype(np.int64)[:, None]
+    good = encode_flac_pcm(s, 44100)
+    hdr_end = len(encode_flac_pcm(np.zeros((0, 1), np.int64), 44100))
+    for cut in (len(good) - 1, hdr_end + 3):
+        with _pytest.raises(FLACError):
+            decode_flac_pcm(good[:cut])
+    flipped = bytearray(good)
+    flipped[-3] ^= 0xFF  # inside the last frame -> CRC-16 must catch
+    with _pytest.raises(FLACError, match="CRC"):
+        decode_flac_pcm(bytes(flipped))
+    # sample-count mismatch vs STREAMINFO
+    with _pytest.raises(FLACError, match="declared"):
+        decode_flac_pcm(good + good[hdr_end:])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 3),
+    st.integers(8, 16),
+    st.lists(st.integers(-120, 120), min_size=0, max_size=200),
+)
+def test_flac_pcm_roundtrip_property(ch, bps, flat):
+    import numpy as np
+
+    from aoseventstreamer_spark.functions.audio import (
+        decode_flac_pcm,
+        encode_flac_pcm,
+    )
+
+    n = (len(flat) // ch) * ch
+    samples = np.asarray(flat[:n], dtype=np.int64).reshape(-1, ch)
+    blob = encode_flac_pcm(samples, 44100, bits_per_sample=bps, block_size=64)
+    assert np.array_equal(decode_flac_pcm(blob)[2], samples)
