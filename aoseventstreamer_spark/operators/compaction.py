@@ -186,11 +186,18 @@ def compact_event_log(
         tmp_dir = part_dir + _TMP_SUFFIX
         bak_dir = part_dir + _BAK_SUFFIX
         n_out = max(1, math.ceil(total / target_file_bytes))
-        # partition-pruned scan of exactly this leaf dir; partition
-        # values live in the DIR NAME, so the files are read and
-        # rewritten verbatim without touching partition columns
+        # read EXACTLY the listed files, not the directory: a writer
+        # appending between the listing and this read would otherwise
+        # slip its rows into the rewrite while its file also survives
+        # the straggler reconciliation below — duplicating them. With
+        # the pinned list, rewrite rows == listed rows, and any file
+        # that appeared later is moved over verbatim. Partition values
+        # live in the DIR NAME, so rows are copied without touching
+        # partition columns.
+        listed = {st.getPath().getName() for st in statuses}
+        file_paths = [st.getPath().toUri().getPath() for st in statuses]
         (
-            spark.read.parquet(part_dir)
+            spark.read.parquet(*file_paths)
             .coalesce(n_out)
             .write.mode("overwrite")
             .parquet(tmp_dir)
@@ -201,6 +208,18 @@ def compact_event_log(
             # roll back so the log stays readable
             fs.rename(Path(bak_dir), Path(part_dir))
             raise IOError(f"compaction swap failed installing {tmp_dir}")
+        # straggler reconciliation: files that landed in the live dir
+        # AFTER the listing travelled into bak with the rename — move
+        # them into the compacted dir (part filenames carry job UUIDs,
+        # so collisions can't happen) before dropping bak
+        for st in fs.listStatus(Path(bak_dir)):
+            name = st.getPath().getName()
+            if st.isDirectory() or _is_hidden(name) or name in listed:
+                continue
+            if not fs.rename(st.getPath(), Path(f"{part_dir}/{name}")):
+                raise IOError(
+                    f"failed to preserve straggler {name} in {part_dir}"
+                )
         fs.delete(Path(bak_dir), True)
         n_after = sum(
             1

@@ -206,3 +206,40 @@ def test_compaction_makes_live_file_stream_redeliver(spark, tmp_path):
     # the compacted files are NEW paths -> the restarted stream
     # re-delivers every compacted row (at-least-once, not exactly-once)
     assert sum(seen) > total
+
+
+def test_concurrent_append_during_compaction_survives(spark, tmp_path, monkeypatch):
+    """A writer appending between compaction's LISTING and its swap
+    must lose nothing and duplicate nothing: the rewrite reads exactly
+    the listed files, and the straggler file travels into the
+    compacted dir during reconciliation. Simulated by intercepting the
+    listing and dropping one data file from one partition — exactly
+    what a just-appended file looks like to the job."""
+    from aoseventstreamer_spark.operators import compaction as C
+
+    path = _write_fragmented(spark, tmp_path)
+    before = _table_hash(spark, path)
+
+    real_walk = C._walk_leaf_partitions
+    dropped = {}
+
+    def stale_walk(fs, jpath, jvm):
+        parts = real_walk(fs, jpath, jvm)
+        for rel, statuses in parts.items():
+            if rel and len(statuses) > 3 and not dropped:
+                straggler = statuses.pop()  # "appeared after the listing"
+                dropped[rel] = straggler.getPath().getName()
+        return parts
+
+    monkeypatch.setattr(C, "_walk_leaf_partitions", stale_walk)
+    report = C.compact_event_log(
+        spark, path, target_file_bytes=1 << 30, small_file_bytes=1 << 20,
+        min_files=2,
+    ).collect()
+    assert dropped, "fixture produced no partition to perturb"
+    assert any(r.compacted for r in report)
+    # every row exactly once: the straggler's rows are NOT in the
+    # rewrite and its file survived reconciliation
+    assert _table_hash(spark, path) == before
+    (rel, name), = dropped.items()
+    assert os.path.exists(os.path.join(path, rel, name))
