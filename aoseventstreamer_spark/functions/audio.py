@@ -239,44 +239,57 @@ def parse_mp3(b: bytes) -> dict:
         if i > len(b):
             raise MP3Error("ID3v2 tag overflows stream")
         has_id3v2 = True
-    end = len(b)
-    has_id3v1 = False
-    if end - i >= 128 and b[end - 128 : end - 125] == b"TAG":
-        end -= 128
-        has_id3v1 = True
-    first = None
-    n_frames = 0
-    while i < end:
-        if i + 4 > end:
-            raise MP3Error(f"truncated frame header at {i}")
-        if b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
-            raise MP3Error(f"lost frame sync at {i}")
-        version_bits = (b[i + 1] >> 3) & 0x3
-        layer_bits = (b[i + 1] >> 1) & 0x3
-        if version_bits == 0b01:
-            raise MP3Error("reserved MPEG version")
-        if layer_bits != 0b01:
-            raise MP3Error("not Layer III")
-        mpeg2 = version_bits != 0b11
-        br_idx = (b[i + 2] >> 4) & 0xF
-        sr_idx = (b[i + 2] >> 2) & 0x3
-        padding = (b[i + 2] >> 1) & 0x1
-        mode = (b[i + 3] >> 6) & 0x3
-        bitrate = (_BITRATES_V2_L3 if mpeg2 else _BITRATES_V1_L3)[br_idx]
-        rate = (_RATES_V2 if mpeg2 else _RATES_V1)[sr_idx]
-        if bitrate is None or rate is None:
-            raise MP3Error("free/reserved bitrate or samplerate index")
+    def walk(start: int, end: int):
+        j = start
+        first = None
+        n_frames = 0
+        while j < end:
+            if j + 4 > end:
+                raise MP3Error(f"truncated frame header at {j}")
+            if b[j] != 0xFF or (b[j + 1] & 0xE0) != 0xE0:
+                raise MP3Error(f"lost frame sync at {j}")
+            version_bits = (b[j + 1] >> 3) & 0x3
+            layer_bits = (b[j + 1] >> 1) & 0x3
+            if version_bits == 0b01:
+                raise MP3Error("reserved MPEG version")
+            if layer_bits != 0b01:
+                raise MP3Error("not Layer III")
+            mpeg2 = version_bits != 0b11
+            br_idx = (b[j + 2] >> 4) & 0xF
+            sr_idx = (b[j + 2] >> 2) & 0x3
+            padding = (b[j + 2] >> 1) & 0x1
+            mode = (b[j + 3] >> 6) & 0x3
+            bitrate = (_BITRATES_V2_L3 if mpeg2 else _BITRATES_V1_L3)[br_idx]
+            rate = (_RATES_V2 if mpeg2 else _RATES_V1)[sr_idx]
+            if bitrate is None or rate is None:
+                raise MP3Error("free/reserved bitrate or samplerate index")
+            if first is None:
+                first = (mpeg2, rate, bitrate, mode)
+            elif (mpeg2, rate) != (first[0], first[1]):
+                raise MP3Error("version/samplerate changed mid-stream")
+            frame_len = (
+                (72000 if mpeg2 else 144000) * bitrate
+            ) // rate + padding
+            if j + frame_len > end:
+                raise MP3Error(f"truncated frame at {j}")
+            j += frame_len
+            n_frames += 1
         if first is None:
-            first = (mpeg2, rate, bitrate, mode)
-        elif (mpeg2, rate) != (first[0], first[1]):
-            raise MP3Error("version/samplerate changed mid-stream")
-        frame_len = ((72000 if mpeg2 else 144000) * bitrate) // rate + padding
-        if i + frame_len > end:
-            raise MP3Error(f"truncated frame at {i}")
-        i += frame_len
-        n_frames += 1
-    if first is None:
-        raise MP3Error("no frames")
+            raise MP3Error("no frames")
+        return first, n_frames
+
+    # prefer the no-trailer read: 'TAG' at end-128 is usually an ID3v1
+    # trailer but can legally be the last frame's payload bytes — strip
+    # it only when the gapless walk fails WITH the trailer in place
+    has_tag = len(b) - i >= 128 and b[len(b) - 128 : len(b) - 125] == b"TAG"
+    has_id3v1 = False
+    try:
+        first, n_frames = walk(i, len(b))
+    except MP3Error:
+        if not has_tag:
+            raise
+        first, n_frames = walk(i, len(b) - 128)
+        has_id3v1 = True
     mpeg2, rate, bitrate, mode = first
     spf = 576 if mpeg2 else 1152
     n_samples = n_frames * spf

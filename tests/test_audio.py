@@ -416,3 +416,18 @@ def test_flac_pcm_roundtrip_property(ch, bps, flat):
     samples = np.asarray(flat[:n], dtype=np.int64).reshape(-1, ch)
     blob = encode_flac_pcm(samples, 44100, bits_per_sample=bps, block_size=64)
     assert np.array_equal(decode_flac_pcm(blob)[2], samples)
+
+
+def test_mp3_tag_bytes_inside_final_frame_not_stripped():
+    """'TAG' landing exactly at end-128 INSIDE the last frame's payload
+    must not be mistaken for an ID3v1 trailer (the r7 self-review
+    finding): the gapless no-trailer walk is tried first."""
+    b = bytearray(encode_mp3(3, bitrate_idx=9, samplerate_idx=0))
+    assert len(b) >= 128
+    b[len(b) - 128 : len(b) - 125] = b"TAG"
+    m = parse_mp3(bytes(b))
+    assert m["n_frames"] == 3 and not m["id3v1"]
+    # while a REAL trailer (frames end exactly 128 bytes early) is
+    # still recognized
+    m2 = parse_mp3(encode_mp3(3, bitrate_idx=9, samplerate_idx=0, id3v1=True))
+    assert m2["n_frames"] == 3 and m2["id3v1"]
