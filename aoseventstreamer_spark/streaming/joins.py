@@ -35,11 +35,14 @@ def windowed_attribution(
     ``how='left_outer'`` additionally emits every UNMATCHED left event
     (right columns null) once the watermark passes its join horizon —
     the "clicks that never converted" stream, which an inner join can
-    never produce. Spark requires the time-interval condition for
-    outer stream-stream joins precisely so it can prove when an
-    unmatched row is final; state stays bounded exactly as for inner.
+    never produce. ``right_outer`` mirrors it ("purchases with no
+    preceding click" — the fraud-screen shape), and ``full_outer``
+    emits BOTH unmatched sides, completing the stream-stream join
+    matrix. Spark requires the time-interval condition for outer
+    stream-stream joins precisely so it can prove when an unmatched
+    row is final; state stays bounded exactly as for inner.
     """
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type: {how}")
     l = left.withWatermark(ts_col, state_watermark).alias("l")
     r = right.withWatermark(ts_col, state_watermark).alias("r")
@@ -49,7 +52,9 @@ def windowed_attribution(
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how).select(
-        F.col(f"l.{key}").alias(key),
+        # coalesce: an unmatched RIGHT row (right/full outer) carries
+        # the key only on its own side
+        F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key),
         F.col(f"l.{ts_col}").alias("left_ts"),
         F.col(f"r.{ts_col}").alias("right_ts"),
         F.col(f"l.{id_col}").alias("left_id"),

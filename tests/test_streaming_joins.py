@@ -107,3 +107,69 @@ def test_windowed_attribution_left_outer_emits_unmatched(spark, tmp_path):
     assert (1, 1, 10) in got            # matched pair, right cols populated
     assert (2, 2, None) in got          # unmatched click flushed with nulls
     assert (9, 98, 99) not in got       # r.ts must be STRICTLY after l.ts
+
+
+def test_windowed_attribution_full_outer_emits_both_sides(spark, tmp_path):
+    """Full-outer stream-stream join (r7): unmatched CLICKS flush with
+    null right columns AND unmatched PURCHASES flush with null left
+    columns once the watermark passes their horizons — the complete
+    join matrix over bounded state."""
+    clicks = str(tmp_path / "clicks")
+    buys = str(tmp_path / "buys")
+    # user 1 converts; user 2's click never converts; user 3 purchases
+    # with no preceding click
+    _write_batch(spark, clicks,
+                 [_row(1, "2024-01-01 10:00:00", uid=1),
+                  _row(2, "2024-01-01 10:00:00", uid=2)], 1)
+    _write_batch(spark, buys,
+                 [_row(10, "2024-01-01 10:10:00", uid=1, et="purchase"),
+                  _row(13, "2024-01-01 10:07:00", uid=3, et="purchase")], 1)
+    # watermark pushers far past every horizon
+    _write_batch(spark, clicks, [_row(98, "2024-01-01 16:00:00", uid=9)], 2)
+    _write_batch(spark, buys, [_row(99, "2024-01-01 16:00:00", uid=9, et="purchase")], 2)
+
+    joined = windowed_attribution(
+        _stream(spark, clicks), _stream(spark, buys),
+        within="30 minutes", how="full_outer",
+    )
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.left_id, r.right_id) for r in out}
+    assert (1, 1, 10) in got        # matched
+    assert (2, 2, None) in got      # unconverted click
+    assert (3, None, 13) in got     # clickless purchase, key from right
+
+
+def test_windowed_attribution_right_outer(spark, tmp_path):
+    clicks = str(tmp_path / "clicks")
+    buys = str(tmp_path / "buys")
+    _write_batch(spark, clicks, [_row(1, "2024-01-01 10:00:00", uid=1)], 1)
+    _write_batch(spark, buys,
+                 [_row(10, "2024-01-01 10:10:00", uid=1, et="purchase"),
+                  _row(13, "2024-01-01 10:07:00", uid=3, et="purchase")], 1)
+    _write_batch(spark, clicks, [_row(98, "2024-01-01 16:00:00", uid=9)], 2)
+    _write_batch(spark, buys, [_row(99, "2024-01-01 16:00:00", uid=9, et="purchase")], 2)
+
+    joined = windowed_attribution(
+        _stream(spark, clicks), _stream(spark, buys),
+        within="30 minutes", how="right_outer",
+    )
+    out = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, bid: out.extend(df.collect()))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.left_id, r.right_id) for r in out}
+    assert (1, 1, 10) in got
+    assert (3, None, 13) in got     # right side preserved
+    # a right-outer never emits unmatched LEFT rows
+    assert all(rid is not None for _, _, rid in got)
