@@ -89,3 +89,76 @@ def bloom_admit(
         .agg((F.sum(F.coalesce("_hit", F.lit(0))) == k).alias("maybe_seen"))
     )
     return batch.join(flags, key_col)
+
+
+def bloom_pack(bits: DataFrame) -> DataFrame:
+    """Pack the set-bit positions into ONE row holding a
+    word -> 64-bit-mask map (``bloom``): ≤ m/64 entries, broadcastable.
+    The map form (not a dense array) stays proportional to bits SET,
+    so a sparse filter over a huge m ships small."""
+    masks = bits.select(
+        F.expr("pos div 64").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("m"),
+    ).groupBy("word").agg(F.expr("bit_or(m)").alias("mask"))
+    return masks.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "mask"))
+        ).alias("bloom")
+    )
+
+
+def bloom_semi_reduce(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    m: int = 1 << 20,
+    k: int = 3,
+    build_key: str | None = None,
+) -> DataFrame:
+    """Runtime semi-join reduction — the classic 100 TB join trick:
+    build a Bloom filter over the BUILD side's join keys, broadcast it
+    as one packed-bitmap row, and drop probe rows whose keys are
+    definitely absent BEFORE the join's shuffle ever sees them. No
+    false negatives ⇒ the subsequent exact join returns exactly what
+    it would have without the reduction (register-checked by
+    q_bloom_join against the plain-join oracle); false positives only
+    cost a little shuffled dead weight.
+
+    Plan shape: build side pays one distinct-positions shuffle bounded
+    by m; the probe side pays ZERO extra exchanges — the filter is a
+    broadcast cross join of one map row plus a narrow k-probe bit test
+    (Kirsch-Mitzenmacher double hashing, all int64-exact). Spark's own
+    runtime bloom (spark.sql.optimizer.runtime.bloomFilter) does this
+    inside AQE when statistics justify it; this operator is the
+    explicit, engine-portable form for when the planner can't see the
+    selectivity (e.g. the build side is a filtered subquery)."""
+    bkey = build_key or key_col
+    # both sides hash the STRING form of the key so numeric keys hash
+    # identically (md5 over a raw bigint would binary-cast on one side
+    # and string-cast on the other)
+    packed = bloom_pack(
+        bloom_build(
+            build.select(F.col(bkey).cast("string").alias(bkey)), bkey, m, k
+        )
+    )
+    c = F.col(key_col).cast("string")
+    cond = F.lit(True)
+    for i in range(k):
+        pos = (_h1(c) + i * _h2(c)) % m
+        word = F.floor(pos / 64).cast("long")
+        # call_function: the Python shiftleft wrapper requires a
+        # literal int shift, but the SQL function takes expressions
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        cond = cond & (
+            F.coalesce(
+                F.element_at(F.col("bloom"), word), F.lit(0).cast("long")
+            ).bitwiseAND(mask)
+            != 0
+        )
+    return (
+        probe.crossJoin(F.broadcast(packed))
+        .filter(cond)
+        .drop("bloom")
+    )

@@ -750,3 +750,43 @@ def q_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_bloom_join",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           {SQL_SUM_2DP.format(c="l.l_quantity")} AS sum_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 97 = 0
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-reduced fact-fact join (the classic 100 TB shuffle-saver,
+    operators/bloom.bloom_semi_reduce): the build side is a ~1%
+    selective orders subset the PLANNER cannot see the selectivity of;
+    a packed-bitmap Bloom filter over its keys broadcasts as one map
+    row and drops non-matching lineitem rows with a narrow k-probe bit
+    test BEFORE the join shuffle. No false negatives, so the exact
+    join's result — what this query returns — is IDENTICAL to the
+    plain join, and the oracle is exactly that plain join: the hash
+    match proves the reduction is semantics-preserving while the probe
+    side sheds ~99% of its shuffle volume (measured in
+    tests/test_spans_bloom.py)."""
+    from aoseventstreamer_spark.operators.bloom import bloom_semi_reduce
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    reduced = bloom_semi_reduce(
+        li, orders, key_col="l_orderkey", build_key="o_orderkey"
+    )
+    return (
+        reduced.join(orders, reduced["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            sum_value_2dp("l_quantity", "sum_qty"),
+        )
+    )

@@ -260,3 +260,54 @@ def test_hll_small_range_uses_linear_counting(spark):
     est = hll.hll_estimate(sk, p=6).collect()[0].estimate
     # linear counting at n=20, m=64 is typically within a few keys
     assert abs(est - 20) < 6
+
+
+def test_bloom_semi_reduce_correct_and_selective(spark, sf_dir):
+    """bloom_semi_reduce (r7): no false negatives — the reduced join
+    equals the plain join exactly — and the probe side actually
+    shrinks to near the true match fraction (the shuffle the reduction
+    saves at 100 TB)."""
+    from aoseventstreamer_spark.operators.bloom import bloom_semi_reduce
+    from aoseventstreamer_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    reduced = bloom_semi_reduce(
+        li, orders, key_col="l_orderkey", build_key="o_orderkey"
+    )
+    n_probe = li.count()
+    n_match = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    n_reduced = reduced.count()
+    # superset of true matches (no false negatives) ...
+    assert n_reduced >= n_match
+    # ... and the false-positive overhead is a small fraction of the
+    # rows DROPPED (m=2^20 bits vs ~100 distinct keys -> fp ~ 0)
+    assert n_reduced - n_match <= max(1, (n_probe - n_match) // 100)
+    assert n_reduced < n_probe // 10  # genuinely selective
+
+    plain = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag").count()
+    )
+    via_bloom = (
+        reduced.join(orders, reduced["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, via_bloom.collect())
+    )
+
+
+def test_bloom_semi_reduce_empty_build_drops_everything(spark):
+    from aoseventstreamer_spark.operators.bloom import bloom_semi_reduce
+
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    build = probe.where("k < 0")  # empty
+    assert bloom_semi_reduce(probe, build, key_col="k").count() == 0
