@@ -431,3 +431,29 @@ def test_mp3_tag_bytes_inside_final_frame_not_stripped():
     # still recognized
     m2 = parse_mp3(encode_mp3(3, bitrate_idx=9, samplerate_idx=0, id3v1=True))
     assert m2["n_frames"] == 3 and m2["id3v1"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_flac_frame_decoder_never_raises_untyped(blob):
+    """decode_flac_pcm under arbitrary bytes: parse or typed FLACError,
+    never an escaping IndexError/struct.error — including inputs that
+    pass the STREAMINFO layer but are garbage at the frame layer."""
+    from aoseventstreamer_spark.functions.audio import decode_flac_pcm
+
+    try:
+        decode_flac_pcm(blob)
+    except FLACError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_flac_frame_decoder_garbage_after_valid_header(blob):
+    from aoseventstreamer_spark.functions.audio import decode_flac_pcm
+
+    prefix = encode_flac(44100, 2, 16, 0, frame_bytes=0)
+    try:
+        decode_flac_pcm(prefix + blob)
+    except FLACError:
+        pass
