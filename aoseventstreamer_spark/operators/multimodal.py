@@ -703,6 +703,124 @@ def decode_wav_pcm(payload: bytes):
     return sample_rate, n_channels, samples
 
 
+_AVI_USEC = [33333, 40000, 20000]
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("gray", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def wrap_as_video(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table whose payloads are REAL MJPEG AVIs
+    (functions/avi.py around functions/jpeg.py frames): per row,
+    n = id%6+1 solid-gray frames of closed-form level
+    g[i] = (id·37 + i·89) mod 256 at quality 95 — a solid block's JPEG
+    is DC-only and the q95 luma quantizer (q00 = 2) divides 8·(g−128)
+    exactly, so decode recovers g BIT-EXACTLY and a SQL oracle can
+    state the decoded pixels (q_video_frames). Rows with id % 29 == 0
+    truncate mid-header for the typed quarantine path."""
+    import numpy as np
+
+    from ..functions.avi import encode_avi_mjpeg
+    from ..functions.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = did % 6 + 1
+                w = (did % 4 + 1) * 16
+                h = (did % 3 + 1) * 16
+                frames = [
+                    encode_jpeg(
+                        np.full((h, w), (did * 37 + i * 89) % 256, np.uint8),
+                        quality=95,
+                    )
+                    for i in range(n)
+                ]
+                b = encode_avi_mjpeg(frames, w, h, _AVI_USEC[did % 3])
+                payloads.append(b[:25] if did % 29 == 0 else b)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_video_frames(media: DataFrame) -> DataFrame:
+    """REAL video pixel decode, Arrow-batched: every MJPEG frame
+    entropy-decodes through functions/jpeg.py and emits per-frame
+    evidence — geometry, frame count, duration, and the frame's single
+    gray level when it is uniform (null otherwise; ``n_px`` counts
+    decoded pixels either way). One malformed container quarantines as
+    a single (nulls..., err=...) row, never a task failure — the
+    extract_video_meta contract, now at PIXEL depth."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avi import AVIError, decode_avi_frames
+        from ..functions.jpeg import JPEGError
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_FRAMES_SCHEMA}
+
+            def emit(**kw):
+                for f in VIDEO_FRAMES_SCHEMA:
+                    out[f.name].append(kw.get(f.name))
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    meta, decoded = decode_avi_frames(bytes(p or b""))
+                    for i, px in decoded:
+                        vals = np.unique(px)
+                        emit(
+                            media_id=mid,
+                            frame_idx=i,
+                            width=meta["width"],
+                            height=meta["height"],
+                            n_frames=meta["n_frames"],
+                            duration_ms=meta["duration_ms"],
+                            gray=int(vals[0]) if len(vals) == 1 else None,
+                            n_px=int(px.size),
+                        )
+                except (AVIError, JPEGError) as e:
+                    emit(media_id=mid, err=type(e).__name__)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                    "gray": pd.array(out["gray"], dtype="Int32"),
+                    "n_px": pd.array(out["n_px"], dtype="Int64"),
+                    "err": out["err"],
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+
+
 _WAV_RATES = [8000, 16000, 44100]
 
 

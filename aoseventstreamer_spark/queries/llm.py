@@ -464,3 +464,53 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return extract_video_meta(wrap_as_mp4(docs))
+
+
+@query(
+    "q_video_frames",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             doc_id % 29 = 0 AS quarantined,
+             doc_id % 6 + 1 AS n,
+             CAST((doc_id % 4 + 1) * 16 AS INT) AS w,
+             CAST((doc_id % 3 + 1) * 16 AS INT) AS h,
+             [33333, 40000, 20000][CAST(doc_id % 3 + 1 AS INT)] AS usec
+      FROM documents
+    ),
+    live AS (
+      SELECT s.doc_id, i.i, s.n, s.w, s.h, s.usec
+      FROM src s, range(0, 6) i(i)
+      WHERE NOT s.quarantined AND i.i < s.n
+    )
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx, w AS width,
+           h AS height, CAST(n AS INT) AS n_frames,
+           CAST(n * usec // 1000 AS BIGINT) AS duration_ms,
+           CAST((doc_id * 37 + i * 89) % 256 AS INT) AS gray,
+           CAST(w * h AS BIGINT) AS n_px,
+           NULL AS err
+    FROM live
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'AVIError'
+    FROM src WHERE quarantined
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pixel decode, hash-exact (the video analog of
+    q_audio_features): build MJPEG AVIs on the executors — real RIFF
+    containers around real encode_jpeg frames — then entropy-decode
+    every frame back (functions/avi.py -> functions/jpeg.py) and emit
+    per-frame evidence. Frames are solid gray at closed-form levels;
+    at quality 95 a solid block's DC-only JPEG inverts bit-exactly
+    (q00 = 2 divides 8·(g−128)), so the oracle states every decoded
+    pixel value from the source row alone — any byte-level error in
+    the AVI layer, the JPEG layer, or the sampling surfaces as a hash
+    mismatch. Truncated rows (id % 29 = 0) quarantine as typed err
+    rows."""
+    from aoseventstreamer_spark.operators.multimodal import (
+        extract_video_frames,
+        wrap_as_video,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_video_frames(wrap_as_video(docs))

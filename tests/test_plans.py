@@ -139,6 +139,7 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
         "q_video_meta",  # MP4 encode/parse plumbing (functions/mp4.py)
         "q_audio_meta",  # FLAC/MP3 encode/parse plumbing (functions/audio.py)
         "q_audio_features",  # WAV encode/decode plumbing (PCM evidence)
+        "q_video_frames",  # MJPEG-AVI encode/decode plumbing (functions/avi.py)
         # fused ANN: single Arrow-batched mapInPandas kernel
         # (bucket+match+cosine in one pass), by design
         "q_ann_lsh",
