@@ -287,6 +287,19 @@ def sniff_header(payload: bytes):
                 return ("audio/wav", None, None, int(data_len * 1000 / byte_rate))
             i += 8 + clen + (clen % 2)
         return ("audio/wav", None, None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from aoseventstreamer_spark.functions import avi as AVI
+
+        try:
+            meta = AVI.parse_avi(b)
+            return (
+                "video/x-msvideo",
+                meta["width"],
+                meta["height"],
+                meta["duration_ms"],
+            )
+        except AVI.AVIError:
+            return ("video/x-msvideo", None, None, None)
     if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF / MP4
         return _sniff_mp4(b)
     if b[:4] == b"fLaC":

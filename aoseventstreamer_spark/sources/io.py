@@ -283,6 +283,7 @@ _MEDIA_EXT_KIND = {
     "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
     "wav": "audio", "mp3": "audio", "flac": "audio",
     "mp4": "video", "mov": "video", "webm": "video", "mkv": "video",
+    "avi": "video",
 }
 
 

@@ -121,3 +121,12 @@ def test_wrap_extract_video_frames(spark):
     assert f1[0].duration_ms == 2 * 40000 // 1000
     assert [r.gray for r in f1] == [(37 + i * 89) % 256 for i in range(2)]
     assert all(r.n_px == 32 * 32 for r in f1)
+
+
+def test_sniff_header_types_avi_by_content():
+    from aoseventstreamer_spark.operators.multimodal import sniff_header
+
+    blob = encode_avi_mjpeg([_solid(77)] * 4, 32, 16, 25000)
+    assert sniff_header(blob) == ("video/x-msvideo", 32, 16, 100)
+    # truncated: mime-only, never raises (WAV stays unaffected)
+    assert sniff_header(blob[:40]) == ("video/x-msvideo", None, None, None)
