@@ -163,16 +163,21 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
     frame by frame (functions/gif.py — disposal methods and
     transparency composited onto the logical screen, stopping after
     max_frames) and each composited frame re-encodes as a standalone
-    single-frame GIF. Everything else keeps the byte-slice stand-in
-    for an ffmpeg keyframe extraction — same schema, same fan-out
-    contract, so the registered q_multimodal_frames oracle (text
-    payloads, never GIF) is untouched."""
+    single-frame GIF. For MJPEG AVI payloads the frames are REAL too:
+    each sampled frame is the standalone JPEG the 00dc chunk carries
+    (functions/avi.py — no re-encode needed, MJPEG frames ARE
+    keyframes). Everything else keeps the byte-slice stand-in for an
+    ffmpeg keyframe extraction — same schema, same fan-out contract,
+    so the registered q_multimodal_frames oracle (text payloads,
+    never GIF/AVI) is untouched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             from aoseventstreamer_spark.functions import gif as GIF
         except ImportError:
             GIF = None
+        from aoseventstreamer_spark.functions import avi as AVI
+
         for pdf in batches:
             ids, idxs, payloads = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -189,6 +194,21 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
                         continue
                     except GIF.GIFError:
                         pass  # corrupt GIF: byte-slice fallback below
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    try:
+                        meta = AVI.parse_avi(raw)
+                        # evenly spaced keyframes up to max_frames
+                        n = meta["n_frames"]
+                        step = max(1, n // max_frames) if n else 1
+                        picks = list(range(0, n, step))[:max_frames]
+                        for j, i in enumerate(picks):
+                            off, ln = meta["frames"][i]
+                            ids.append(mid)
+                            idxs.append(j)
+                            payloads.append(raw[off : off + ln])
+                        continue
+                    except AVI.AVIError:
+                        pass  # corrupt AVI: byte-slice fallback below
                 n = min(max_frames, max(1, len(raw) // every_n_bytes))
                 for i in range(n):
                     ids.append(mid)

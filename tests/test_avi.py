@@ -130,3 +130,28 @@ def test_sniff_header_types_avi_by_content():
     assert sniff_header(blob) == ("video/x-msvideo", 32, 16, 100)
     # truncated: mime-only, never raises (WAV stays unaffected)
     assert sniff_header(blob[:40]) == ("video/x-msvideo", None, None, None)
+
+
+def test_sample_frames_emits_real_avi_keyframes(spark):
+    """sample_frames on an MJPEG AVI yields the standalone JPEGs the
+    container carries (decodable, evenly spaced), not byte slices —
+    and corrupt AVI payloads fall back to slices, never failing."""
+    from aoseventstreamer_spark.functions.jpeg import decode_jpeg
+    from aoseventstreamer_spark.operators.multimodal import sample_frames
+
+    colors = [10, 60, 110, 160, 210, 250]
+    blob = encode_avi_mjpeg([_solid(c) for c in colors], 16, 16)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob[:30]))],
+        "media_id long, payload binary",
+    )
+    out = sample_frames(media, max_frames=3).collect()
+    mine = sorted(
+        (r.frame_idx, bytes(r.frame_payload)) for r in out if r.media_id == 1
+    )
+    assert [i for i, _ in mine] == [0, 1, 2]
+    # evenly spaced: frames 0, 2, 4 of the 6 -> colors 10, 110, 210
+    got = [int(decode_jpeg(p)[0, 0]) for _, p in mine]
+    assert got == [10, 110, 210]
+    # the corrupt row fell back to byte slices without failing
+    assert any(r.media_id == 2 for r in out)
