@@ -1209,3 +1209,82 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def wrap_as_mixed_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One media table spanning EVERY container the sniffer types —
+    per row id % 7 selects PNG / GIF / MP4 / MJPEG-AVI / FLAC / MP3 /
+    WAV, each a REAL encoder-built blob with closed-form metadata, so
+    a single oracle can state what content-based sniffing must
+    recover for the whole zoo (q_media_catalog). Rows with
+    id % 31 == 0 carry unrecognizable bytes (all-null sniff)."""
+    import struct
+
+    import numpy as np
+
+    from ..functions.audio import encode_flac, encode_mp3
+    from ..functions.avi import encode_avi_mjpeg
+    from ..functions.gif import encode_gif
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.mp4 import encode_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                k = did // 7
+                w = (k % 20 + 1) * 8
+                h = (k % 12 + 1) * 8
+                if did % 31 == 0:
+                    b = b"\x00unrecognized-bytes" + bytes([did % 256]) * 16
+                elif did % 7 == 0:  # PNG (header-only form, like q_media_sniff)
+                    b = (
+                        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+                    )
+                elif did % 7 == 1:  # GIF
+                    b = encode_gif(np.zeros((h, w, 3), dtype=np.uint8))
+                elif did % 7 == 2:  # MP4
+                    b = encode_mp4(
+                        width=w, height=h, duration_ms=(did % 3000) + 100
+                    )
+                elif did % 7 == 3:  # MJPEG AVI
+                    n = k % 4 + 1
+                    frames = [
+                        encode_jpeg(np.full((h, w), 99, np.uint8), quality=95)
+                    ] * n
+                    b = encode_avi_mjpeg(frames, w, h, 40000)
+                elif did % 7 == 4:  # FLAC
+                    rate = [8000, 16000, 44100][k % 3]
+                    b = encode_flac(rate, 2, 16, (did % 9000) * 10 + 100)
+                elif did % 7 == 5:  # MP3 (MPEG1, exact frame count)
+                    b = encode_mp3(
+                        k % 30 + 1, bitrate_idx=k % 14 + 1,
+                        samplerate_idx=k % 3,
+                    )
+                else:  # WAV — rates dividing the ms math exactly
+                    rate = [8000, 16000][k % 2]
+                    nf = did % 400 + 8
+                    frames_b = b"\x00\x00" * nf
+                    b = (
+                        b"RIFF" + struct.pack("<I", 36 + len(frames_b))
+                        + b"WAVE" + b"fmt "
+                        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                        + b"data" + struct.pack("<I", len(frames_b)) + frames_b
+                    )
+                payloads.append(b)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

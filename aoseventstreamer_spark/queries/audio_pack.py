@@ -160,3 +160,61 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return extract_audio_evidence(wrap_as_wav(docs))
+
+
+_MEDIA_CATALOG_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 31 = 0 AS junk,
+         doc_id % 7 AS kind,
+         doc_id // 7 AS k,
+         CAST(((doc_id // 7) % 20 + 1) * 8 AS INT) AS w,
+         CAST(((doc_id // 7) % 12 + 1) * 8 AS INT) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CASE WHEN junk THEN NULL
+       WHEN kind = 0 THEN 'image/png'
+       WHEN kind = 1 THEN 'image/gif'
+       WHEN kind = 2 THEN 'video/mp4'
+       WHEN kind = 3 THEN 'video/x-msvideo'
+       WHEN kind = 4 THEN 'audio/flac'
+       WHEN kind = 5 THEN 'audio/mpeg'
+       ELSE 'audio/wav' END AS mime,
+  CASE WHEN junk OR kind >= 4 THEN NULL ELSE w END AS width,
+  CASE WHEN junk OR kind >= 4 THEN NULL ELSE h END AS height,
+  CASE WHEN junk OR kind <= 1 THEN NULL
+       WHEN kind = 2 THEN CAST((doc_id % 3000) + 100 AS INT)
+       WHEN kind = 3 THEN CAST((k % 4 + 1) * 40 AS INT)
+       WHEN kind = 4 THEN CAST(((doc_id % 9000) * 10 + 100) * 1000
+                               // ([8000, 16000, 44100][CAST(k % 3 + 1 AS INT)])
+                               AS INT)
+       WHEN kind = 5 THEN CAST((k % 30 + 1) * 1152 * 1000
+                               // ([44100, 48000, 32000][CAST(k % 3 + 1 AS INT)])
+                               AS INT)
+       ELSE CAST((doc_id % 400 + 8) * 1000
+                 // ([8000, 16000][CAST(k % 2 + 1 AS INT)]) AS INT)
+  END AS duration_ms
+FROM src
+"""
+
+
+@query("q_media_catalog", oracle=_MEDIA_CATALOG_ORACLE)
+def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole sniffing surface in ONE hash-exact query: per row the
+    payload is a REAL encoder-built blob of a different container —
+    PNG, GIF, MP4, MJPEG-AVI, FLAC, MP3, PCM WAV, cycled by id — and
+    content-based sniff_media must recover each one's mime, geometry,
+    and duration exactly as the oracle states them from the source row
+    (operators/multimodal.wrap_as_mixed_media; every builder is the
+    same functions/* codec the per-format queries exercise).
+    Unrecognizable rows (id % 31 = 0) sniff as all-null, never task
+    failures — the route-blobs-before-decoding pass a 100 TB mixed
+    ingest runs first."""
+    from aoseventstreamer_spark.operators.multimodal import (
+        sniff_media,
+        wrap_as_mixed_media,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return sniff_media(wrap_as_mixed_media(docs))
