@@ -140,7 +140,11 @@ def bloom_semi_reduce(
         bloom_build(
             build.select(F.col(bkey).cast("string").alias(bkey)), bkey, m, k
         )
-    )
+    ).select(F.col("bloom").alias("__bloom_bits"))
+    # collision-proof internal name: a probe frame legitimately owning
+    # a 'bloom' column must survive the crossJoin + drop round-trip
+    if "__bloom_bits" in probe.columns:
+        raise ValueError("probe must not carry a __bloom_bits column")
     c = F.col(key_col).cast("string")
     cond = F.lit(True)
     for i in range(k):
@@ -153,12 +157,12 @@ def bloom_semi_reduce(
         )
         cond = cond & (
             F.coalesce(
-                F.element_at(F.col("bloom"), word), F.lit(0).cast("long")
+                F.element_at(F.col("__bloom_bits"), word), F.lit(0).cast("long")
             ).bitwiseAND(mask)
             != 0
         )
     return (
         probe.crossJoin(F.broadcast(packed))
         .filter(cond)
-        .drop("bloom")
+        .drop("__bloom_bits")
     )

@@ -25,7 +25,14 @@ degenerates into open/footer/close overhead.
   the live dir is renamed to ``.compact-bak``, tmp renamed live, bak
   deleted — a crash at any point leaves either the old or the new
   data recoverable, and ``recover_compaction`` (run automatically at
-  the start of every compact) rolls an interrupted swap back/forward;
+  the start of every compact) rolls an interrupted swap back/forward.
+  "Atomic" here means crash-atomic for WRITERS, not invisible to
+  READERS: between the two renames the partition directory briefly
+  does not exist, so a concurrent batch reader that lists during that
+  window errors or silently misses that partition's rows (streams are
+  covered by ``min_age_seconds``; batch readers are not). A reader-
+  invisible OPTIMIZE needs the snapshot layer (``tablelog``), whose
+  manifest commit decouples file layout from what readers list;
 - IDEMPOTENT: a re-run sees big files and selects nothing.
 
 Relation to ``operators/maintenance.compact_event_log``: that one is
@@ -100,12 +107,31 @@ def recover_compaction(spark: SparkSession, path: str) -> list[str]:
     ``<dir>.compact-bak``: if the live dir exists the swap completed
     (delete the bak); if not, the crash hit between the two renames —
     restore the bak to live. Stray ``.compact-tmp`` dirs are deleted
-    (the rewrite will simply run again). Returns the actions taken."""
+    (the rewrite will simply run again). Returns the actions taken.
+
+    The flat layout (rel='') swaps the LOG ROOT itself, so its
+    bak/tmp dirs are SIBLINGS of ``path`` — checked first, before the
+    exists(path) early-return: a crash mid-root-swap leaves the root
+    missing entirely and only the sibling bak can restore it."""
     fs, jpath, jvm = _fs(spark, path)
     actions: list[str] = []
+    Path = jvm.org.apache.hadoop.fs.Path
+    base = jpath.toUri().getPath().rstrip("/")
+    # root-swap (flat layout) recovery: siblings of the log root
+    sib_bak = Path(base + _BAK_SUFFIX)
+    sib_tmp = Path(base + _TMP_SUFFIX)
+    if fs.exists(sib_bak):
+        if fs.exists(jpath):
+            fs.delete(sib_bak, True)
+            actions.append(f"deleted completed-swap bak {base}{_BAK_SUFFIX}")
+        else:
+            fs.rename(sib_bak, jpath)
+            actions.append(f"restored interrupted root swap {base}{_BAK_SUFFIX}")
+    if fs.exists(sib_tmp):
+        fs.delete(sib_tmp, True)
+        actions.append(f"deleted stale tmp {base}{_TMP_SUFFIX}")
     if not fs.exists(jpath):
         return actions
-    Path = jvm.org.apache.hadoop.fs.Path
     stack = [jpath]
     while stack:
         d = stack.pop()
@@ -183,6 +209,21 @@ def compact_event_log(
         ):
             return (rel or "<root>", n, total, n, False)
         part_dir = f"{base}/{rel}" if rel else base
+        if not rel:
+            # MIXED layout guard: compacting rel='' swaps the LOG ROOT,
+            # so any partition subdirectory would travel into bak with
+            # the rename, be skipped by the straggler loop (files only),
+            # and then be deleted with bak — silent loss of every
+            # partitioned row. Root-level files coexisting with
+            # partition dirs is a malformed layout anyway; refuse to
+            # touch it rather than guess.
+            has_subdirs = any(
+                st.isDirectory()
+                and not _is_hidden(st.getPath().getName())
+                for st in fs.listStatus(Path(part_dir))
+            )
+            if has_subdirs:
+                return ("<root>", n, total, n, False)
         tmp_dir = part_dir + _TMP_SUFFIX
         bak_dir = part_dir + _BAK_SUFFIX
         n_out = max(1, math.ceil(total / target_file_bytes))

@@ -53,6 +53,13 @@ class DemuxRunner:
         slice_partitions: int | None = None,
         deliver_concurrency: int | None = None,
     ):
+        """``deliver_concurrency`` (default min(16, cpus)) runs the
+        per-group ``deliver`` callbacks CONCURRENTLY across groups
+        within a batch — callbacks MUST therefore be thread-safe with
+        respect to each other (a single group's own deliveries stay
+        strictly ordered across batches; foreachBatch is serial). Pass
+        ``deliver_concurrency=1`` for the strict single-threaded,
+        registration-order delivery contract."""
         self.spark = spark
         self.events_path = events_path
         self.checkpoint = checkpoint
