@@ -1,0 +1,553 @@
+"""Minimal snapshot/manifest table format over the parquet event log.
+
+Why this exists: the engine's write path emits many small parquet
+files (streaming/groups.py mirrors the reference's 250 ms pull cadence,
+natsio.rs:195-210), and round-7's in-place OPTIMIZE
+(operators/compaction.py) demonstrated the structural limit of a
+directory-is-the-table design — **file-source streaming readers
+checkpoint file PATHS, so compacting a region a stream already
+consumed makes the rewritten files look new and the stream re-delivers
+those rows** (tests/test_compaction.py::
+test_compaction_makes_live_file_stream_redeliver). At-least-once
+consumers tolerate that; a production 100 TB log wants compaction
+decoupled from read progress. The standard answer (Delta/Iceberg/Hudi)
+is a transaction log; this module is the minimal, engine-portable form
+of that idea:
+
+- ``<table>/_tablelog/<version>.json`` — numbered manifests, each a
+  list of ``add``/``remove`` file actions plus a ``data_change`` flag
+  (False for layout-only rewrites, exactly Delta's semantics). Every
+  ``checkpoint_interval``-th manifest also carries the FULL live file
+  set, so state reconstruction replays a bounded suffix of the log —
+  at a million files the read cost is one checkpoint manifest plus a
+  few deltas, never the whole history.
+- COMMIT = write the manifest to a hidden ``.tmp-*`` sibling, then
+  rename to the next version number with a latest-version check
+  (optimistic concurrency: a lost race raises ``CommitConflict`` and
+  the caller re-derives against the new snapshot and retries). On HDFS
+  rename-if-absent is atomic; on stores without atomic rename, point
+  the log dir at one that has it — same deployment note as
+  operators/compaction.py. A crash before the rename leaves only a
+  hidden tmp (swept lazily); a crash after it IS a completed commit.
+- READ = resolve the live file set AT A VERSION and scan exactly those
+  files (``basePath`` keeps hive-style partition dirs working, so
+  partition pruning survives). Data files are immutable and never
+  deleted by commits, so a reader pinned to version N is isolated from
+  concurrent appends AND from OPTIMIZE — no reader-visible swap window
+  (the documented gap in operators/compaction.py's rename protocol).
+- STREAM = ``TableLogStream`` checkpoints a SNAPSHOT VERSION (not file
+  paths) and delivers only ``add`` actions with ``data_change=True``
+  from versions it has not processed. Compaction commits its rewrite
+  as ``remove(old)+add(new)`` with ``data_change=False``, so a live
+  tail skips it entirely — the exactly-once inversion of the round-7
+  hazard (tests/test_tablelog.py asserts zero re-delivery across a
+  kill → optimize → restart).
+- OPTIMIZE = the small-file rewrite as ONE atomic commit; VACUUM
+  deletes data files no retained snapshot references (age-guarded).
+
+Reference parity: the log stores the same routed-event rows
+(utils.rs:16-32 subjects; natsio.rs:131-147 publish fan-out) —
+q_scan_events/q_replay_all row sets are unchanged when read through
+the format (tests/test_tablelog.py::test_scan_parity_through_format).
+
+Scale notes: manifests are driver-side metadata (KBs per commit; the
+full set only every ``checkpoint_interval`` commits); data moves only
+through executor-side parquet jobs. Listing never walks the data tree
+except in VACUUM (a maintenance job). The single-writer assumption is
+per-COMMIT, not per-table: concurrent appenders serialize through the
+version CAS and retry cheaply (re-list + re-rename; the data files
+they staged are reused verbatim).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+LOG_DIR = "_tablelog"
+_MANIFEST_DIGITS = 20
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first; re-derive and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+class TableLog:
+    """Transaction log over one table directory. Stateless: every
+    operation re-resolves the latest version from the log listing."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = 10,
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.checkpoint_interval = checkpoint_interval
+        self._fs, self._root, self._jvm = _fs(spark, self.path)
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._log_dir = self._Path(f"{self.path}/{LOG_DIR}")
+
+    # ---------- log primitives ----------
+
+    def _manifest_path(self, version: int):
+        return self._Path(
+            f"{self.path}/{LOG_DIR}/{version:0{_MANIFEST_DIGITS}d}.json"
+        )
+
+    def _list_versions(self) -> list[int]:
+        if not self._fs.exists(self._log_dir):
+            return []
+        out = []
+        for st in self._fs.listStatus(self._log_dir):
+            name = st.getPath().getName()
+            if name.endswith(".json") and not name.startswith("."):
+                stem = name[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        """0 = empty table (no commits)."""
+        vs = self._list_versions()
+        return vs[-1] if vs else 0
+
+    def _read_manifest(self, version: int) -> dict:
+        p = self._manifest_path(version)
+        stream = self._fs.open(p)
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            data = bytes(ioutils.toByteArray(stream))
+        finally:
+            stream.close()
+        return json.loads(data.decode("utf-8"))
+
+    def _write_manifest(self, version: int, doc: dict) -> None:
+        """tmp-write + rename-commit with a version CAS. The rename is
+        the commit point; losing the race raises CommitConflict."""
+        tmp = self._Path(
+            f"{self.path}/{LOG_DIR}/.tmp-{uuid.uuid4().hex}.json"
+        )
+        self._fs.mkdirs(self._log_dir)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(doc).encode("utf-8")))
+        finally:
+            out.close()
+        dst = self._manifest_path(version)
+        if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
+            self._fs.delete(tmp, False)
+            raise CommitConflict(
+                f"version {version} was committed concurrently"
+            )
+
+    # ---------- state reconstruction ----------
+
+    def _replay(self, version: int) -> tuple[dict[str, dict], dict | None]:
+        """Live file set {rel_path -> entry} at ``version`` plus the
+        stored schema doc. Walks BACKWARD only until a checkpoint
+        manifest (one carrying the ``full`` set), then replays the
+        bounded suffix forward — never the whole history. Checkpoint
+        manifests also re-embed the schema, so the walk is bounded for
+        both."""
+        vs = [v for v in self._list_versions() if v <= version]
+        if not vs:
+            return {}, None
+        suffix: list[dict] = []
+        for i in range(len(vs) - 1, -1, -1):
+            m = self._read_manifest(vs[i])
+            suffix.append(m)
+            if m.get("full") is not None:
+                break
+        suffix.reverse()
+        schema_doc = None
+        for m in suffix:
+            if m.get("schema") is not None:
+                schema_doc = m["schema"]  # newest wins
+        base: dict[str, dict] = {}
+        start = 0
+        if suffix[0].get("full") is not None:
+            # the checkpoint's own actions are already folded into full
+            base = {e["path"]: e for e in suffix[0]["full"]}
+            start = 1
+        for m in suffix[start:]:
+            for a in m["actions"]:
+                if a["op"] == "add":
+                    base[a["path"]] = {
+                        "path": a["path"],
+                        "size": a.get("size", 0),
+                        "data_change": a.get("data_change", True),
+                    }
+                else:
+                    base.pop(a["path"], None)
+        return base, schema_doc
+
+    def snapshot_files(self, version: int | None = None) -> list[dict]:
+        v = self.latest_version() if version is None else version
+        files, _ = self._replay(v)
+        return sorted(files.values(), key=lambda e: e["path"])
+
+    def schema(self, version: int | None = None) -> T.StructType | None:
+        v = self.latest_version() if version is None else version
+        _, doc = self._replay(v)
+        return T.StructType.fromJson(doc) if doc else None
+
+    # ---------- commit ----------
+
+    def commit(
+        self,
+        added: list[dict] | None = None,
+        removed: list[str] | None = None,
+        data_change: bool = True,
+        schema: T.StructType | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Commit one snapshot; returns the new version. ``added``
+        entries are {'path': rel, 'size': int}; ``removed`` is rel
+        paths. ``expected_version`` asserts the CAS precondition
+        explicitly (defaults to the latest observed now)."""
+        base = (
+            self.latest_version()
+            if expected_version is None
+            else expected_version
+        )
+        version = base + 1
+        actions = [
+            {
+                "op": "add",
+                "path": e["path"],
+                "size": int(e.get("size", 0)),
+                "data_change": bool(data_change),
+            }
+            for e in (added or [])
+        ] + [
+            {"op": "remove", "path": p, "data_change": bool(data_change)}
+            for p in (removed or [])
+        ]
+        doc = {
+            "version": version,
+            "timestamp_ms": int(time.time() * 1000),
+            "actions": actions,
+            "schema": schema.jsonValue() if schema is not None else None,
+        }
+        if version % self.checkpoint_interval == 0:
+            live, prior_schema = self._replay(base)
+            for a in actions:
+                if a["op"] == "add":
+                    live[a["path"]] = {
+                        "path": a["path"],
+                        "size": a["size"],
+                        "data_change": a["data_change"],
+                    }
+                else:
+                    live.pop(a["path"], None)
+            doc["full"] = sorted(live.values(), key=lambda e: e["path"])
+            if doc["schema"] is None:
+                # re-embed so backward replay stops here for schema too
+                doc["schema"] = prior_schema
+        self._write_manifest(version, doc)
+        return version
+
+    # ---------- write path ----------
+
+    def _stage_dir(self) -> str:
+        return f".stage-{uuid.uuid4().hex}"
+
+    def _promote_staged(self, stage_rel: str) -> list[dict]:
+        """Move every data file Spark wrote under the hidden stage dir
+        into the table root, PRESERVING its hive ``k=v`` subpath — so
+        all partition dirs share the one root Spark's partition
+        discovery demands. Part file names carry per-task UUIDs, so
+        collisions can't happen. Returns the promoted rel-path entries.
+        A crash mid-promote leaves uncommitted orphans that VACUUM
+        sweeps (they are referenced by no manifest)."""
+        stage_root = f"{self.path}/{stage_rel}"
+        out: list[dict] = []
+        it = self._fs.listFiles(self._Path(stage_root), True)
+        moves: list[tuple] = []
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            full = st.getPath().toUri().getPath()
+            rel_in_stage = full.split(f"/{stage_rel}/", 1)[1]
+            moves.append((st.getPath(), rel_in_stage, st.getLen()))
+        for src, rel, size in moves:
+            dst = self._Path(f"{self.path}/{rel}")
+            parent = dst.getParent()
+            if not self._fs.exists(parent):
+                self._fs.mkdirs(parent)
+            if not self._fs.rename(src, dst):
+                raise IOError(f"failed to promote staged file {rel}")
+            out.append({"path": rel, "size": size})
+        self._fs.delete(self._Path(stage_root), True)
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        max_commit_retries: int = 10,
+    ) -> int:
+        """Write ``df``'s rows as new immutable data files and commit
+        them as one snapshot. The parquet job runs ONCE; only the
+        metadata commit retries on a version race."""
+        stored = self.schema()
+        if stored is not None and set(stored.fieldNames()) != set(df.columns):
+            raise ValueError(
+                f"append schema {sorted(df.columns)} does not match the "
+                f"table schema {sorted(stored.fieldNames())}"
+            )
+        rel = self._stage_dir()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{self.path}/{rel}")
+        added = self._promote_staged(rel)
+        for _ in range(max_commit_retries):
+            try:
+                return self.commit(
+                    added=added,
+                    data_change=True,
+                    schema=df.schema if stored is None else None,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"append lost the commit race {max_commit_retries} times"
+        )
+
+    # ---------- read path ----------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot-isolated batch read: scans exactly the files the
+        manifest names (never a directory listing), with ``basePath``
+        so hive-style partition dirs still yield partition columns —
+        and therefore partition pruning."""
+        entries = self.snapshot_files(version)
+        sch = self.schema(version)
+        if not entries:
+            if sch is None:
+                raise ValueError(f"table {self.path} has no commits")
+            return self.spark.createDataFrame([], sch)
+        paths = [f"{self.path}/{e['path']}" for e in entries]
+        return (
+            self.spark.read.option("basePath", self.path).parquet(*paths)
+        )
+
+    # ---------- maintenance ----------
+
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        min_files: int = 4,
+        max_commit_retries: int = 10,
+    ) -> dict:
+        """Small-file compaction as ONE layout-only commit
+        (``data_change=False``): rewrite groups of small files into
+        ~target-sized ones, commit remove(old)+add(new). Readers at any
+        pinned version are untouched (old files stay on disk until
+        VACUUM); streams skip the rewrite entirely. Groups by the
+        file's parent dir so hive partitions compact independently."""
+        base_version = self.latest_version()
+        entries = self.snapshot_files(base_version)
+        # group by the LOGICAL partition (the hive k=v subpath), not the
+        # physical parent dir: small files from many separate appends to
+        # the same partition must merge into one rewrite
+        groups: dict[str, list[dict]] = {}
+        for e in entries:
+            segs = e["path"].split("/")[:-1]
+            hive = "/".join(s for s in segs if "=" in s)
+            groups.setdefault(hive, []).append(e)
+        removed: list[str] = []
+        added: list[dict] = []
+        rewritten_groups = 0
+        for parent, es in sorted(groups.items()):
+            n, total = len(es), sum(e["size"] for e in es)
+            if n <= min_files or (total // max(n, 1)) >= small_file_bytes:
+                continue
+            rewritten_groups += 1
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            # preserve the hive k=v subpath so every data file keeps a
+            # CONSISTENT partition-dir depth under basePath (mixing
+            # flat and partitioned layouts trips Spark's conflicting-
+            # directory-structures assertion); the partition columns a
+            # basePath read materializes are dropped again before the
+            # write — their values live in the dir name, exactly as in
+            # the original layout
+            hive_segs = [s for s in parent.split("/") if "=" in s]
+            sub = "/".join(hive_segs)
+            stage = self._stage_dir()
+            rel = stage + (f"/{sub}" if sub else "")
+            paths = [f"{self.path}/{e['path']}" for e in es]
+            df = self.spark.read.option("basePath", self.path).parquet(*paths)
+            pcols = [s.split("=", 1)[0] for s in hive_segs]
+            if pcols:
+                df = df.drop(*pcols)
+            (
+                df.coalesce(n_out)
+                .write.mode("overwrite")
+                .parquet(f"{self.path}/{rel}")
+            )
+            added.extend(self._promote_staged(stage))
+            removed.extend(e["path"] for e in es)
+        if not removed:
+            return {"version": base_version, "rewritten_groups": 0,
+                    "files_removed": 0, "files_added": 0}
+        for _ in range(max_commit_retries):
+            try:
+                v = self.commit(
+                    added=added, removed=removed, data_change=False
+                )
+                return {
+                    "version": v,
+                    "rewritten_groups": rewritten_groups,
+                    "files_removed": len(removed),
+                    "files_added": len(added),
+                }
+            except CommitConflict:
+                # concurrent APPEND added files; our removed set is
+                # still live (appends never remove) — retry the CAS
+                continue
+        raise CommitConflict("optimize lost the commit race repeatedly")
+
+    def vacuum(
+        self, retain_versions: int = 1, min_age_seconds: float = 0.0
+    ) -> list[str]:
+        """Delete data files referenced by NO retained snapshot
+        (latest ``retain_versions`` versions), skipping files younger
+        than ``min_age_seconds`` (in-flight stages commit soon).
+        Returns deleted rel paths. Also prunes tmp manifest litter."""
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(1, latest - retain_versions + 1), latest + 1):
+            keep.update(e["path"] for e in self.snapshot_files(v))
+        now = time.time()
+        deleted: list[str] = []
+        if self._fs.exists(self._root):
+            it = self._fs.listFiles(self._root, True)
+            base = self._root.toUri().getPath().rstrip("/")
+            while it.hasNext():
+                st = it.next()
+                full = st.getPath().toUri().getPath()
+                rel = full[len(base):].lstrip("/")
+                # skip the log itself, hidden files, and live stages
+                if any(
+                    seg.startswith(("_", ".")) for seg in rel.split("/")
+                ):
+                    continue
+                if rel in keep:
+                    continue
+                if st.getModificationTime() / 1000.0 > now - min_age_seconds:
+                    continue
+                self._fs.delete(st.getPath(), False)
+                deleted.append(rel)
+        if self._fs.exists(self._log_dir):
+            for st in self._fs.listStatus(self._log_dir):
+                n = st.getPath().getName()
+                if n.startswith(".tmp-") and (
+                    st.getModificationTime() / 1000.0 < now - min_age_seconds
+                ):
+                    self._fs.delete(st.getPath(), False)
+        # sweep abandoned hidden stage dirs (writer died pre-promote)
+        for st in self._fs.listStatus(self._root):
+            n = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and n.startswith(".stage-")
+                and st.getModificationTime() / 1000.0 < now - min_age_seconds
+            ):
+                self._fs.delete(st.getPath(), True)
+                deleted.append(n)
+        return deleted
+
+
+class TableLogStream:
+    """Snapshot-diff streaming source: checkpoints a VERSION, delivers
+    only ``data_change`` adds. This is what makes compaction invisible
+    to a live tail — the exactly-once inversion of the file-source
+    path-checkpoint hazard (operators/compaction.py docstring).
+
+    Delivery contract: ``deliver(version_from, version_to, df)`` is
+    called once per non-empty batch; the position commits AFTER it
+    returns, so a crash inside ``deliver`` replays that batch
+    (at-least-once across a mid-batch crash, exactly-once across
+    graceful restarts AND across any amount of compaction)."""
+
+    def __init__(self, spark: SparkSession, table_path: str, checkpoint: str):
+        self.spark = spark
+        self.log = TableLog(spark, table_path)
+        self.checkpoint = checkpoint.rstrip("/")
+        self._fs, self._ck_root, self._jvm = _fs(spark, self.checkpoint)
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+
+    def _position(self) -> int:
+        p = self._Path(f"{self.checkpoint}/position.json")
+        if not self._fs.exists(p):
+            return 0
+        stream = self._fs.open(p)
+        try:
+            ioutils = self._jvm.org.apache.commons.io.IOUtils
+            data = bytes(ioutils.toByteArray(stream))
+        finally:
+            stream.close()
+        return int(json.loads(data.decode("utf-8"))["last_version"])
+
+    def _commit_position(self, version: int) -> None:
+        tmp = self._Path(f"{self.checkpoint}/.position-{uuid.uuid4().hex}.json")
+        self._fs.mkdirs(self._ck_root)
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(
+                bytearray(
+                    json.dumps({"last_version": version}).encode("utf-8")
+                )
+            )
+        finally:
+            out.close()
+        dst = self._Path(f"{self.checkpoint}/position.json")
+        self._fs.delete(dst, False)
+        if not self._fs.rename(tmp, dst):
+            raise IOError("failed to commit stream position")
+
+    def pending_files(self) -> tuple[int, int, list[str]]:
+        """(from_version, to_version, rel paths of data-change adds in
+        (from, to])."""
+        frm = self._position()
+        to = self.log.latest_version()
+        rels: list[str] = []
+        for v in range(frm + 1, to + 1):
+            m = self.log._read_manifest(v)
+            for a in m["actions"]:
+                if a["op"] == "add" and a.get("data_change", True):
+                    rels.append(a["path"])
+        return frm, to, rels
+
+    def run_once(self, deliver) -> bool:
+        """Process all pending snapshots as one micro-batch. Returns
+        True if anything was delivered (or the position advanced)."""
+        frm, to, rels = self.pending_files()
+        if to <= frm:
+            return False
+        if rels:
+            paths = [f"{self.log.path}/{r}" for r in rels]
+            df = self.spark.read.option("basePath", self.log.path).parquet(
+                *paths
+            )
+            deliver(frm, to, df)
+        self._commit_position(to)
+        return True
