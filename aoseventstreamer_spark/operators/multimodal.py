@@ -1288,3 +1288,134 @@ def wrap_as_mixed_media(
             ]
         ),
     )
+
+
+def wrap_as_pixels(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table whose payloads carry REAL encoded images with
+    deterministic pixels derived from row fields — grayscale
+    v(y, x) = (id·7 + y·5 + x·3) mod 256 at (id%13+4) × (id%11+4) —
+    so the decoded-PIXEL evidence (q_image_features) is computable in
+    closed form by a SQL oracle. Even ids encode through the real PNG
+    path (functions/png.encode_png), cycling all five row filters
+    (id%5) and the Adam7 interlace leg (id%4==2); odd ids encode as
+    exact-palette GIF89a (functions/gif.encode_gif — full 12-bit LZW),
+    so ONE oracle formula verifies both decode paths bit-for-bit —
+    the image leg of the q_audio_features two-decode-path design.
+    Rows with id % 23 == 0 truncate to 16 bytes to exercise the
+    null-evidence quarantine."""
+    import numpy as np
+
+    from ..functions.gif import encode_gif
+    from ..functions.png import encode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w = did % 13 + 4
+                h = did % 11 + 4
+                y, x = np.mgrid[0:h, 0:w]
+                v = ((did * 7 + y * 5 + x * 3) % 256).astype(np.uint8)
+                if did % 2 == 0:
+                    b = encode_png(
+                        v, filter_type=did % 5, interlace=(did % 4 == 2)
+                    )
+                else:
+                    b = encode_gif(v)
+                payloads.append(b[:16] if did % 23 == 0 else b)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+IMAGE_EVIDENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_wsum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def extract_image_evidence(media: DataFrame) -> DataFrame:
+    """Decoded-PIXEL image evidence in cross-engine-exact integers —
+    pixel sum, POSITION-WEIGHTED pixel sum (Σ v·(y·w + x + 1), which a
+    transposed row, mis-unfiltered scanline, or shuffled interlace
+    pass cannot fake), and extrema — the integer-evidence sibling of
+    extract_image_features, completing the modality triangle next to
+    extract_audio_evidence (PCM) and extract_video_frames (MJPEG).
+    Dispatches by CONTENT: PNG signatures through the full
+    functions/png.py decoder (all five filters + Adam7), GIF through
+    the LZW decoder; evidence is computed on channel 0 (GIF promotes
+    grayscale to RGB with equal channels). Undecodable payloads yield
+    null evidence, never task failures."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif import GIFError, decode_gif
+        from ..functions.png import PNGError, decode_png
+
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in IMAGE_EVIDENCE_SCHEMA}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = dict.fromkeys(out)
+                row["media_id"] = mid
+                b = bytes(payload or b"")
+                try:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        arr = decode_png(b)
+                        row["container"] = "png"
+                    elif b[:4] == b"GIF8":
+                        arr = decode_gif(b)
+                        row["container"] = "gif"
+                    else:
+                        raise PNGError("unrecognized payload")
+                    ch0 = arr[:, :, 0].astype(np.int64)
+                    hh, ww = ch0.shape
+                    pos = (
+                        np.arange(hh, dtype=np.int64)[:, None] * ww
+                        + np.arange(ww, dtype=np.int64)[None, :]
+                        + 1
+                    )
+                    row.update(
+                        width=ww,
+                        height=hh,
+                        px_sum=int(ch0.sum()),
+                        px_wsum=int((ch0 * pos).sum()),
+                        px_min=int(ch0.min()),
+                        px_max=int(ch0.max()),
+                    )
+                except (PNGError, GIFError):
+                    row["container"] = None
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "container": out["container"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "px_sum": pd.array(out["px_sum"], dtype="Int64"),
+                    "px_wsum": pd.array(out["px_wsum"], dtype="Int64"),
+                    "px_min": pd.array(out["px_min"], dtype="Int32"),
+                    "px_max": pd.array(out["px_max"], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, IMAGE_EVIDENCE_SCHEMA)

@@ -419,6 +419,61 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sniff_media(media).select("media_id", "mime", "width", "height")
 
 
+_IMAGE_FEATURES_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 23 = 0 AS quarantined,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(doc_id % 11 + 4 AS INT) AS h
+  FROM documents
+),
+px AS (
+  SELECT s.doc_id, s.w, y.y, x.x,
+         (s.doc_id * 7 + y.y * 5 + x.x * 3) % 256 AS v
+  FROM src s, range(0, 14) y(y), range(0, 16) x(x)
+  WHERE y.y < s.h AND x.x < s.w AND NOT s.quarantined
+),
+ev AS (
+  SELECT doc_id,
+         CAST(SUM(v) AS BIGINT) AS px_sum,
+         CAST(SUM(v * (y * w + x + 1)) AS BIGINT) AS px_wsum,
+         CAST(MIN(v) AS INT) AS px_min,
+         CAST(MAX(v) AS INT) AS px_max
+  FROM px GROUP BY doc_id
+)
+SELECT s.doc_id AS media_id,
+  CASE WHEN s.quarantined THEN NULL
+       WHEN s.doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS container,
+  CASE WHEN s.quarantined THEN NULL ELSE s.w END AS width,
+  CASE WHEN s.quarantined THEN NULL ELSE s.h END AS height,
+  e.px_sum, e.px_wsum, e.px_min, e.px_max
+FROM src s LEFT JOIN ev e ON e.doc_id = s.doc_id
+"""
+
+
+@query("q_image_features", oracle=_IMAGE_FEATURES_ORACLE)
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-PIXEL image evidence in cross-engine-exact integers,
+    across BOTH real decode paths — completing the modality evidence
+    triangle at the query level next to q_audio_features (PCM) and
+    q_video_frames (MJPEG pixels). Even rows carry real PNGs cycling
+    all five row filters and the Adam7 interlace leg; odd rows carry
+    the SAME closed-form pixels as exact-palette GIF89a (full 12-bit
+    LZW); extract_image_evidence decodes both and emits pixel sum,
+    position-weighted pixel sum (a transposed or mis-unfiltered
+    scanline cannot fake it), and extrema. Truncated rows (id%23=0)
+    surface as null-evidence quarantine. The oracle recomputes every
+    pixel with range() generators, so any byte-level error in either
+    codec breaks the hash."""
+    from aoseventstreamer_spark.operators.multimodal import (
+        extract_image_evidence,
+        wrap_as_pixels,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return extract_image_evidence(wrap_as_pixels(docs))
+
+
 @query(
     "q_video_meta",
     oracle="""

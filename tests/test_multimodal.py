@@ -245,3 +245,55 @@ def test_extract_video_meta_quarantines_truncated(spark):
     assert rows[1].err is None and rows[1].width == 640 and rows[1].sample_rate == 16000
     assert rows[2].err == "MP4Error" and rows[2].width is None
     assert rows[3].err == "MP4Error"
+
+
+class TestImageEvidence:
+    """wrap_as_pixels + extract_image_evidence: the decoded-PIXEL
+    integer evidence leg (q_image_features, VERDICT r7 item 3)."""
+
+    def _run(self, spark, ids):
+        from aoseventstreamer_spark.operators.multimodal import (
+            extract_image_evidence,
+            wrap_as_pixels,
+        )
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return {
+            r.media_id: r
+            for r in extract_image_evidence(wrap_as_pixels(df)).collect()
+        }
+
+    def test_evidence_matches_direct_numpy(self, spark):
+        import numpy as np
+
+        ids = [2, 3, 6, 10, 15]  # PNG filters 0-4 + interlace(6,10), GIFs
+        rows = self._run(spark, ids)
+        for did in ids:
+            w, h = did % 13 + 4, did % 11 + 4
+            y, x = np.mgrid[0:h, 0:w]
+            v = ((did * 7 + y * 5 + x * 3) % 256).astype(np.int64)
+            pos = y * w + x + 1
+            r = rows[did]
+            assert r.container == ("png" if did % 2 == 0 else "gif")
+            assert (r.width, r.height) == (w, h)
+            assert r.px_sum == int(v.sum())
+            assert r.px_wsum == int((v * pos).sum())
+            assert r.px_min == int(v.min()) and r.px_max == int(v.max())
+
+    def test_truncated_rows_quarantine(self, spark):
+        rows = self._run(spark, [23, 46])
+        for did in (23, 46):
+            r = rows[did]
+            assert r.container is None and r.px_sum is None
+
+    def test_undecodable_payload_yields_nulls_not_failure(self, spark):
+        from aoseventstreamer_spark.operators.multimodal import (
+            extract_image_evidence,
+        )
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG\r\n\x1a\ngarbage")), (2, None)],
+            "media_id long, payload binary",
+        )
+        out = {r.media_id: r for r in extract_image_evidence(media).collect()}
+        assert out[1].px_sum is None and out[2].container is None

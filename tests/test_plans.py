@@ -141,6 +141,7 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
         "q_audio_features",  # WAV encode/decode plumbing (PCM evidence)
         "q_video_frames",  # MJPEG-AVI encode/decode plumbing (functions/avi.py)
         "q_media_catalog",  # mixed-container build + sniff plumbing
+        "q_image_features",  # PNG/GIF encode/decode plumbing (pixel evidence)
         # fused ANN: single Arrow-batched mapInPandas kernel
         # (bucket+match+cosine in one pass), by design
         "q_ann_lsh",
