@@ -166,10 +166,16 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
     single-frame GIF. For MJPEG AVI payloads the frames are REAL too:
     each sampled frame is the standalone JPEG the 00dc chunk carries
     (functions/avi.py — no re-encode needed, MJPEG frames ARE
-    keyframes). Everything else keeps the byte-slice stand-in for an
-    ffmpeg keyframe extraction — same schema, same fan-out contract,
-    so the registered q_multimodal_frames oracle (text payloads,
-    never GIF/AVI) is untouched."""
+    keyframes). For MP4 payloads whose video track is MJPEG ('jpeg'
+    sample entry), the frames are REAL as well: the stbl sample-table
+    walk (functions/mp4.parse_mp4_samples — stsc/stsz/stco/stss)
+    locates the sync samples and each emitted frame is the standalone
+    JPEG those byte ranges carry. Everything else — including MP4
+    tracks in inter-frame codecs (avc1/hev1, the documented skip) —
+    keeps the byte-slice stand-in for an ffmpeg keyframe extraction:
+    same schema, same fan-out contract, so the registered
+    q_multimodal_frames oracle (text payloads, never GIF/AVI/MP4) is
+    untouched."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
@@ -209,6 +215,33 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int =
                         continue
                     except AVI.AVIError:
                         pass  # corrupt AVI: byte-slice fallback below
+                if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    try:
+                        from aoseventstreamer_spark.functions.mp4 import (
+                            MP4Error,
+                            parse_mp4_samples,
+                        )
+
+                        m = parse_mp4_samples(raw)
+                        if m["codec"] == "jpeg":
+                            # real keyframes: evenly spaced SYNC samples
+                            syncs = [
+                                (off, sz)
+                                for off, sz, sync in m["samples"]
+                                if sync
+                            ]
+                            n = len(syncs)
+                            step = max(1, n // max_frames) if n else 1
+                            picks = list(range(0, n, step))[:max_frames]
+                            for j, i in enumerate(picks):
+                                off, ln = syncs[i]
+                                ids.append(mid)
+                                idxs.append(j)
+                                payloads.append(raw[off : off + ln])
+                            continue
+                        # inter-frame codec: documented skip -> stand-in
+                    except MP4Error:
+                        pass  # corrupt MP4: byte-slice fallback below
                 n = min(max_frames, max(1, len(raw) // every_n_bytes))
                 for i in range(n):
                     ids.append(mid)
@@ -1419,3 +1452,135 @@ def extract_image_evidence(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, IMAGE_EVIDENCE_SCHEMA)
+
+
+MP4_SAMPLE_EVIDENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_sync", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("gray", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("err", T.StringType()),
+    ]
+)
+
+
+def wrap_as_mjpeg_mp4(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table whose payloads are REAL MJPEG-in-MP4 files
+    (functions/mp4.encode_mp4_mjpeg around functions/jpeg frames):
+    n = id%5+2 solid-gray q95 frames (g[i] = (id·37 + i·89) mod 256 —
+    DC-only, bit-exact decode, the q_video_frames trick), packed
+    through a FULL sample table whose chunk grouping (id%3+1 samples
+    per chunk) and sync cadence (every id%2+1) vary per row, so the
+    stsc run expansion and stss subset logic are both under the hash.
+    Rows with id % 19 == 0 truncate mid-moov for the typed
+    quarantine."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.mp4 import encode_mp4_mjpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = did % 5 + 2
+                w = (did % 4 + 1) * 16
+                h = (did % 3 + 1) * 16
+                frames = [
+                    encode_jpeg(
+                        np.full((h, w), (did * 37 + i * 89) % 256, np.uint8),
+                        quality=95,
+                    )
+                    for i in range(n)
+                ]
+                b = encode_mp4_mjpeg(
+                    frames, w, h,
+                    fps=(10, 25, 30)[did % 3],
+                    samples_per_chunk=did % 3 + 1,
+                    sync_every=did % 2 + 1,
+                )
+                payloads.append(b[:30] if did % 19 == 0 else b)
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_mp4_sample_evidence(media: DataFrame) -> DataFrame:
+    """Decode every SYNC sample of an MJPEG-in-MP4 track to pixel
+    evidence: the sample-table walk (functions/mp4.parse_mp4_samples —
+    stsc runs, stsz sizes, stco offsets, stss sync subset) locates the
+    byte ranges, functions/jpeg.py entropy-decodes them, and each sync
+    frame emits its uniform gray level — so a single wrong offset,
+    size, or sync flag surfaces as a hash mismatch, not a plausible
+    row. Malformed containers quarantine as one typed err row."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.jpeg import JPEGError, decode_jpeg
+        from ..functions.mp4 import MP4Error, parse_mp4_samples
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in MP4_SAMPLE_EVIDENCE_SCHEMA
+            }
+
+            def emit(**kw):
+                for f in MP4_SAMPLE_EVIDENCE_SCHEMA:
+                    out[f.name].append(kw.get(f.name))
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(p or b"")
+                    m = parse_mp4_samples(raw)
+                    n_sync = sum(1 for s in m["samples"] if s[2])
+                    for i, (off, sz, sync) in enumerate(m["samples"]):
+                        if not sync:
+                            continue
+                        px = decode_jpeg(raw[off : off + sz])
+                        vals = np.unique(px)
+                        emit(
+                            media_id=mid,
+                            sample_idx=i,
+                            n_samples=m["n_samples"],
+                            n_sync=n_sync,
+                            codec=m["codec"],
+                            width=m["width"],
+                            height=m["height"],
+                            gray=int(vals[0]) if len(vals) == 1 else None,
+                            n_px=int(px.size),
+                        )
+                except (MP4Error, JPEGError) as e:
+                    emit(media_id=mid, err=type(e).__name__)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "sample_idx": pd.array(out["sample_idx"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int32"),
+                    "n_sync": pd.array(out["n_sync"], dtype="Int32"),
+                    "codec": out["codec"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "gray": pd.array(out["gray"], dtype="Int32"),
+                    "n_px": pd.array(out["n_px"], dtype="Int64"),
+                    "err": out["err"],
+                }
+            )
+
+    return media.mapInPandas(run, MP4_SAMPLE_EVIDENCE_SCHEMA)

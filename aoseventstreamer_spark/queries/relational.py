@@ -4,8 +4,12 @@ operators #11/#12/#18), aggregations, window functions, sort/top-k,
 set ops, scalar-function suites, and event-time windows.
 
 Scale notes (100 TB posture):
-- dimension joins (region/nation) are explicitly ``broadcast()`` —
-  no shuffle of the fact side;
+- FIXED-SIZE dimension joins (region/nation: 5/25 rows at every SF)
+  are explicitly ``broadcast()`` — no shuffle of the fact side.
+  SF-SCALING relations (customer/supplier/part), even filtered
+  small, carry NO broadcast hint (r8 review): Spark/AQE broadcasts
+  them while they fit the threshold and degrades to a shuffle join
+  at 100 TB instead of OOMing the executors on a forced build side;
 - fact-fact joins shuffle on their keys and rely on AQE for skew;
 - top-k per group is a window + filter (single shuffle on the
   partition key), top-k global is ``orderBy().limit()`` which Spark
@@ -83,11 +87,13 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semi_authz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AuthZ gate (operator #11) as a left-semi join against a
-    'grants' set (customers with positive standing)."""
+    'grants' set (customers with positive standing). No broadcast
+    hint: the grant set scales with the customer table, so the
+    planner must stay free to shuffle it at 100 TB."""
     orders = t(spark, sf_dir, "orders")
     grants = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return orders.join(
-        F.broadcast(grants), orders.o_custkey == grants.c_custkey, "left_semi"
+        grants, orders.o_custkey == grants.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey")
 
 
@@ -104,7 +110,7 @@ def q_anti_unauthorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     grants = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
     return orders.join(
-        F.broadcast(grants), orders.o_custkey == grants.c_custkey, "left_anti"
+        grants, orders.o_custkey == grants.c_custkey, "left_anti"
     ).select("o_orderkey", "o_custkey")
 
 
@@ -126,7 +132,9 @@ def q_anti_unauthorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped 3-way join + aggregation. Filters reach all
-    three scans (pushdown); customer side broadcasts."""
+    three scans (pushdown); the filtered customer side is tiny at
+    bench SFs so the planner broadcasts it unhinted (and may stop
+    at 100 TB — customer scales with SF)."""
     customer = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -136,7 +144,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
@@ -724,8 +732,8 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join (local-supplier revenue by nation).
-    supplier/nation/region broadcast; lineitem⋈orders carries the one
-    big shuffle; the c_nationkey = s_nationkey local-supplier predicate
+    nation/region broadcast (fixed dims); supplier/customer join
+    unhinted (SF-scaling); lineitem⋈orders carries the one big shuffle; the c_nationkey = s_nationkey local-supplier predicate
     is applied post-join as in the spec query."""
     customer = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").filter(
@@ -733,12 +741,12 @@ def q_join_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     lineitem = t(spark, sf_dir, "lineitem")
-    supplier = F.broadcast(t(spark, sf_dir, "supplier"))
+    supplier = (t(spark, sf_dir, "supplier"))
     nation = F.broadcast(t(spark, sf_dir, "nation"))
     region = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(nation, supplier.s_nationkey == nation.n_nationkey)

@@ -8,8 +8,9 @@ flip a digit.
 Scale notes (plans verified via .explain):
 - Q1 is a pure scan + partial/final hash agg — the canonical
   map-side-combine workload; no shuffle besides the 6-group exchange.
-- Q3/Q18 shuffle lineitem⋈orders on the orderkey once; customer
-  broadcasts.
+- Q3/Q18 shuffle lineitem⋈orders on the orderkey once; the
+  customer side is UNHINTED (it scales with SF) — the planner
+  broadcasts it while it fits and shuffles it at 100 TB.
 - Q6 is scan + filter + a single global agg (filters pushed to
   parquet row groups).
 """
@@ -99,11 +100,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority (o_orderpriority stands in for the
-    spec's p_shippriority, absent from the synthetic schema). Customer
-    broadcasts; the one shuffle is lineitem⋈orders on orderkey; the
+    spec's p_shippriority, absent from the synthetic schema). The
+    filtered customer side is planner-broadcast (unhinted — it scales
+    with SF); the one shuffle is lineitem⋈orders on orderkey; the
     final ORDER BY ... LIMIT 10 is a TakeOrderedAndProject, never a
     global sort."""
-    cust = F.broadcast(
+    cust = (
         t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     )
     orders = t(spark, sf_dir, "orders").filter(
@@ -212,7 +214,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customers: HAVING subquery as a
     left-semi join. The big-orders key set is aggregated first (one
     shuffle on orderkey) and semi-joins lineitem on the same key, so
-    AQE can reuse the partitioning; customer broadcasts."""
+    AQE can reuse the partitioning; customer joins unhinted
+    (SF-scaling)."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -221,7 +224,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     orders = t(spark, sf_dir, "orders")
-    cust = F.broadcast(t(spark, sf_dir, "customer"))
+    cust = (t(spark, sf_dir, "customer"))
     return (
         li.join(big, on="l_orderkey", how="left_semi")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)

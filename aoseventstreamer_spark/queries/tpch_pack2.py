@@ -60,7 +60,8 @@ def _share_6dp(num: F.Column, den: F.Column) -> F.Column:
 )
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 volume shipping between two nations. lineitem⋈orders
-    is the one shuffle; supplier/customer/nation broadcast, and the
+    is the one shuffle; nation broadcasts (fixed dim),
+    supplier/customer join unhinted (SF-scaling), and the
     nation-pair disjunction is applied after both nation names are in
     scope, exactly as the spec writes it."""
     li = t(spark, sf_dir, "lineitem").filter(
@@ -68,8 +69,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
     )
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
-    cust = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supp = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    cust = (t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
     n1 = F.broadcast(
         t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -128,14 +129,14 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is conditional-sum / sum over exact scale-4 integers, rounded
     through a scale-0 integer so both engines agree to 6 dp."""
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(
+    part = (
         t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     )
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    cust = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    cust = (t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
     n2 = F.broadcast(
         t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey")
@@ -144,7 +145,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = F.broadcast(
         t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     )
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     n1 = F.broadcast(
         t(spark, sf_dir, "nation").select(
             F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
@@ -192,15 +193,16 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 product-type profit. The schema has no
     ps_supplycost, so unit cost is adapted to half the part's retail
     price; profit = disc_price - qty*retail/2, computed at doubled
-    scale-4 so the /2 stays integer-exact. Part/supplier/nation
-    broadcast; lineitem⋈orders shuffles once."""
-    part = F.broadcast(
+    scale-4 so the /2 stays integer-exact. Nation broadcasts (fixed
+    dim); part/supplier join unhinted (SF-scaling); lineitem⋈orders
+    shuffles once."""
+    part = (
         t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey", "p_retailprice")
     )
     li = t(spark, sf_dir, "lineitem")
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    supp = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
     nation = F.broadcast(
         t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
     )
@@ -238,7 +240,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 returned-item reporting (top 20 customers by lost
     revenue; c_custkey tiebreak makes the limit deterministic across
     engines). TakeOrderedAndProject, never a global sort."""
-    cust = F.broadcast(t(spark, sf_dir, "customer"))
+    cust = (t(spark, sf_dir, "customer"))
     orders = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -352,13 +354,14 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect: percentage of one month's revenue
-    from PROMO parts. part broadcasts; single global conditional
+    from PROMO parts. part joins unhinted (SF-scaling); single
+    global conditional
     aggregate; ratio rounded through a scale-0 integer (6 dp)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    part = (t(spark, sf_dir, "part").select("p_partkey", "p_type"))
     vol = _disc_price_scale4()
     return (
         li.join(part, li.l_partkey == part.p_partkey)
@@ -406,7 +409,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_disc_price_scale4()).alias("total_rev4")
     )
     best = revenue.agg(F.max("total_rev4").alias("best_rev4"))
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
         revenue.join(F.broadcast(best), F.col("total_rev4") == F.col("best_rev4"))
         .join(supp, F.col("supplier_no") == supp.s_suppkey)
@@ -437,7 +440,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     the COUNT(DISTINCT supplier) over a filtered dimension join is
     the shape under test. Distinct-aggregate expands to a two-phase
     plan (partial distinct on (group, suppkey), then count)."""
-    part = F.broadcast(
+    part = (
         t(spark, sf_dir, "part").filter(
             (F.col("p_brand") != "Brand#5")
             & (F.col("p_type") != "ECONOMY")
@@ -481,7 +484,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents("l_quantity")).alias("sum_qty_c"),
         F.count("*").alias("n_li"),
     )
-    part = F.broadcast(
+    part = (
         t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     )
     return (
@@ -514,10 +517,11 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 discounted revenue: disjunction of three
     brand/size/quantity conjuncts straddling the join (container and
     shipmode predicates dropped with the absent columns). Catalyst
-    extracts the common part-side predicate below the broadcast join;
+    extracts the common part-side predicate below the (planner-chosen)
+    join;
     the quantity legs evaluate post-join."""
     li = t(spark, sf_dir, "lineitem")
-    part = F.broadcast(t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    part = (t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
     q = F.col("l_quantity")
 
     def leg(brand: str, size_hi: int, q_lo: int, q_hi: int) -> F.Column:
@@ -590,7 +594,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     ostat = lo.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
         F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
     )
-    supp = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    supp = (t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
         lo.filter(F.col("is_late") == 1)
         .join(ostat, F.col("l_orderkey") == F.col("os_orderkey"))
@@ -706,7 +710,7 @@ def _ps_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     return _ps(spark, sf_dir).join(
-        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
+        sup, F.col("ps_suppkey") == F.col("s_suppkey")
     )
 
 
@@ -744,13 +748,14 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply cost (adapted to the derived partsupp; p_type LIKE '%OMY'
     stands in for '%BRASS'). The correlated MIN subquery decorrelates
     into a per-part aggregate re-joined on (partkey, cost) — both
-    sides share the partkey shuffle; part/supplier/nation/region all
-    broadcast. Top-100 is TakeOrderedAndProject."""
+    sides share the partkey shuffle; nation/region broadcast (fixed
+    dims), part/supplier join unhinted (SF-scaling). Top-100 is
+    TakeOrderedAndProject."""
     pse = _ps_region(spark, sf_dir, "EUROPE")
     mc = pse.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost_c").alias("min_cost_c")
     )
-    part = F.broadcast(
+    part = (
         t(spark, sf_dir, "part").filter(
             (F.col("p_size") == 3) & F.col("p_type").like("%OMY")
         )
@@ -806,7 +811,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_3")
         .select("s_suppkey")
     )
-    nat = ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")).select(
+    nat = ps.join(sup, F.col("ps_suppkey") == F.col("s_suppkey")).select(
         "ps_partkey",
         (F.col("ps_supplycost_c") * F.col("ps_availqty_c")).alias("v"),
     )
@@ -868,7 +873,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(cents("l_quantity")).alias("qty95_c"))
     )
-    part = F.broadcast(
+    part = (
         t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     )
     cand = (

@@ -76,7 +76,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_has_cust", F.lit(1))
     )
-    joined = orders.join(F.broadcast(cust), "o_custkey", "left").withColumn(
+    joined = orders.join(cust, "o_custkey", "left").withColumn(
         "price_c", F.round(F.col("o_totalprice") * 100).cast("long")
     )
     m = joined.agg(

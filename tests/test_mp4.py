@@ -128,3 +128,98 @@ def test_stsd_declared_entry_but_no_bytes_raises_mp4error():
         out[j - 4 : j] = (size - cut).to_bytes(4, "big")
     with pytest.raises(mp4.MP4Error, match="stsd entry missing"):
         mp4.parse_mp4(bytes(out))
+
+
+class TestSampleTables:
+    """parse_mp4_samples / encode_mp4_mjpeg: the stbl walk (r8)."""
+
+    def _mk(self, n=5, w=48, h=32, spc=2, se=2):
+        import numpy as np
+
+        from aoseventstreamer_spark.functions.jpeg import encode_jpeg
+        from aoseventstreamer_spark.functions.mp4 import encode_mp4_mjpeg
+
+        frames = [
+            encode_jpeg(np.full((h, w), (37 + i * 89) % 256, np.uint8), quality=95)
+            for i in range(n)
+        ]
+        return frames, encode_mp4_mjpeg(
+            frames, w, h, samples_per_chunk=spc, sync_every=se
+        )
+
+    def test_sample_ranges_roundtrip_exactly(self):
+        from aoseventstreamer_spark.functions.mp4 import parse_mp4_samples
+
+        frames, b = self._mk()
+        m = parse_mp4_samples(b)
+        assert m["codec"] == "jpeg" and m["n_samples"] == 5
+        for i, (off, sz, sync) in enumerate(m["samples"]):
+            assert b[off : off + sz] == frames[i]
+            assert sync == (i % 2 == 0)
+
+    def test_short_final_chunk_and_single_chunk(self):
+        from aoseventstreamer_spark.functions.mp4 import parse_mp4_samples
+
+        # n=5 spc=2 -> chunks [2,2,1]: two stsc runs
+        _, b = self._mk(n=5, spc=2)
+        assert parse_mp4_samples(b)["n_samples"] == 5
+        # n=4 spc=2 -> uniform runs
+        _, b = self._mk(n=4, spc=2)
+        assert parse_mp4_samples(b)["n_samples"] == 4
+        # one big chunk
+        _, b = self._mk(n=5, spc=99)
+        assert parse_mp4_samples(b)["n_samples"] == 5
+
+    def test_missing_stss_means_all_sync(self):
+        from aoseventstreamer_spark.functions.mp4 import parse_mp4_samples
+
+        _, b = self._mk(se=1)
+        assert all(s[2] for s in parse_mp4_samples(b)["samples"])
+
+    def test_out_of_bounds_sample_quarantines(self):
+        import pytest
+
+        from aoseventstreamer_spark.functions.mp4 import (
+            MP4Error,
+            parse_mp4_samples,
+        )
+
+        _, b = self._mk()
+        # corrupt the first stco offset to point past EOF
+        i = b.find(b"stco")
+        broken = bytearray(b)
+        broken[i + 12 : i + 16] = (len(b) + 1000).to_bytes(4, "big")
+        with pytest.raises(MP4Error, match="beyond file end"):
+            parse_mp4_samples(bytes(broken))
+
+    def test_metadata_only_mp4_has_no_sample_table(self):
+        import pytest
+
+        from aoseventstreamer_spark.functions.mp4 import (
+            MP4Error,
+            encode_mp4,
+            parse_mp4_samples,
+        )
+
+        with pytest.raises(MP4Error, match="stsz|sample table"):
+            parse_mp4_samples(encode_mp4(64, 48, 1000))
+
+    def test_sample_frames_emits_real_mp4_keyframes(self, spark):
+        """The sample_frames MP4 branch: sync samples come back as
+        standalone decodable JPEGs, matching the AVI leg."""
+        import numpy as np
+
+        from aoseventstreamer_spark.functions.jpeg import decode_jpeg
+        from aoseventstreamer_spark.operators.multimodal import (
+            sample_frames,
+            wrap_as_mjpeg_mp4,
+        )
+
+        # id=3: n=5 frames, sync_every=2 -> sync samples 0,2,4
+        docs = spark.createDataFrame([(3,)], "doc_id long")
+        rows = sample_frames(wrap_as_mjpeg_mp4(docs), max_frames=4).collect()
+        assert 1 <= len(rows) <= 4
+        for r in rows:
+            px = decode_jpeg(bytes(r.frame_payload))
+            vals = np.unique(px)
+            assert len(vals) == 1  # a real decoded solid frame

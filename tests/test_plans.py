@@ -142,6 +142,7 @@ def test_every_query_plans_jvm_side(spark, sf_dir):
         "q_video_frames",  # MJPEG-AVI encode/decode plumbing (functions/avi.py)
         "q_media_catalog",  # mixed-container build + sniff plumbing
         "q_image_features",  # PNG/GIF encode/decode plumbing (pixel evidence)
+        "q_video_samples",  # MP4 stbl walk + JPEG decode plumbing
         # fused ANN: single Arrow-batched mapInPandas kernel
         # (bucket+match+cosine in one pass), by design
         "q_ann_lsh",
