@@ -21,6 +21,17 @@ publish subject under a node starts with ``<base>.``, the equivalent
 Spark predicate is ``startswith(base + '.')``; the exact-level query
 ``<base>._`` is plain string equality. Both are pushed to Parquet by
 Catalyst (EqualTo / StringStartsWith).
+
+ID-TOKEN CONTRACT (r8 review): the grammar equivalence above — and
+NATS's own tokenization, and ``parse_subject_col``'s inverse — all
+assume resource ids contain no ``.`` (and are not the literal
+discriminator/terminator tokens). The reference inherits that
+guarantee from its id generator (ULIDs) and performs no validation
+(utils.rs:16-32 interpolates ids verbatim); we match that posture in
+the hot-path Column builders (a per-row validity expression would tax
+every event for a malformed-id case the upstream system cannot
+produce) and property-test the equivalence over the legal id alphabet
+(tests/test_subjects_golden.py).
 """
 
 from __future__ import annotations

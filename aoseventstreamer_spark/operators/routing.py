@@ -39,7 +39,14 @@ from aoseventstreamer_spark.functions import subjects as S
 
 
 def filter_token(df: DataFrame, secret: str, token_col: str = "token") -> DataFrame:
-    """Token-equality auth filter (internal_event_server.rs:24-45)."""
+    """Token-equality auth filter (internal_event_server.rs:24-45).
+
+    Note (r8 review): the secret is a plan LITERAL — it appears in
+    ``explain()`` output and the Spark UI's SQL tab, like any literal
+    predicate. The reference compares plaintext bearer tokens the same
+    way (its gRPC metadata is equally visible to its own tracing);
+    deployments that must keep plan text secret-free should pre-hash
+    the token column and filter on the digest instead."""
     return df.filter(F.col(token_col) == F.lit(secret))
 
 

@@ -91,3 +91,54 @@ def test_predicates_semantics(spark):
         r.subject for r in df.filter(S.subtree_predicate("subject", base_p1)).collect()
     )
     assert subtree == set(subs[:3])  # node itself + all descendants, p2 excluded
+
+
+def test_grammar_equivalence_property_over_legal_ids():
+    """r8 review: the startswith-subtree / equality-exact rewrite must
+    agree with NATS token-wildcard semantics for every id drawn from
+    the legal (dot-free) alphabet — including ids that are prefixes of
+    one another (p1 vs p10), the historical corner that startswith
+    rewrites get wrong without the trailing separator."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aoseventstreamer_spark.functions import subjects as S
+
+    ident = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=127
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    def nats_matches(query: str, subject: str) -> bool:
+        """Reference semantics: NATS token matching ('.' separated;
+        '>' = >=1 trailing tokens)."""
+        q = query.split(".")
+        s = subject.split(".")
+        if q and q[-1] == ">":
+            return len(s) >= len(q) and s[: len(q) - 1] == q[:-1]
+        return s == q
+
+    @given(p1=ident, p2=ident, c1=ident, subtree=st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def check(p1, p2, c1, subtree):
+        query = S.query(S.base_subject([p1], False), subtree)
+        for subject in (
+            S.project_subject(p1),
+            S.project_subject(p2),
+            S.collection_subject(p1, c1),
+            S.collection_subject(p2, c1),
+            S.object_subject(p1, c1, "s", "o"),
+        ):
+            want = nats_matches(query, subject)
+            if subtree:
+                got = subject.startswith(
+                    query[: -len(S.SUBTREE_TERMINATOR)] + "."
+                )
+            else:
+                got = subject == query
+            assert got == want, (query, subject, got, want)
+
+    check()

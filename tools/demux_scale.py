@@ -24,8 +24,13 @@ rhetorically:
   count a 32-task job).
 
 Usage: python tools/demux_scale.py [G ...]   (default: 100 500 1000)
-Prints one JSON line per (fleet kind, G) and exits nonzero if the
-assertion fails.
+Prints one JSON line per (fleet kind, G) — wall time plus JVM heap
+in use after the pass (the driver holds the group dim, the shared
+empty frame, and G callback closures; the 16-thread delivery pool is
+bounded, so queueing, not memory, is what grows with G) — and exits
+nonzero if the marginal-cost assertion fails. The project count
+scales with the largest requested fleet so every matching group has
+a real slice to receive (r8: probed at 10k groups).
 """
 
 from __future__ import annotations
@@ -49,11 +54,15 @@ from aoseventstreamer_spark.streaming.demux import DemuxRunner
 # 8 ms matching / 3 ms idle at 1000 groups after r7's concurrent
 # delivery pool (was 75/28 ms serial); 40 ms = 5x noise headroom
 MARGINAL_BUDGET_S = 0.04
-N_PROJECTS = 2000
 EVENTS_PER_PROJECT = 5
 
 
-def _build_log(spark, path: str) -> None:
+def _jvm_heap_mb(spark) -> int:
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+
+
+def _build_log(spark, path: str, n_projects: int) -> None:
     rows = [
         {
             "emit_id": p * 100 + i,
@@ -66,7 +75,7 @@ def _build_log(spark, path: str) -> None:
                  "shared_object": None, "object_groups": []}
             ],
         }
-        for p in range(N_PROJECTS)
+        for p in range(n_projects)
         for i in range(EVENTS_PER_PROJECT)
     ]
     raw = spark.createDataFrame(rows, schemas.RAW_EMITS_SCHEMA)
@@ -108,6 +117,7 @@ def _run_fleet(spark, log_path: str, work: str, g: int, idle: bool) -> float:
 
 def main() -> None:
     fleet_sizes = [int(a) for a in sys.argv[1:]] or [100, 500, 1000]
+    n_projects = max(2000, max(fleet_sizes))
     spark = get_spark(
         "demux-scale", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
@@ -115,7 +125,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="demux_scale_")
     try:
         log_path = os.path.join(work, "events")
-        _build_log(spark, log_path)
+        _build_log(spark, log_path, n_projects)
 
         results: dict[tuple[str, int], float] = {}
         for idle in (False, True):
@@ -128,8 +138,9 @@ def main() -> None:
                         {
                             "fleet": kind,
                             "groups": g,
-                            "events": N_PROJECTS * EVENTS_PER_PROJECT,
+                            "events": n_projects * EVENTS_PER_PROJECT,
                             "sec": round(sec, 2),
+                            "jvm_heap_mb": _jvm_heap_mb(spark),
                         }
                     ),
                     flush=True,
