@@ -1,0 +1,231 @@
+"""``tablelog`` as a NATIVE Spark data source (PySpark 4 Python Data
+Source API): ``spark.read.format("tablelog").load(path)`` for
+snapshot-isolated batch reads and
+``spark.readStream.format("tablelog").load(path)`` for the
+snapshot-diff stream — with SPARK ITSELF checkpointing the offsets.
+
+Why this exists next to ``tablelog.TableLogStream``: that class is a
+driver loop with its own position file — fine for embedded delivery
+callbacks (the DemuxRunner tier), but it re-implements what Structured
+Streaming already guarantees. This module plugs the manifest log into
+Spark's own micro-batch engine instead:
+
+- offsets are ``{"version": N}`` — the snapshot number, NOT file
+  paths, so OPTIMIZE commits (``data_change=false``) advance the
+  offset while contributing zero rows: compaction is invisible to a
+  live tail under Spark's own exactly-once offset tracking (the
+  file-source redelivery hazard inverted a second time, now inside
+  the engine's checkpoint mechanism — see tests/test_tablelog_source.py
+  kill → optimize → restart);
+- ``partitions(start, end)`` lists the data-change ``add`` actions in
+  ``(start, end]`` — one input partition per data file, so read
+  parallelism scales with the files in the batch;
+- ``read(partition)`` yields pyarrow RecordBatches straight from the
+  parquet file (Arrow-native, no per-row Python), re-attaching hive
+  ``k=v`` partition-dir values as constant columns cast to the stored
+  schema's types;
+- ``initialOffset`` honors ``option("startingVersion", ...)``
+  (default 0 = replay from the first snapshot — the reference's
+  DeliverPolicy::All, natsio.rs:176-182).
+
+Driver/executor I/O here is plain-Python (os/open), so this source
+covers ``file:`` paths — the 100 TB posture note: Python data sources
+receive only string options, and a production object-store deployment
+would swap the 10-line ``_LocalManifests`` shim for an fsspec-backed
+one; the offset/partition/Arrow protocol above is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from aoseventstreamer_spark.tablelog import LOG_DIR, replay_from
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[len("file:") :]
+        while path.startswith("//"):
+            path = path[1:]
+    return path.rstrip("/")
+
+
+class _LocalManifests:
+    """Plain-Python manifest IO (the storage shim — see module doc)."""
+
+    def __init__(self, table_path: str):
+        self.root = _strip_scheme(table_path)
+        self.log_dir = os.path.join(self.root, LOG_DIR)
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            stem, dot, ext = name.partition(".")
+            if ext == "json" and not name.startswith(".") and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def read(self, version: int) -> dict:
+        with open(
+            os.path.join(self.log_dir, f"{version:020d}.json")
+        ) as f:
+            return json.load(f)
+
+    def state(self, version: int | None = None):
+        vs = self.versions()
+        v = vs[-1] if version is None and vs else (version or 0)
+        return replay_from(vs, self.read, v)
+
+    def schema(self) -> T.StructType:
+        _, doc = self.state()
+        if doc is None:
+            raise ValueError(
+                f"tablelog table {self.root} has no committed schema"
+            )
+        return T.StructType.fromJson(doc)
+
+    def adds_between(self, start_v: int, end_v: int) -> list[str]:
+        """Rel paths of data-change adds in (start_v, end_v]."""
+        out = []
+        for v in self.versions():
+            if start_v < v <= end_v:
+                for a in self.read(v)["actions"]:
+                    if a["op"] == "add" and a.get("data_change", True):
+                        out.append(a["path"])
+        return out
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, rel_path: str):
+        self.rel_path = rel_path
+
+
+def _read_file_batches(
+    root: str, rel_path: str, schema: T.StructType
+) -> Iterator:
+    """Arrow batches for one data file, with hive partition-dir values
+    re-attached as constant columns and columns ordered per the stored
+    schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    part_vals = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            part_vals[k] = v
+    table = pq.read_table(os.path.join(root, rel_path))
+    n = table.num_rows
+    cols = []
+    for field in arrow_schema:
+        if field.name in table.column_names:
+            cols.append(table[field.name].cast(field.type))
+        elif field.name in part_vals:
+            cols.append(
+                pa.array([part_vals[field.name]] * n).cast(field.type)
+            )
+        else:
+            cols.append(pa.nulls(n, field.type))
+    out = pa.Table.from_arrays(cols, schema=arrow_schema)
+    yield from out.to_batches(max_chunksize=1 << 16)
+
+
+class TableLogBatchReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType, version: int | None):
+        self.path = _strip_scheme(path)
+        self.schema_ = schema
+        self.version = version
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files, _ = _LocalManifests(self.path).state(self.version)
+        return [_FilePartition(p) for p in sorted(files)] or [
+            _FilePartition("")
+        ]
+
+    def read(self, partition: _FilePartition):
+        if not partition.rel_path:
+            return iter(())
+        return _read_file_batches(self.path, partition.rel_path, self.schema_)
+
+
+class TableLogStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: T.StructType, starting: int):
+        self.path = _strip_scheme(path)
+        self.schema_ = schema
+        self.starting = starting
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        vs = _LocalManifests(self.path).versions()
+        return {"version": vs[-1] if vs else self.starting}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        rels = _LocalManifests(self.path).adds_between(
+            int(start["version"]), int(end["version"])
+        )
+        # an optimize-only (or empty) range still needs one partition:
+        # Spark plans the batch either way, and an empty sequence is
+        # rejected by the runner
+        return [_FilePartition(p) for p in rels] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.rel_path:
+            return iter(())
+        return _read_file_batches(self.path, partition.rel_path, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's checkpoint is the source of truth
+
+
+class TableLogDataSource(DataSource):
+    """format("tablelog"): path = table root; options:
+    ``snapshotVersion`` (batch: pin a snapshot), ``startingVersion``
+    (stream: first version NOT yet delivered; default 0 = from the
+    first snapshot)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablelog"
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tablelog requires .load(<table path>)")
+        return path
+
+    def schema(self) -> T.StructType:
+        return _LocalManifests(self._path()).schema()
+
+    def reader(self, schema: T.StructType) -> TableLogBatchReader:
+        v = self.options.get("snapshotversion")
+        return TableLogBatchReader(
+            self._path(), schema, int(v) if v is not None else None
+        )
+
+    def streamReader(self, schema: T.StructType) -> TableLogStreamReader:
+        return TableLogStreamReader(
+            self._path(),
+            schema,
+            int(self.options.get("startingversion", 0)),
+        )
+
+
+def register_tablelog_source(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` of the format."""
+    spark.dataSource.register(TableLogDataSource)

@@ -77,6 +77,47 @@ class CommitConflict(Exception):
     """Another writer committed this version first; re-derive and retry."""
 
 
+def replay_from(
+    versions: list[int], read_manifest, version: int
+) -> tuple[dict[str, dict], dict | None]:
+    """Pure replay shared by the JVM-FS TableLog and the Python
+    datasource reader (sources/tablelog_source.py): walk BACKWARD only
+    until a checkpoint manifest (one carrying ``full``), then fold the
+    bounded suffix forward. Returns ({rel_path -> entry}, schema doc).
+    ``read_manifest`` is any version→dict callable."""
+    vs = [v for v in versions if v <= version]
+    if not vs:
+        return {}, None
+    suffix: list[dict] = []
+    for i in range(len(vs) - 1, -1, -1):
+        m = read_manifest(vs[i])
+        suffix.append(m)
+        if m.get("full") is not None:
+            break
+    suffix.reverse()
+    schema_doc = None
+    for m in suffix:
+        if m.get("schema") is not None:
+            schema_doc = m["schema"]  # newest wins
+    base: dict[str, dict] = {}
+    start = 0
+    if suffix[0].get("full") is not None:
+        # the checkpoint's own actions are already folded into full
+        base = {e["path"]: e for e in suffix[0]["full"]}
+        start = 1
+    for m in suffix[start:]:
+        for a in m["actions"]:
+            if a["op"] == "add":
+                base[a["path"]] = {
+                    "path": a["path"],
+                    "size": a.get("size", 0),
+                    "data_change": a.get("data_change", True),
+                }
+            else:
+                base.pop(a["path"], None)
+    return base, schema_doc
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -157,42 +198,12 @@ class TableLog:
 
     def _replay(self, version: int) -> tuple[dict[str, dict], dict | None]:
         """Live file set {rel_path -> entry} at ``version`` plus the
-        stored schema doc. Walks BACKWARD only until a checkpoint
-        manifest (one carrying the ``full`` set), then replays the
-        bounded suffix forward — never the whole history. Checkpoint
-        manifests also re-embed the schema, so the walk is bounded for
-        both."""
-        vs = [v for v in self._list_versions() if v <= version]
-        if not vs:
-            return {}, None
-        suffix: list[dict] = []
-        for i in range(len(vs) - 1, -1, -1):
-            m = self._read_manifest(vs[i])
-            suffix.append(m)
-            if m.get("full") is not None:
-                break
-        suffix.reverse()
-        schema_doc = None
-        for m in suffix:
-            if m.get("schema") is not None:
-                schema_doc = m["schema"]  # newest wins
-        base: dict[str, dict] = {}
-        start = 0
-        if suffix[0].get("full") is not None:
-            # the checkpoint's own actions are already folded into full
-            base = {e["path"]: e for e in suffix[0]["full"]}
-            start = 1
-        for m in suffix[start:]:
-            for a in m["actions"]:
-                if a["op"] == "add":
-                    base[a["path"]] = {
-                        "path": a["path"],
-                        "size": a.get("size", 0),
-                        "data_change": a.get("data_change", True),
-                    }
-                else:
-                    base.pop(a["path"], None)
-        return base, schema_doc
+        stored schema doc. Bounded backward walk via ``replay_from``
+        (checkpoint manifests re-embed the schema, so the walk is
+        bounded for both)."""
+        return replay_from(
+            self._list_versions(), self._read_manifest, version
+        )
 
     def snapshot_files(self, version: int | None = None) -> list[dict]:
         v = self.latest_version() if version is None else version

@@ -1,0 +1,158 @@
+"""sources/tablelog_source.py: the manifest log as a NATIVE Spark data
+source (Python Data Source API) — batch snapshot reads and the
+snapshot-diff stream with SPARK'S OWN checkpoint carrying the version
+offset, so compaction invisibility holds under engine-managed
+exactly-once (the second inversion of the file-source redelivery
+hazard)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.sources.tablelog_source import (
+    register_tablelog_source,
+)
+from aoseventstreamer_spark.tablelog import TableLog
+
+
+@pytest.fixture()
+def registered(spark):
+    register_tablelog_source(spark)
+    return spark
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_batch_read_matches_tablelog_read(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.range(200).select(
+        "id", (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("s"), F.col("id") % 3).alias("s"),
+    )
+    log.append(df)
+    log.append(df.withColumn("id", F.col("id") + 1000))
+    native = spark.read.format("tablelog").load(log.path)
+    assert _rows(native) == _rows(log.read())
+
+
+def test_batch_read_pinned_snapshot(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "t2"))
+    log.append(spark.range(10).select("id"))
+    log.append(spark.range(10, 30).select("id"))
+    pinned = (
+        spark.read.format("tablelog")
+        .option("snapshotVersion", "1")
+        .load(log.path)
+    )
+    assert pinned.count() == 10
+
+
+def test_batch_read_partitioned_reattaches_partition_values(
+    registered, tmp_path
+):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "t3"))
+    df = spark.range(40).select("id", (F.col("id") % 2).alias("p"))
+    log.append(df, partition_by=["p"])
+    native = spark.read.format("tablelog").load(log.path)
+    assert _rows(native.select("id", "p")) == _rows(df)
+
+
+def test_stream_replays_from_start_and_tails(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "t4"))
+    log.append(spark.range(10).select("id"))
+    log.append(spark.range(10, 25).select("id"))
+    ck = str(tmp_path / "ck4")
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.id for r in batch_df.collect())
+
+    q = (
+        spark.readStream.format("tablelog")
+        .load(log.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == list(range(25))
+    # tail: new append, restart from Spark's checkpoint
+    log.append(spark.range(25, 30).select("id"))
+    q = (
+        spark.readStream.format("tablelog")
+        .load(log.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == list(range(30)) and len(got) == 30
+
+
+def test_optimize_invisible_under_spark_checkpoint(registered, tmp_path):
+    """kill -> OPTIMIZE the consumed region -> restart on the SAME
+    Spark checkpoint: zero re-delivery, then new rows arrive exactly
+    once — the engine-managed version of
+    test_compaction_during_live_tail_redelivers_nothing."""
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "t5"))
+    for i in range(4):
+        log.append(spark.range(i * 10, i * 10 + 10).select("id").repartition(3))
+    ck = str(tmp_path / "ck5")
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.id for r in batch_df.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("tablelog")
+            .load(log.path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(got) == list(range(40))
+    rep = log.optimize(min_files=2)
+    assert rep["files_removed"] > 0
+    run_once()  # restart over the optimize-only snapshot
+    assert sorted(got) == list(range(40)), "compaction re-delivered rows"
+    log.append(spark.range(40, 50).select("id"))
+    run_once()
+    assert sorted(got) == list(range(50)) and len(got) == 50
+
+
+def test_starting_version_tail_only(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "t6"))
+    log.append(spark.range(10).select("id"))
+    v = log.latest_version()
+    log.append(spark.range(10, 20).select("id"))
+    got = []
+
+    q = (
+        spark.readStream.format("tablelog")
+        .option("startingVersion", str(v))
+        .load(log.path)
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend(r.id for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == list(range(10, 20))
