@@ -550,12 +550,13 @@ def ivf_topk(
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     cache_handles: list | None = None,
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     bucketing: only same-bucket pairs are scored; pairs matching in
@@ -564,12 +565,23 @@ def cosine_near_dup_pairs(
     excluded (see lsh_ann_topk). Pass ``dim`` to skip the driver-side
     probe job (see lsh_ann_topk).
 
+    ``n_planes=None`` (default) SCALES the signature width with the
+    corpus: ceil(log2(n / target_bucket_rows)) planes, so expected
+    bucket population stays ~target_bucket_rows at every SF and
+    in-bucket pair work stays LINEAR in n. The r8 sf1 probe measured
+    the old fixed 4-plane default (16 buckets/table) at 35× the sf0.1
+    wall for 10× the rows — textbook quadratic in-bucket blowup; the
+    count job this costs is one narrow pass. Pass an explicit
+    ``n_planes`` to pin the structure (tests; recall studies).
+
     Caching: the bucketed side is ``.persist()``-ed (MEMORY_AND_DISK)
     because the self-join references it twice and the Arrow bucket
     kernel is the dominant cost. The cache lives until Spark's
     ContextCleaner collects it; pass ``cache_handles`` (a list) to
     receive the persisted frame and ``unpersist()`` it deterministically
     after the consuming action."""
+    import math
+
     from ..session import ensure_parallelism
 
     if dim is None:
@@ -577,6 +589,9 @@ def cosine_near_dup_pairs(
     if dim is None:  # empty input
         spark = embeddings.sparkSession
         return spark.createDataFrame([], "id_a long, id_b long, sim double")
+    if n_planes is None:
+        n = embeddings.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows)))
     buckets = _packed_buckets_udf(n_planes, n_tables, dim)
     side = (
         ensure_parallelism(embeddings)
@@ -608,7 +623,7 @@ def cosine_near_dup_pairs(
 def semantic_dedup(
     embeddings: DataFrame,
     tau: float = 0.30,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str | None = None,
@@ -629,20 +644,27 @@ def semantic_dedup(
     (``round(sim*10000) >= round(tau*10000)``) so engines that produce
     the identical rounded double agree on every boundary pair.
 
-    Scale shape: pairwise work is quadratic ONLY within a cluster;
-    n_clusters grows with corpus size (the paper uses ~sqrt(N)) so
-    per-cluster population stays bounded, and the pair generation is
-    an equi-join on cluster id — never all-pairs across the corpus.
-    Returns the KEPT rows as (id, cluster).
+    Scale shape: pairwise work is quadratic ONLY within a cluster, so
+    per-cluster population must stay bounded as the corpus grows.
+    ``n_clusters=None`` (default) follows the paper's recipe and sets
+    k = max(16, ceil(sqrt(N))) — in-cluster pair work then grows
+    ~N^1.5 overall instead of N² (the r8 sf1 probe measured the old
+    fixed k=16 at 28× the sf0.1 wall for 10× the rows). Pair
+    generation is an equi-join on cluster id — never all-pairs across
+    the corpus. Returns the KEPT rows as (id, cluster).
     """
     base = embeddings.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec"),
         *([F.col(cluster_col).alias("cluster")] if cluster_col else []),
     )
     if cluster_col is None:
+        import math
+
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        if n_clusters is None:
+            n_clusters = max(16, math.ceil(math.sqrt(embeddings.count())))
         feat = base.withColumn("features", array_to_vector("vec"))
         model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(feat)
         base = model.transform(feat).select(

@@ -114,9 +114,12 @@ def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters + within-cluster greedy cosine prune. Rows-only in the
     driver harness (centroids are engine-specific); the prune step is
     unit-tested against a pandas brute-force oracle given the same
-    cluster assignment (tests/test_corpus_pack.py)."""
+    cluster assignment (tests/test_corpus_pack.py). k follows the
+    paper's ~sqrt(N) default, so in-cluster pair work scales ~N^1.5
+    (the r8 sf1 probe caught the old fixed k=16 at 28x for 10x
+    rows)."""
     emb = t(spark, sf_dir, "embeddings")
-    return SIM.semantic_dedup(emb, tau=0.30, n_clusters=16)
+    return SIM.semantic_dedup(emb, tau=0.30)
 
 
 @query(
