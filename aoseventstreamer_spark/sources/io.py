@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_BATCH_FORMATS = {"parquet", "csv", "json", "orc"}
+_BATCH_FORMATS = {"parquet", "csv", "json", "orc", "tablelog"}
+
+
+def _ensure_tablelog(spark: SparkSession) -> None:
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+
+    register_tablelog_source(spark)
 
 
 def read_batch(
@@ -26,6 +34,9 @@ def read_batch(
 ) -> DataFrame:
     if fmt not in _BATCH_FORMATS:
         raise ValueError(f"unsupported source format: {fmt}")
+    if fmt == "tablelog":
+        # snapshot-isolated manifest read; schema comes from the log
+        _ensure_tablelog(spark)
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -57,13 +68,26 @@ def write_batch(
 def read_stream(
     spark: SparkSession,
     path: str,
-    schema: T.StructType,
+    schema: T.StructType | None = None,
     fmt: str = "parquet",
     max_files_per_trigger: int = 64,
     **options,
 ) -> DataFrame:
-    """File-based streaming source (the event-log tail). An explicit
-    schema is mandatory: streaming sources cannot infer."""
+    """Streaming source (the event-log tail). For FILE formats an
+    explicit schema is mandatory (streaming sources cannot infer) and
+    offsets are file paths — compacting consumed regions re-delivers
+    them (operators/compaction.py docstring). ``fmt="tablelog"``
+    streams snapshot diffs instead: schema comes from the manifest,
+    offsets are snapshot versions, and OPTIMIZE commits are invisible
+    to the tail (sources/tablelog_source.py)."""
+    if fmt == "tablelog":
+        _ensure_tablelog(spark)
+        reader = spark.readStream.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).load(path)
+    if schema is None:
+        raise ValueError(f"{fmt} streaming sources require an explicit schema")
     return (
         spark.readStream.format(fmt)
         .schema(schema)

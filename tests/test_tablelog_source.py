@@ -156,3 +156,26 @@ def test_starting_version_tail_only(registered, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == list(range(10, 20))
+
+
+def test_io_layer_reads_tablelog_format(spark, tmp_path):
+    """sources/io.read_batch / read_stream accept fmt='tablelog' and
+    self-register the data source."""
+    from aoseventstreamer_spark.sources import io as IO
+
+    log = TableLog(spark, str(tmp_path / "t7"))
+    log.append(spark.range(30).select("id"))
+    got = IO.read_batch(spark, log.path, fmt="tablelog")
+    assert got.count() == 30
+    rows = []
+    q = (
+        IO.read_stream(spark, log.path, fmt="tablelog")
+        .writeStream.foreachBatch(
+            lambda df, bid: rows.extend(r.id for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck7"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(rows) == list(range(30))
