@@ -24,11 +24,13 @@ of that idea:
 - COMMIT = write the manifest to a hidden ``.tmp-*`` sibling, then
   rename to the next version number with a latest-version check
   (optimistic concurrency: a lost race raises ``CommitConflict`` and
-  the caller re-derives against the new snapshot and retries). On HDFS
-  rename-if-absent is atomic; on stores without atomic rename, point
-  the log dir at one that has it — same deployment note as
-  operators/compaction.py. A crash before the rename leaves only a
-  hidden tmp (swept lazily); a crash after it IS a completed commit.
+  the caller re-derives against the new snapshot and retries). The
+  check-and-rename is serialized through an atomic ``createNewFile``
+  lock (atomic on HDFS and local FS both; stale locks from crashed
+  committers are stolen after 60 s), so concurrent same-version
+  committers cannot clobber each other even where rename(2)
+  overwrites. A crash before the rename leaves only a hidden tmp
+  (swept lazily); a crash after it IS a completed commit.
 - READ = resolve the live file set AT A VERSION and scan exactly those
   files (``basePath`` keeps hive-style partition dirs working, so
   partition pruning survives). Data files are immutable and never
@@ -71,6 +73,7 @@ from pyspark.sql import types as T
 
 LOG_DIR = "_tablelog"
 _MANIFEST_DIGITS = 20
+_LOCK_STALE_SECONDS = 60.0
 
 
 class CommitConflict(Exception):
@@ -177,7 +180,15 @@ class TableLog:
 
     def _write_manifest(self, version: int, doc: dict) -> None:
         """tmp-write + rename-commit with a version CAS. The rename is
-        the commit point; losing the race raises CommitConflict."""
+        the commit point; losing the race raises CommitConflict.
+
+        The CAS is serialized through an atomic lock file
+        (``createNewFile`` — atomic exclusive create on HDFS AND on
+        the local FS, where a bare exists-check+rename would race:
+        Linux rename(2) silently overwrites an existing destination,
+        so two same-version committers could clobber each other).
+        A lock orphaned by a crash is stolen after
+        ``_LOCK_STALE_SECONDS``."""
         tmp = self._Path(
             f"{self.path}/{LOG_DIR}/.tmp-{uuid.uuid4().hex}.json"
         )
@@ -188,11 +199,40 @@ class TableLog:
         finally:
             out.close()
         dst = self._manifest_path(version)
-        if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
-            self._fs.delete(tmp, False)
-            raise CommitConflict(
-                f"version {version} was committed concurrently"
-            )
+        lock = self._Path(f"{self.path}/{LOG_DIR}/.commit.lock")
+        deadline = time.time() + 30.0
+
+        def try_lock() -> bool:
+            # createNewFile's default impl is exists-then-create, so a
+            # lost race can surface as FileAlreadyExistsException
+            # instead of False — both mean "lock busy"
+            try:
+                return bool(self._fs.createNewFile(lock))
+            except Exception:
+                return False
+
+        while not try_lock():
+            try:
+                age = time.time() - self._fs.getFileStatus(
+                    lock
+                ).getModificationTime() / 1000.0
+                if age > _LOCK_STALE_SECONDS:
+                    self._fs.delete(lock, False)  # steal orphaned lock
+                    continue
+            except Exception:
+                continue  # lock released between create and stat
+            if time.time() > deadline:
+                self._fs.delete(tmp, False)
+                raise CommitConflict("commit lock held too long")
+            time.sleep(0.01)
+        try:
+            if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
+                self._fs.delete(tmp, False)
+                raise CommitConflict(
+                    f"version {version} was committed concurrently"
+                )
+        finally:
+            self._fs.delete(lock, False)
 
     # ---------- state reconstruction ----------
 

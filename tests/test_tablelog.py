@@ -282,3 +282,44 @@ def test_scan_parity_through_format(spark, tmp_path, sf_dir):
     direct = _rows(ev)
     through = _rows(log.read())
     assert through == direct
+
+
+def test_concurrent_commits_all_survive(spark, tmp_path):
+    """r8 self-review: on local FS rename(2) overwrites, so the bare
+    exists+rename CAS could clobber a concurrent same-version commit.
+    The commit lock must serialize racers: 8 threads each retrying a
+    metadata commit must land 8 DISTINCT versions with every add
+    surviving in the final state."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    log = _mk(spark, tmp_path, "race")
+    log.append(spark.range(5).select("id"))
+
+    def one(i):
+        l2 = TableLog(spark, log.path)
+        for _ in range(50):
+            try:
+                return l2.commit(added=[{"path": f"fake{i}", "size": 1}])
+            except CommitConflict:
+                continue
+        raise AssertionError("starved")
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(one, range(8)))
+    assert sorted(versions) == list(range(2, 10))
+    files = {e["path"] for e in log.snapshot_files()}
+    assert all(f"fake{i}" in files for i in range(8))
+
+
+def test_stale_commit_lock_is_stolen(spark, tmp_path):
+    import os
+    import time as _t
+
+    log = _mk(spark, tmp_path, "stale")
+    log.append(spark.range(5).select("id"))
+    lock = f"{log.path}/_tablelog/.commit.lock"
+    open(lock, "w").close()
+    old = _t.time() - 120
+    os.utime(lock, (old, old))
+    v = log.commit(added=[])  # must steal the orphaned lock
+    assert v == 2 and not os.path.exists(lock)
