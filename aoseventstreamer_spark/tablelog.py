@@ -352,16 +352,38 @@ class TableLog:
         df: DataFrame,
         partition_by: list[str] | None = None,
         max_commit_retries: int = 10,
+        merge_schema: bool = False,
     ) -> int:
         """Write ``df``'s rows as new immutable data files and commit
         them as one snapshot. The parquet job runs ONCE; only the
-        metadata commit retries on a version race."""
+        metadata commit retries on a version race.
+
+        Schema evolution: an append whose columns are a SUPERSET of
+        the table schema is accepted with ``merge_schema=True`` (the
+        Delta mergeSchema contract) — the commit stores the widened
+        schema and older files read back with the new columns null.
+        Dropping or renaming columns is refused either way (that
+        rewrite is a migration, not an append)."""
         stored = self.schema()
-        if stored is not None and set(stored.fieldNames()) != set(df.columns):
-            raise ValueError(
-                f"append schema {sorted(df.columns)} does not match the "
-                f"table schema {sorted(stored.fieldNames())}"
-            )
+        new_schema = None
+        if stored is None:
+            new_schema = df.schema
+        elif set(df.columns) != set(stored.fieldNames()):
+            if merge_schema and set(stored.fieldNames()) <= set(df.columns):
+                new_schema = T.StructType(
+                    list(stored.fields)
+                    + [
+                        f
+                        for f in df.schema.fields
+                        if f.name not in set(stored.fieldNames())
+                    ]
+                )
+            else:
+                raise ValueError(
+                    f"append schema {sorted(df.columns)} does not match "
+                    f"the table schema {sorted(stored.fieldNames())}; "
+                    "pass merge_schema=True to ADD columns"
+                )
         rel = self._stage_dir()
         w = df.write.mode("overwrite")
         if partition_by:
@@ -371,9 +393,7 @@ class TableLog:
         for _ in range(max_commit_retries):
             try:
                 return self.commit(
-                    added=added,
-                    data_change=True,
-                    schema=df.schema if stored is None else None,
+                    added=added, data_change=True, schema=new_schema
                 )
             except CommitConflict:
                 continue
@@ -383,11 +403,33 @@ class TableLog:
 
     # ---------- read path ----------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at(self, timestamp_ms: int) -> int:
+        """Time travel: the newest version committed at or before
+        ``timestamp_ms`` (manifest commit timestamps are monotone
+        under the commit lock). 0 if none."""
+        best = 0
+        for v in self._list_versions():
+            if self._read_manifest(v).get("timestamp_ms", 0) <= timestamp_ms:
+                best = v
+            else:
+                break
+        return best
+
+    def read(
+        self, version: int | None = None, as_of_timestamp_ms: int | None = None
+    ) -> DataFrame:
         """Snapshot-isolated batch read: scans exactly the files the
         manifest names (never a directory listing), with ``basePath``
         so hive-style partition dirs still yield partition columns —
-        and therefore partition pruning."""
+        and therefore partition pruning. The STORED schema is applied
+        explicitly, so files written before a merge_schema append read
+        back with the later columns null (footer inference would pick
+        one file's schema and silently drop them). Pass ``version``
+        or ``as_of_timestamp_ms`` (not both) to time-travel."""
+        if as_of_timestamp_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_timestamp_ms")
+            version = self.version_at(as_of_timestamp_ms)
         entries = self.snapshot_files(version)
         sch = self.schema(version)
         if not entries:
@@ -395,9 +437,10 @@ class TableLog:
                 raise ValueError(f"table {self.path} has no commits")
             return self.spark.createDataFrame([], sch)
         paths = [f"{self.path}/{e['path']}" for e in entries]
-        return (
-            self.spark.read.option("basePath", self.path).parquet(*paths)
-        )
+        reader = self.spark.read.option("basePath", self.path)
+        if sch is not None:
+            reader = reader.schema(sch)
+        return reader.parquet(*paths)
 
     # ---------- maintenance ----------
 

@@ -323,3 +323,41 @@ def test_stale_commit_lock_is_stolen(spark, tmp_path):
     os.utime(lock, (old, old))
     v = log.commit(added=[])  # must steal the orphaned lock
     assert v == 2 and not os.path.exists(lock)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """merge_schema append widens the table; pre-evolution files read
+    back with the new column null (the stored schema is applied
+    explicitly — footer inference would silently drop it)."""
+    log = _mk(spark, tmp_path, "evolve")
+    log.append(spark.range(5).select("id"))
+    with pytest.raises(ValueError, match="merge_schema"):
+        log.append(
+            spark.range(5, 8).select("id", F.lit("x").alias("tag"))
+        )
+    log.append(
+        spark.range(5, 8).select("id", F.lit("x").alias("tag")),
+        merge_schema=True,
+    )
+    out = log.read()
+    assert set(out.columns) == {"id", "tag"}
+    rows = {r.id: r.tag for r in out.collect()}
+    assert rows[0] is None and rows[5] == "x" and len(rows) == 8
+    # dropping columns is refused even with merge_schema
+    with pytest.raises(ValueError, match="does not match"):
+        log.append(spark.range(9, 10).select("id"), merge_schema=True)
+
+
+def test_time_travel_by_timestamp(spark, tmp_path):
+    import time as _t
+
+    log = _mk(spark, tmp_path, "tt")
+    log.append(spark.range(10).select("id"))
+    t_mid = int(_t.time() * 1000)
+    _t.sleep(0.05)
+    log.append(spark.range(10, 30).select("id"))
+    assert log.read(as_of_timestamp_ms=t_mid).count() == 10
+    assert log.read().count() == 30
+    assert log.version_at(0) == 0
+    with pytest.raises(ValueError, match="version OR"):
+        log.read(version=1, as_of_timestamp_ms=t_mid)
