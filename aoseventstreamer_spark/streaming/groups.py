@@ -98,12 +98,41 @@ def subject_filter(filter_subject: str) -> F.Column:
 
 
 class StreamGroupManager:
-    """Registry + runtime for stream groups over a parquet event log."""
+    """Registry + runtime for stream groups over a parquet event log.
 
-    def __init__(self, spark: SparkSession, events_path: str, state_root: str):
+    ``log_format`` picks the consumer's delivery contract:
+
+    - ``"parquet"`` (default, the reference's shape): a file-source
+      readStream that checkpoints file PATHS. At-least-once — a
+      compaction of an already-consumed region makes the rewritten
+      files look new and re-delivers those rows
+      (tests/test_compaction.py demonstrates the hazard; the
+      reference's JetStream consumers have the same contract,
+      public_event_server.rs:330-386).
+    - ``"tablelog"``: the snapshot-diff native source
+      (sources/tablelog_source.py) whose Spark checkpoint carries a
+      manifest VERSION, not paths. OPTIMIZE commits are
+      ``data_change=False`` and are skipped entirely, so delivery is
+      exactly-once across graceful restarts AND any amount of
+      compaction — the lifted contract the reference cannot offer
+      (tests/test_streaming.py::test_stream_group_tablelog_*).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        events_path: str,
+        state_root: str,
+        log_format: str = "parquet",
+    ):
+        if log_format not in ("parquet", "tablelog"):
+            raise ValueError(
+                f"log_format must be 'parquet' or 'tablelog', got {log_format!r}"
+            )
         self.spark = spark
         self.events_path = events_path
         self.state_root = state_root
+        self.log_format = log_format
         self.groups_path = os.path.join(state_root, "stream_groups")
         self.checkpoints_root = os.path.join(state_root, "checkpoints")
 
@@ -167,11 +196,21 @@ class StreamGroupManager:
     # -- read path ----------------------------------------------------------
 
     def _filtered_stream(self, group: StreamGroup) -> DataFrame:
-        stream = (
-            self.spark.readStream.schema(schemas.ROUTED_EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", "64")
-            .parquet(self.events_path)
-        )
+        if self.log_format == "tablelog":
+            from aoseventstreamer_spark.sources.tablelog_source import (
+                register_tablelog_source,
+            )
+
+            register_tablelog_source(self.spark)
+            stream = self.spark.readStream.format("tablelog").load(
+                self.events_path
+            )
+        else:
+            stream = (
+                self.spark.readStream.schema(schemas.ROUTED_EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", "64")
+                .parquet(self.events_path)
+            )
         filtered = stream.filter(subject_filter(group.filter_subject))
         # every query subject fixes the project (first id token), so the
         # equivalent project_id predicate is redundant with the subject

@@ -458,3 +458,90 @@ def test_shared_group_load_balances_without_overlap(spark, tmp_path, log_dir):
     )
     q3.awaitTermination(120)
     assert len(set(ok)) == 12, "unacked chunk must redeliver to all clients"
+
+
+# ---------- stream groups over the tablelog format (VERDICT r7 item 6) ----------
+
+
+def _routed(spark, rows):
+    raw = spark.createDataFrame(rows, schemas.RAW_EMITS_SCHEMA)
+    return route_emits(raw, secret="t")
+
+
+def test_stream_group_tablelog_replay_and_filter(spark, tmp_path):
+    """Parity through the format: a tablelog-backed group replays the
+    full retained history and applies the broker-side subject filter
+    exactly as the file-source path does."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log_dir = str(tmp_path / "tl_events")
+    log = TableLog(spark, log_dir)
+    log.append(_routed(spark, _emit_rows(0, "p1", 6) + _emit_rows(100, "p2", 4)))
+
+    mgr = StreamGroupManager(
+        spark, log_dir, str(tmp_path / "state"), log_format="tablelog"
+    )
+    group = mgr.create_stream_group(
+        schemas.RESOURCE_PROJECT, "p1", include_subresources=True
+    )
+    got: list[tuple[str, int]] = []
+
+    def deliver(chunk_id: int, df) -> None:
+        got.extend((r.subject, r.seq) for r in df.select("subject", "seq").collect())
+
+    q = mgr.read_available(group.id, deliver)
+    q.awaitTermination(120)
+    assert len(got) == 6 and len(set(got)) == 6
+    assert all(s.startswith("UPDATES.STORAGE._.p1.") for s, _ in got)
+
+
+def test_stream_group_tablelog_exactly_once_across_optimize(spark, tmp_path):
+    """THE item-6 demo: kill the group's tail, OPTIMIZE the consumed
+    region (many small appends -> few files), restart on the SAME
+    checkpoint -> ZERO duplicate chunks; rows appended after the
+    restart arrive exactly once. Contrast: the parquet file-source
+    path re-delivers the compacted region
+    (tests/test_compaction.py::test_compaction_makes_live_file_stream_redeliver)."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log_dir = str(tmp_path / "tl_events2")
+    log = TableLog(spark, log_dir)
+    # 6 separate appends = 6+ small files: a real compaction target
+    for i in range(6):
+        log.append(_routed(spark, _emit_rows(i * 10, "p1", 2)))
+
+    mgr = StreamGroupManager(
+        spark, log_dir, str(tmp_path / "state2"), log_format="tablelog"
+    )
+    group = mgr.create_stream_group(
+        schemas.RESOURCE_PROJECT, "p1", include_subresources=True
+    )
+    delivered: list[tuple[str, int]] = []
+
+    def deliver(chunk_id: int, df) -> None:
+        delivered.extend(
+            (r.subject, r.seq) for r in df.select("subject", "seq").collect()
+        )
+
+    q = mgr.read_available(group.id, deliver)
+    q.awaitTermination(120)
+    assert len(delivered) == 12 and len(set(delivered)) == 12
+    baseline = set(delivered)
+
+    # kill (query already terminated); OPTIMIZE the consumed region
+    stats = log.optimize(small_file_bytes=64 * 1024 * 1024, min_files=1)
+    assert stats["files_removed"] > stats["files_added"] > 0
+
+    # restart on the SAME group checkpoint: the layout-only commit is
+    # data_change=False -> the tail skips it entirely
+    q = mgr.read_available(group.id, deliver)
+    q.awaitTermination(120)
+    assert set(delivered) == baseline and len(delivered) == 12, (
+        "compaction must be invisible to a tablelog-backed stream group"
+    )
+
+    # new data after the restart arrives exactly once
+    log.append(_routed(spark, _emit_rows(900, "p1", 3)))
+    q = mgr.read_available(group.id, deliver)
+    q.awaitTermination(120)
+    assert len(delivered) == 15 and len(set(delivered)) == 15
