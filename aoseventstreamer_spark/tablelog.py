@@ -80,6 +80,160 @@ class CommitConflict(Exception):
     """Another writer committed this version first; re-derive and retry."""
 
 
+# ---------- file-level statistics (data skipping) ----------
+#
+# Delta/Iceberg's biggest scan win at scale is file skipping: each
+# `add` action carries exact per-file min/max/null_count for a bounded
+# set of leading atomic columns, and the reader drops files whose
+# stats prove no row can match a conjunctive predicate — BEFORE any
+# executor touches them. At 100 TB the manifest is KBs per commit and
+# the pruning is a driver-side loop over metadata; the scan itself
+# shrinks by the selectivity of the leading columns (measured in
+# tools/tablelog_skipping_probe.py). Stats here are EXACT (computed by
+# a distributed agg over the just-written files, one job per commit),
+# so unlike parquet footer stats there is no truncation caveat.
+
+_STATS_ATOMIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+    T.TimestampType, T.DateType,
+)
+
+
+def _stat_encode(v):
+    """JSON-encode one min/max scalar; None = no usable bound
+    (conservative). Timestamps→µs, dates→ordinal days so the stored
+    form and the prune-time literal normalize identically."""
+    import datetime
+    import math as _m
+
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return None if (_m.isnan(v) or _m.isinf(v)) else v
+    if isinstance(v, datetime.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return None
+
+
+def _norm_literal(dtype, v):
+    """Normalize a prune-time literal the same way `_stat_encode`
+    normalized the stored bound. Returns None when the literal cannot
+    be compared against stored stats (→ file survives)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(dtype, T.TimestampType):
+        if isinstance(v, datetime.datetime):
+            return int(v.timestamp() * 1_000_000)
+        return None
+    if isinstance(dtype, T.DateType):
+        if isinstance(v, datetime.datetime):
+            return v.date().toordinal()
+        if isinstance(v, datetime.date):
+            return v.toordinal()
+        return None
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_survives(stats: dict | None, col: str, op: str, lit) -> bool:
+    """Can ANY row in a file with these stats match `col op lit`?
+    Missing/partial stats → True (never prune on ignorance)."""
+    if not stats:
+        return True
+    mins, maxs = stats.get("min", {}), stats.get("max", {})
+    nulls, nrows = stats.get("null_count", {}), stats.get("num_rows")
+    nc = nulls.get(col)
+    if op == "isnull":
+        return True if nc is None else nc > 0
+    if op == "notnull":
+        if nc is None or nrows is None:
+            return True
+        return nc < nrows
+    # value-matching ops: an all-null file has no matchable row
+    if nc is not None and nrows is not None and nc == nrows:
+        return False
+    mn, mx = mins.get(col), maxs.get(col)
+    if op == "startswith":
+        if not isinstance(lit, str):
+            return True
+        lo = True if mn is None or not isinstance(mn, str) else mn[: len(lit)] <= lit
+        hi = True if mx is None or not isinstance(mx, str) else mx >= lit
+        return lo and hi
+    vals = list(lit) if op == "in" else [lit]
+    for v in vals:
+        if v is None:
+            continue  # NULL literal matches nothing; try the others
+        lo_ok = mn is None or not _comparable(mn, v) or _cmp_ge(v, mn, op)
+        hi_ok = mx is None or not _comparable(mx, v) or _cmp_le(v, mx, op)
+        if lo_ok and hi_ok:
+            return True
+    return False
+
+
+def _comparable(a, b) -> bool:
+    num = (int, float)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return type(a) is type(b)
+
+
+def _cmp_ge(v, mn, op) -> bool:
+    """Lower-bound check: could some row >= mn satisfy `row op v`?"""
+    if op in ("=", "in", ">", ">="):
+        return True if op in (">", ">=") else v >= mn
+    if op == "<":
+        return v > mn
+    if op == "<=":
+        return v >= mn
+    return True
+
+
+def _cmp_le(v, mx, op) -> bool:
+    """Upper-bound check: could some row <= mx satisfy `row op v`?"""
+    if op in ("=", "in", "<", "<="):
+        return True if op in ("<", "<=") else v <= mx
+    if op == ">":
+        return v < mx
+    if op == ">=":
+        return v <= mx
+    return True
+
+
+_WHERE_OPS = {"=", "<", "<=", ">", ">=", "in", "startswith", "isnull", "notnull"}
+
+
+def _where_to_column(schema: T.StructType, where: list[tuple]) -> "F.Column":
+    from pyspark.sql import functions as F
+
+    cond = F.lit(True)
+    for clause in where:
+        col, op = clause[0], clause[1]
+        lit = clause[2] if len(clause) > 2 else None
+        if op not in _WHERE_OPS:
+            raise ValueError(f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}")
+        c = F.col(col)
+        if op == "isnull":
+            cond = cond & c.isNull()
+        elif op == "notnull":
+            cond = cond & c.isNotNull()
+        elif op == "in":
+            cond = cond & c.isin(list(lit))
+        elif op == "startswith":
+            cond = cond & c.startswith(lit)
+        else:
+            cond = cond & {"=": c == lit, "<": c < lit, "<=": c <= lit,
+                           ">": c > lit, ">=": c >= lit}[op]
+    return cond
+
+
 def replay_from(
     versions: list[int], read_manifest, version: int
 ) -> tuple[dict[str, dict], dict | None]:
@@ -115,6 +269,7 @@ def replay_from(
                     "path": a["path"],
                     "size": a.get("size", 0),
                     "data_change": a.get("data_change", True),
+                    **({"stats": a["stats"]} if a.get("stats") else {}),
                 }
             else:
                 base.pop(a["path"], None)
@@ -136,10 +291,18 @@ class TableLog:
         spark: SparkSession,
         path: str,
         checkpoint_interval: int = 10,
+        stats_columns: list[str] | None = None,
+        max_stats_columns: int = 8,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.checkpoint_interval = checkpoint_interval
+        # data-skipping stats: explicit column list, or (default) the
+        # first `max_stats_columns` atomic columns of the written frame
+        # — Delta's "first 32" convention, tightened because stats are
+        # driver metadata replicated into every checkpoint manifest
+        self.stats_columns = stats_columns
+        self.max_stats_columns = max_stats_columns
         self._fs, self._root, self._jvm = _fs(spark, self.path)
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._log_dir = self._Path(f"{self.path}/{LOG_DIR}")
@@ -281,6 +444,7 @@ class TableLog:
                 "path": e["path"],
                 "size": int(e.get("size", 0)),
                 "data_change": bool(data_change),
+                **({"stats": e["stats"]} if e.get("stats") else {}),
             }
             for e in (added or [])
         ] + [
@@ -301,6 +465,7 @@ class TableLog:
                         "path": a["path"],
                         "size": a["size"],
                         "data_change": a["data_change"],
+                        **({"stats": a["stats"]} if a.get("stats") else {}),
                     }
                 else:
                     live.pop(a["path"], None)
@@ -312,6 +477,67 @@ class TableLog:
         return version
 
     # ---------- write path ----------
+
+    def _stats_cols_for(self, schema: T.StructType) -> list[str]:
+        if self.stats_columns is not None:
+            have = set(schema.fieldNames())
+            return [c for c in self.stats_columns if c in have]
+        out = []
+        for f in schema.fields:
+            if isinstance(f.dataType, _STATS_ATOMIC):
+                out.append(f.name)
+            if len(out) >= self.max_stats_columns:
+                break
+        return out
+
+    def _collect_stats(self, added: list[dict], schema: T.StructType) -> None:
+        """Attach exact per-file min/max/null_count/num_rows to each
+        `add` entry — ONE distributed agg job over exactly the files
+        just written, grouped by input_file_name. Mutates `added`."""
+        from pyspark.sql import functions as F
+
+        cols = self._stats_cols_for(schema)
+        if not added or not cols:
+            return
+        paths = [f"{self.path}/{e['path']}" for e in added]
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .schema(schema)
+            .parquet(*paths)
+        )
+        have = set(df.columns)
+        cols = [c for c in cols if c in have]
+        if not cols:
+            return
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"),
+            ]
+        rows = (
+            df.groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )  # bounded: one row per file just written
+        by_suffix = {}
+        for r in rows:
+            by_suffix[r["__f"]] = r
+        for e in added:
+            match = None
+            for uri, r in by_suffix.items():
+                if uri.endswith("/" + e["path"]) or uri.endswith(e["path"]):
+                    match = r
+                    break
+            if match is None:
+                continue  # zero-row or unmatched file: no stats, never pruned wrongly
+            e["stats"] = {
+                "num_rows": int(match["__n"]),
+                "min": {c: _stat_encode(match[f"__mn_{c}"]) for c in cols},
+                "max": {c: _stat_encode(match[f"__mx_{c}"]) for c in cols},
+                "null_count": {c: int(match[f"__nc_{c}"]) for c in cols},
+            }
 
     def _stage_dir(self) -> str:
         return f".stage-{uuid.uuid4().hex}"
@@ -390,6 +616,7 @@ class TableLog:
             w = w.partitionBy(*partition_by)
         w.parquet(f"{self.path}/{rel}")
         added = self._promote_staged(rel)
+        self._collect_stats(added, df.schema)
         for _ in range(max_commit_retries):
             try:
                 return self.commit(
@@ -415,8 +642,52 @@ class TableLog:
                 break
         return best
 
+    def pruned_files(
+        self, where: list[tuple], version: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Data skipping: (surviving entries, total live files) for a
+        conjunction of ``(col, op, value)`` clauses — ops ``= < <= >
+        >= in startswith isnull notnull``. Driver-side loop over
+        manifest metadata only; a file is dropped ONLY when its exact
+        min/max/null stats prove no row can match (missing stats or a
+        non-normalizable literal always survive)."""
+        entries = self.snapshot_files(version)
+        sch = self.schema(version)
+        fields = {f.name: f.dataType for f in sch.fields} if sch else {}
+        survivors = []
+        for e in entries:
+            ok = True
+            for clause in where:
+                col, op = clause[0], clause[1]
+                lit = clause[2] if len(clause) > 2 else None
+                if op not in _WHERE_OPS:
+                    raise ValueError(
+                        f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}"
+                    )
+                dt = fields.get(col)
+                if op == "in":
+                    norm = [_norm_literal(dt, v) for v in lit]
+                    norm = [v for v in norm if v is not None]
+                    if not norm:
+                        continue  # nothing comparable: survive
+                elif op in ("isnull", "notnull", "startswith"):
+                    norm = lit
+                else:
+                    norm = _norm_literal(dt, lit)
+                    if norm is None:
+                        continue
+                if not _file_survives(e.get("stats"), col, op, norm):
+                    ok = False
+                    break
+            if ok:
+                survivors.append(e)
+        return survivors, len(entries)
+
     def read(
-        self, version: int | None = None, as_of_timestamp_ms: int | None = None
+        self,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Snapshot-isolated batch read: scans exactly the files the
         manifest names (never a directory listing), with ``basePath``
@@ -425,22 +696,35 @@ class TableLog:
         explicitly, so files written before a merge_schema append read
         back with the later columns null (footer inference would pick
         one file's schema and silently drop them). Pass ``version``
-        or ``as_of_timestamp_ms`` (not both) to time-travel."""
+        or ``as_of_timestamp_ms`` (not both) to time-travel.
+
+        ``where`` (list of ``(col, op, value)`` conjuncts) enables
+        FILE skipping via the manifest's exact per-file stats and then
+        applies the same predicate row-level, so the result equals
+        ``read().filter(...)`` exactly — the stats only shrink the
+        scan (see pruned_files)."""
         if as_of_timestamp_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_timestamp_ms")
             version = self.version_at(as_of_timestamp_ms)
-        entries = self.snapshot_files(version)
         sch = self.schema(version)
+        if where:
+            entries, _total = self.pruned_files(where, version)
+        else:
+            entries = self.snapshot_files(version)
         if not entries:
             if sch is None:
                 raise ValueError(f"table {self.path} has no commits")
-            return self.spark.createDataFrame([], sch)
-        paths = [f"{self.path}/{e['path']}" for e in entries]
-        reader = self.spark.read.option("basePath", self.path)
-        if sch is not None:
-            reader = reader.schema(sch)
-        return reader.parquet(*paths)
+            df = self.spark.createDataFrame([], sch)
+        else:
+            paths = [f"{self.path}/{e['path']}" for e in entries]
+            reader = self.spark.read.option("basePath", self.path)
+            if sch is not None:
+                reader = reader.schema(sch)
+            df = reader.parquet(*paths)
+        if where:
+            df = df.filter(_where_to_column(df.schema, where))
+        return df
 
     # ---------- maintenance ----------
 
@@ -502,6 +786,9 @@ class TableLog:
         if not removed:
             return {"version": base_version, "rewritten_groups": 0,
                     "files_removed": 0, "files_added": 0}
+        sch = self.schema(base_version)
+        if sch is not None:
+            self._collect_stats(added, sch)
         for _ in range(max_commit_retries):
             try:
                 v = self.commit(
