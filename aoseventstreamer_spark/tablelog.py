@@ -209,6 +209,55 @@ def _cmp_le(v, mx, op) -> bool:
 
 _WHERE_OPS = {"=", "<", "<=", ">", ">=", "in", "startswith", "isnull", "notnull"}
 
+_ZORDER_BITS = 8
+
+
+def _with_zvalue(df: DataFrame, cols: list[str], zcol: str) -> DataFrame:
+    """Append an interleaved-bits Z-value column for up to 4 numeric/
+    timestamp/date columns. Each column is quantile-bucketed to
+    ``_ZORDER_BITS`` bits with a DISTRIBUTED approxQuantile (never a
+    global window — rank-based z-ordering funnels the whole table into
+    one task), then the buckets' bits are interleaved JVM-side
+    (shift/and/or column expressions, codegen-friendly). Strings have
+    no meaningful quantile form here — use optimize(cluster_by=...)
+    for them."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    casted = []
+    for c in cols:
+        dt = fields.get(c)
+        if dt is None:
+            raise ValueError(f"zorder column {c!r} not in {sorted(fields)}")
+        if isinstance(dt, (T.TimestampType, T.DateType)):
+            casted.append(F.col(c).cast("long").cast("double"))
+        elif isinstance(dt, T.NumericType):
+            casted.append(F.col(c).cast("double"))
+        else:
+            raise ValueError(
+                f"zorder_by needs numeric/timestamp/date columns; {c!r} is "
+                f"{dt.simpleString()} — use cluster_by for strings"
+            )
+    tmp_names = [f"__zq_{i}" for i in range(len(cols))]
+    probe = df.select(*[e.alias(n) for e, n in zip(casted, tmp_names)])
+    n_buckets = 1 << _ZORDER_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_cuts = probe.approxQuantile(tmp_names, probs, 0.01)
+    z = F.lit(0)
+    for j, (expr, cuts) in enumerate(zip(casted, all_cuts)):
+        cuts = sorted(set(cuts))
+        if not cuts:  # all-null column: everything buckets to 0
+            continue
+        bucket = F.size(
+            F.filter(F.lit(cuts), lambda cut: cut <= expr)  # noqa: B023
+        )
+        for i in range(_ZORDER_BITS):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return df.withColumn(zcol, z)
+
 
 def _where_to_column(schema: T.StructType, where: list[tuple]) -> "F.Column":
     from pyspark.sql import functions as F
@@ -734,13 +783,31 @@ class TableLog:
         small_file_bytes: int = 32 * 1024 * 1024,
         min_files: int = 4,
         max_commit_retries: int = 10,
+        cluster_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Small-file compaction as ONE layout-only commit
         (``data_change=False``): rewrite groups of small files into
         ~target-sized ones, commit remove(old)+add(new). Readers at any
         pinned version are untouched (old files stay on disk until
         VACUUM); streams skip the rewrite entirely. Groups by the
-        file's parent dir so hive partitions compact independently."""
+        file's parent dir so hive partitions compact independently.
+
+        ``cluster_by``: range-sort the rewrite on these columns
+        (repartitionByRange + sortWithinPartitions), so output files
+        carry DISJOINT value ranges and the manifest's min/max stats
+        prune hard on the leading column — the lakehouse answer to a
+        query-heavy column that isn't the partition key. ``zorder_by``:
+        multi-column locality instead — each (numeric/timestamp/date)
+        column is quantile-bucketed to 8 bits (distributed
+        approxQuantile; no global window) and the bits interleaved, so
+        pruning works on EVERY listed column at once, each somewhat
+        looser than a dedicated sort. Either one forces a full rewrite
+        of every group (clustering IS the point), still layout-only:
+        a live tablelog stream skips it, row sets are identical."""
+        if cluster_by and zorder_by:
+            raise ValueError("pass cluster_by OR zorder_by, not both")
+        clustering = bool(cluster_by or zorder_by)
         base_version = self.latest_version()
         entries = self.snapshot_files(base_version)
         # group by the LOGICAL partition (the hive k=v subpath), not the
@@ -756,7 +823,9 @@ class TableLog:
         rewritten_groups = 0
         for parent, es in sorted(groups.items()):
             n, total = len(es), sum(e["size"] for e in es)
-            if n <= min_files or (total // max(n, 1)) >= small_file_bytes:
+            if not clustering and (
+                n <= min_files or (total // max(n, 1)) >= small_file_bytes
+            ):
                 continue
             rewritten_groups += 1
             n_out = max(1, math.ceil(total / target_file_bytes))
@@ -776,11 +845,23 @@ class TableLog:
             pcols = [s.split("=", 1)[0] for s in hive_segs]
             if pcols:
                 df = df.drop(*pcols)
-            (
-                df.coalesce(n_out)
-                .write.mode("overwrite")
-                .parquet(f"{self.path}/{rel}")
-            )
+            if cluster_by:
+                shaped = df.repartitionByRange(
+                    n_out, *cluster_by
+                ).sortWithinPartitions(*cluster_by)
+            elif zorder_by:
+                zcol = "__z"
+                while zcol in df.columns:
+                    zcol += "_"
+                shaped = (
+                    _with_zvalue(df, zorder_by, zcol)
+                    .repartitionByRange(n_out, zcol)
+                    .sortWithinPartitions(zcol)
+                    .drop(zcol)
+                )
+            else:
+                shaped = df.coalesce(n_out)
+            shaped.write.mode("overwrite").parquet(f"{self.path}/{rel}")
             added.extend(self._promote_staged(stage))
             removed.extend(e["path"] for e in es)
         if not removed:

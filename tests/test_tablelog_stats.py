@@ -197,3 +197,88 @@ def test_file_survives_unit_edges():
     assert _file_survives(st, "x", "=", "5")
     assert _file_survives({}, "x", "=", 1)
     assert _file_survives(None, "x", "=", 1)
+
+
+# ---------- clustering rewrites (OPTIMIZE cluster_by / zorder_by) ----------
+
+
+def _shuffled_table(spark, path, n_appends=4, rows_per=250):
+    """Each append spans the WHOLE id range (interleaved) -> every
+    file's min/max covers everything -> skipping is useless until a
+    clustering rewrite."""
+    log = TableLog(spark, path)
+    for i in range(n_appends):
+        df = (
+            spark.range(rows_per)
+            .select(
+                (F.col("id") * n_appends + i).alias("id"),
+                (F.col("id") * 37 % 1000).alias("score"),
+            )
+            .coalesce(1)
+        )
+        log.append(df)
+    return log
+
+
+def test_cluster_by_makes_pruning_effective(spark, tmp_path):
+    log = _shuffled_table(spark, str(tmp_path / "cl"))
+    before = _rows(log.read())
+    where = [("id", "<", 100)]
+    surv0, total0 = log.pruned_files(where)
+    assert len(surv0) == total0 == 4  # interleaved: nothing prunable
+
+    res = log.optimize(cluster_by=["id"], target_file_bytes=2048)
+    assert res["files_removed"] == 4 and res["files_added"] >= 2
+    surv1, total1 = log.pruned_files(where)
+    assert len(surv1) < total1, "range clustering must tighten bounds"
+    assert _rows(log.read()) == before  # layout-only: row set identical
+    assert _rows(log.read(where=where)) == sorted(
+        t for t in before if t[0] < 100
+    )
+
+
+def test_cluster_by_is_invisible_to_stream(spark, tmp_path):
+    from aoseventstreamer_spark.tablelog import TableLogStream
+
+    log = _shuffled_table(spark, str(tmp_path / "cs"), n_appends=2, rows_per=50)
+    stream = TableLogStream(spark, log.path, str(tmp_path / "ck_cs"))
+    got = []
+    stream.run_once(lambda a, b, df: got.extend(r.id for r in df.collect()))
+    assert len(got) == 100
+    log.optimize(cluster_by=["id"], target_file_bytes=2048)
+    assert stream.run_once(lambda a, b, df: got.extend([None] * df.count()))
+    assert len(got) == 100, "clustering rewrite must not re-deliver"
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    log = _shuffled_table(spark, str(tmp_path / "z"), n_appends=4, rows_per=500)
+    before = _rows(log.read())
+    res = log.optimize(zorder_by=["id", "score"], target_file_bytes=4096)
+    assert res["files_added"] >= 4
+    assert _rows(log.read()) == before
+    # each dimension prunes SOME files (z-order trades per-column
+    # tightness for multi-column coverage)
+    s_id, total = log.pruned_files([("id", "<", 120)])
+    s_sc, _ = log.pruned_files([("score", "<", 60)])
+    assert total >= 4
+    assert len(s_id) < total and len(s_sc) < total
+    # and results stay exact on both
+    for where in ([("id", "<", 120)], [("score", "<", 60)]):
+        from aoseventstreamer_spark.tablelog import _where_to_column
+
+        assert _rows(log.read(where=where)) == _rows(
+            log.read().filter(_where_to_column(None, where))
+        )
+
+
+def test_zorder_rejects_strings_and_unknown(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "zr"))
+    log.append(
+        spark.range(10).select("id", F.lit("x").alias("s")).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="cluster_by for strings"):
+        log.optimize(zorder_by=["s"])
+    with pytest.raises(ValueError, match="not in"):
+        log.optimize(zorder_by=["nope"])
+    with pytest.raises(ValueError, match="not both"):
+        log.optimize(cluster_by=["id"], zorder_by=["id"])
