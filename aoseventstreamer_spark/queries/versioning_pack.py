@@ -102,3 +102,80 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_admit(
         docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
     )
+
+
+@query(
+    "q_tablelog_merge",
+    oracle="""
+    WITH target AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 3 <> 0
+    ), src AS (
+      SELECT doc_id, text || ' [v2]' AS text, lang, source
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT t.doc_id, t.text, t.lang, t.source
+    FROM target t ANTI JOIN src s USING (doc_id)
+    UNION ALL
+    SELECT doc_id, text, lang, source FROM src
+    """,
+)
+def q_tablelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert through the real tablelog write path
+    (tablelog.merge_into): the v1 corpus (doc_id % 3 <> 0, two ranged
+    file slices) is upserted with a v2 source (every even doc_id,
+    text suffixed) — matched rows replaced, unmatched inserted, as a
+    copy-on-write rewrite of only the touched files. The read-back
+    row set is hash-exact against the relational MERGE form (target
+    anti source ∪ source), proving the transactional path changes
+    nothing about the data semantics."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    target = docs.filter(F.col("doc_id") % 3 != 0)
+    mid = 250
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_merge_"))
+    log.append(target.filter(F.col("doc_id") < mid).coalesce(1))
+    log.append(target.filter(F.col("doc_id") >= mid).coalesce(1))
+    src = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" [v2]"))
+    )
+    log.merge_into(src, on=["doc_id"])
+    return log.read().select("doc_id", "text", "lang", "source")
+
+
+@query(
+    "q_tablelog_delete",
+    oracle="""
+    SELECT doc_id, text, lang, n_chars FROM documents
+    WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    """,
+)
+def q_tablelog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE through the real tablelog write path
+    (tablelog.delete_where): the corpus lands in 4 ranged file slices,
+    rows with doc_id in [100, 200) are deleted — manifest min/max
+    stats prune the candidate files, only files actually containing
+    matches are rewritten (asserted: at least one original file
+    survives untouched), and the read-back row set is hash-exact
+    against the plain SQL complement."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_delete_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    step = max(1, hi // 4)
+    for lo in range(0, hi, step):
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).coalesce(1)
+        )
+    before = {e["path"] for e in log.snapshot_files()}
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    after = {e["path"] for e in log.snapshot_files()}
+    assert before & after, "untouched files must survive the rewrite"
+    return log.read()

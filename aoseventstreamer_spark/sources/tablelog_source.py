@@ -96,14 +96,31 @@ class _LocalManifests:
             )
         return T.StructType.fromJson(doc)
 
-    def adds_between(self, start_v: int, end_v: int) -> list[str]:
-        """Rel paths of data-change adds in (start_v, end_v]."""
+    def adds_between(
+        self, start_v: int, end_v: int, ignore_changes: bool = False
+    ) -> list[str]:
+        """Rel paths of data-change adds in (start_v, end_v]. A
+        data-change REMOVE in the range (DELETE/MERGE rewrote consumed
+        files) is refused unless ``ignore_changes`` — the rewritten
+        files would re-deliver surviving rows (Delta's ignoreChanges
+        contract; layout-only OPTIMIZE commits stay invisible)."""
         out = []
         for v in self.versions():
             if start_v < v <= end_v:
                 for a in self.read(v)["actions"]:
                     if a["op"] == "add" and a.get("data_change", True):
                         out.append(a["path"])
+                    elif (
+                        a["op"] == "remove"
+                        and a.get("data_change", True)
+                        and not ignore_changes
+                    ):
+                        raise ValueError(
+                            f"version {v} contains a data-change remove; "
+                            "set .option('ignoreChanges', 'true') to "
+                            "deliver rewritten files (surviving rows "
+                            "will re-deliver)"
+                        )
         return out
 
 
@@ -163,10 +180,17 @@ class TableLogBatchReader(DataSourceReader):
 
 
 class TableLogStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: T.StructType, starting: int):
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        starting: int,
+        ignore_changes: bool = False,
+    ):
         self.path = _strip_scheme(path)
         self.schema_ = schema
         self.starting = starting
+        self.ignore_changes = ignore_changes
 
     def initialOffset(self) -> dict:
         return {"version": self.starting}
@@ -177,7 +201,7 @@ class TableLogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         rels = _LocalManifests(self.path).adds_between(
-            int(start["version"]), int(end["version"])
+            int(start["version"]), int(end["version"]), self.ignore_changes
         )
         # an optimize-only (or empty) range still needs one partition:
         # Spark plans the batch either way, and an empty sequence is
@@ -223,6 +247,7 @@ class TableLogDataSource(DataSource):
             self._path(),
             schema,
             int(self.options.get("startingversion", 0)),
+            str(self.options.get("ignorechanges", "false")).lower() == "true",
         )
 
 

@@ -887,6 +887,237 @@ class TableLog:
                 continue
         raise CommitConflict("optimize lost the commit race repeatedly")
 
+    # ---------- row-level operations (copy-on-write) ----------
+
+    def _partition_cols(self, rel_paths: list[str]) -> list[str]:
+        cols: list[str] = []
+        for p in rel_paths:
+            for seg in p.split("/")[:-1]:
+                if "=" in seg:
+                    k = seg.split("=", 1)[0]
+                    if k not in cols:
+                        cols.append(k)
+        return cols
+
+    def _rel_of_uris(self, entries: list[dict], uris: list[str]) -> list[str]:
+        rels = []
+        for e in entries:
+            if any(u.endswith("/" + e["path"]) for u in uris):
+                rels.append(e["path"])
+        return rels
+
+    def _write_rewrite(self, df: DataFrame, pcols: list[str]) -> list[dict]:
+        """Stage + promote a copy-on-write rewrite, preserving the
+        table's hive layout; returns stats-annotated add entries."""
+        stage = self._stage_dir()
+        w = df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(f"{self.path}/{stage}")
+        added = self._promote_staged(stage)
+        self._collect_stats(added, df.schema)
+        return added
+
+    def delete_where(
+        self, where: list[tuple], max_retries: int = 3
+    ) -> dict:
+        """DELETE rows matching the conjunction (same clause grammar
+        as read(where=...)) by rewriting ONLY the files that actually
+        contain matches: manifest stats prune candidates, a distinct
+        input_file_name scan pins the touched set, survivors (predicate
+        false or NULL — SQL DELETE semantics) are rewritten in the
+        original hive layout, and remove(touched)+add(new) commits as
+        one data-change snapshot. Untouched files never move — at
+        100 TB a selective delete rewrites MBs, not the table.
+
+        Concurrency: a lost commit race re-runs the whole operation
+        against the new snapshot (orphaned staged files are swept by
+        VACUUM). Live tablelog streams refuse data-change removes
+        unless opened with ignore_changes (Delta's contract)."""
+        from pyspark.sql import functions as F
+
+        if not where:
+            raise ValueError("delete_where requires at least one clause")
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            sch = self.schema(base)
+            if sch is None:
+                raise ValueError(f"table {self.path} has no commits")
+            candidates, _total = self.pruned_files(where, base)
+            if not candidates:
+                return {"version": base, "files_rewritten": 0, "rows_deleted": 0}
+            reader = self.spark.read.option("basePath", self.path).schema(sch)
+            cdf = reader.parquet(
+                *[f"{self.path}/{e['path']}" for e in candidates]
+            )
+            pred = _where_to_column(sch, where)
+            uris = [
+                r[0]
+                for r in cdf.filter(pred)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            ]  # bounded: one row per touched file
+            touched = self._rel_of_uris(candidates, uris)
+            if not touched:
+                return {"version": base, "files_rewritten": 0, "rows_deleted": 0}
+            tdf = reader.parquet(*[f"{self.path}/{p}" for p in touched])
+            n_match = tdf.filter(pred).count()
+            survivors = tdf.filter(~F.coalesce(pred, F.lit(False)))
+            added = self._write_rewrite(
+                survivors, self._partition_cols(touched)
+            )
+            try:
+                v = self.commit(added=added, removed=touched, data_change=True)
+                return {
+                    "version": v,
+                    "files_rewritten": len(touched),
+                    "rows_deleted": int(n_match),
+                }
+            except CommitConflict as e:
+                last_exc = e  # re-derive everything against the new snapshot
+                continue
+        raise CommitConflict(
+            f"delete_where lost the commit race {max_retries} times"
+        ) from last_exc
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str = "update",
+        when_not_matched: str | None = "insert",
+        max_retries: int = 3,
+    ) -> dict:
+        """MERGE (upsert): source rows matching a target row on the
+        key replace it (``when_matched='update'``, full-row) or delete
+        it (``'delete'``); unmatched source rows are inserted
+        (``when_not_matched='insert'``) or dropped (None). Copy-on-
+        write over ONLY the files containing matches — the same
+        touched-file discipline as delete_where, so an upsert touching
+        one key rewrites one file. The source must be unique on the
+        key (a 1:N merge is ambiguous; refused up front, Delta's
+        ``MERGE`` cardinality rule). Source columns must equal the
+        table schema (full-row semantics keep the operation
+        oracle-checkable; partial-column update is a projection the
+        caller can build)."""
+        from pyspark.sql import functions as F
+
+        if when_matched not in ("update", "delete"):
+            raise ValueError("when_matched must be 'update' or 'delete'")
+        if when_not_matched not in ("insert", None):
+            raise ValueError("when_not_matched must be 'insert' or None")
+        if not on:
+            raise ValueError("merge_into requires a non-empty key")
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            sch = self.schema(base)
+            if sch is None:
+                raise ValueError(f"table {self.path} has no commits")
+            cols = sch.fieldNames()
+            if set(source.columns) != set(cols):
+                raise ValueError(
+                    f"source columns {sorted(source.columns)} must equal "
+                    f"the table schema {sorted(cols)}"
+                )
+            missing = [k for k in on if k not in cols]
+            if missing:
+                raise ValueError(f"merge key columns not in schema: {missing}")
+            dup = (
+                source.groupBy(*on)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "merge source has duplicate keys — a 1:N merge is ambiguous"
+                )
+            entries = self.snapshot_files(base)
+            src = source.select(*cols)
+            if not entries:
+                if when_not_matched is None:
+                    return {"version": base, "files_rewritten": 0,
+                            "rows_updated": 0, "rows_inserted": 0,
+                            "rows_deleted": 0}
+                n_ins = src.count()
+                added = self._write_rewrite(src, [])
+                try:
+                    v = self.commit(added=added, data_change=True)
+                    return {"version": v, "files_rewritten": 0,
+                            "rows_updated": 0, "rows_inserted": int(n_ins),
+                            "rows_deleted": 0}
+                except CommitConflict as e:
+                    last_exc = e
+                    continue
+            reader = self.spark.read.option("basePath", self.path).schema(sch)
+            tdf_all = reader.parquet(
+                *[f"{self.path}/{e['path']}" for e in entries]
+            )
+            # input_file_name must be captured AT THE SCAN (a column
+            # added before the join); after the join's exchange the
+            # expression evaluates on shuffled rows and returns ''
+            uris = [
+                r[0]
+                for r in tdf_all.withColumn("__file", F.input_file_name())
+                .join(src.select(*on), on=on, how="leftsemi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
+            touched = self._rel_of_uris(entries, uris)
+            if touched:
+                tdf = reader.parquet(*[f"{self.path}/{p}" for p in touched])
+            else:
+                tdf = self.spark.createDataFrame([], sch)
+            # any source row matching the target matches inside a
+            # touched file by construction, so the anti-joins below
+            # only ever need tdf, never the full table
+            survivors = tdf.join(src.select(*on), on=on, how="left_anti")
+            matched_src = src.join(
+                tdf.select(*on), on=on, how="leftsemi"
+            )
+            pieces = [survivors.select(*cols)]
+            n_upd = n_del = 0
+            if when_matched == "update":
+                n_upd = matched_src.count()
+                pieces.append(matched_src.select(*cols))
+            else:
+                n_del = matched_src.count()
+            n_ins = 0
+            if when_not_matched == "insert":
+                inserts = src.join(tdf.select(*on), on=on, how="left_anti")
+                n_ins = inserts.count()
+                pieces.append(inserts.select(*cols))
+            new_data = pieces[0]
+            for p in pieces[1:]:
+                new_data = new_data.unionByName(p)
+            if not touched and n_ins == 0:
+                return {"version": base, "files_rewritten": 0,
+                        "rows_updated": 0, "rows_inserted": 0,
+                        "rows_deleted": 0}
+            added = self._write_rewrite(
+                new_data, self._partition_cols([e["path"] for e in entries])
+            )
+            try:
+                v = self.commit(added=added, removed=touched, data_change=True)
+                return {
+                    "version": v,
+                    "files_rewritten": len(touched),
+                    "rows_updated": int(n_upd),
+                    "rows_inserted": int(n_ins),
+                    "rows_deleted": int(n_del),
+                }
+            except CommitConflict as e:
+                last_exc = e
+                continue
+        raise CommitConflict(
+            f"merge_into lost the commit race {max_retries} times"
+        ) from last_exc
+
     def vacuum(
         self, retain_versions: int = 1, min_age_seconds: float = 0.0
     ) -> list[str]:
@@ -950,10 +1181,17 @@ class TableLogStream:
     (at-least-once across a mid-batch crash, exactly-once across
     graceful restarts AND across any amount of compaction)."""
 
-    def __init__(self, spark: SparkSession, table_path: str, checkpoint: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint: str,
+        ignore_changes: bool = False,
+    ):
         self.spark = spark
         self.log = TableLog(spark, table_path)
         self.checkpoint = checkpoint.rstrip("/")
+        self.ignore_changes = ignore_changes
         self._fs, self._ck_root, self._jvm = _fs(spark, self.checkpoint)
         self._Path = self._jvm.org.apache.hadoop.fs.Path
 
@@ -997,6 +1235,19 @@ class TableLogStream:
             for a in m["actions"]:
                 if a["op"] == "add" and a.get("data_change", True):
                     rels.append(a["path"])
+                elif (
+                    a["op"] == "remove"
+                    and a.get("data_change", True)
+                    and not self.ignore_changes
+                ):
+                    raise ValueError(
+                        f"version {v} contains a data-change remove "
+                        "(DELETE/MERGE rewrote consumed files); this "
+                        "append-only tail cannot stay exactly-once — "
+                        "pass ignore_changes=True to deliver the "
+                        "rewritten files anyway (surviving rows will "
+                        "re-deliver, Delta's ignoreChanges contract)"
+                    )
         return frm, to, rels
 
     def run_once(self, deliver) -> bool:
