@@ -161,14 +161,100 @@ def _read_file_batches(
     yield from out.to_batches(max_chunksize=1 << 16)
 
 
+def _filter_to_clause(f) -> tuple | None:
+    """Map a Spark DataSource Filter onto the tablelog (col, op, value)
+    clause grammar; None = not stats-pruneable (ignored, Spark still
+    evaluates it row-level)."""
+    from pyspark.sql import datasource as DS
+
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    col = attr[0]
+    if isinstance(f, DS.EqualTo):
+        return (col, "=", f.value)
+    if isinstance(f, DS.GreaterThan):
+        return (col, ">", f.value)
+    if isinstance(f, DS.GreaterThanOrEqual):
+        return (col, ">=", f.value)
+    if isinstance(f, DS.LessThan):
+        return (col, "<", f.value)
+    if isinstance(f, DS.LessThanOrEqual):
+        return (col, "<=", f.value)
+    if isinstance(f, DS.In):
+        return (col, "in", list(f.value))
+    if isinstance(f, DS.IsNull):
+        return (col, "isnull")
+    if isinstance(f, DS.IsNotNull):
+        return (col, "notnull")
+    if isinstance(f, DS.StringStartsWith):
+        return (col, "startswith", f.value)
+    return None
+
+
 class TableLogBatchReader(DataSourceReader):
     def __init__(self, path: str, schema: T.StructType, version: int | None):
         self.path = _strip_scheme(path)
         self.schema_ = schema
         self.version = version
+        self.pushed: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Data skipping through Spark's own pushdown hook: supported
+        conjuncts prune FILES against the manifest's exact per-file
+        stats in partitions(). Every filter is yielded back — stats
+        prove non-matching files, not matching rows, so Spark must
+        still evaluate the predicate row-level (partial pushdown)."""
+        for f in filters:
+            clause = _filter_to_clause(f)
+            if clause is not None:
+                self.pushed.append(clause)
+            yield f
 
     def partitions(self) -> Sequence[InputPartition]:
-        files, _ = _LocalManifests(self.path).state(self.version)
+        from aoseventstreamer_spark.tablelog import (
+            _file_survives,
+            _norm_literal,
+        )
+
+        files, schema_doc = _LocalManifests(self.path).state(self.version)
+        if self.pushed and files:
+            fields = {}
+            if schema_doc:
+                for fld in T.StructType.fromJson(schema_doc).fields:
+                    fields[fld.name] = fld.dataType
+            kept = {}
+            for path, entry in files.items():
+                ok = True
+                for col, op, *rest in self.pushed:
+                    lit = rest[0] if rest else None
+                    if op == "in":
+                        norm = [
+                            v
+                            for v in (
+                                _norm_literal(fields.get(col), x) for x in lit
+                            )
+                            if v is not None
+                        ]
+                        if not norm:
+                            continue
+                    elif op in ("isnull", "notnull", "startswith"):
+                        norm = lit
+                    else:
+                        norm = _norm_literal(fields.get(col), lit)
+                        if norm is None:
+                            continue
+                    if not _file_survives(
+                        entry.get("stats") if isinstance(entry, dict) else None,
+                        col,
+                        op,
+                        norm,
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    kept[path] = entry
+            files = kept
         return [_FilePartition(p) for p in sorted(files)] or [
             _FilePartition("")
         ]
@@ -252,5 +338,9 @@ class TableLogDataSource(DataSource):
 
 
 def register_tablelog_source(spark) -> None:
-    """Idempotent ``spark.dataSource.register`` of the format."""
+    """Idempotent ``spark.dataSource.register`` of the format. Also
+    enables Python-source filter pushdown (off by default in 4.1) so
+    pushFilters-driven file skipping actually participates in
+    planning."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TableLogDataSource)

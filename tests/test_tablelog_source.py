@@ -179,3 +179,70 @@ def test_io_layer_reads_tablelog_format(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(rows) == list(range(30))
+
+
+def test_batch_pushdown_prunes_files(registered, tmp_path):
+    """Spark's own pushFilters hook drives manifest-stats skipping:
+    a filtered native read plans FEWER InputPartitions, yet results
+    stay exact (all filters are yielded back for row-level eval)."""
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        TableLogBatchReader,
+    )
+    from pyspark.sql import datasource as DS
+
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "pf"))
+    for i in range(4):
+        log.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .select("id", (F.col("id") % 3).alias("v"))
+            .coalesce(1)
+        )
+    # unit: the reader itself prunes partitions
+    reader = TableLogBatchReader(log.path, log.schema(), None)
+    leftover = list(
+        reader.pushFilters([DS.GreaterThanOrEqual(("id",), 250)])
+    )
+    assert len(leftover) == 1  # everything yielded back to Spark
+    assert len(reader.partitions()) == 2  # files [200,300) and [300,400)
+    # e2e: results exact through the planner
+    native = spark.read.format("tablelog").load(log.path)
+    got = sorted(r.id for r in native.filter("id >= 250 AND v = 1").collect())
+    assert got == [i for i in range(250, 400) if i % 3 == 1]
+    # a filter the stats can't prune still answers exactly
+    assert native.filter("v = 2").count() == len(
+        [i for i in range(400) if i % 3 == 2]
+    )
+
+
+def test_batch_pushdown_handles_strings_and_null(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "pf2"))
+    log.append(
+        spark.range(50).select(
+            "id",
+            F.concat(F.lit("a_"), F.col("id").cast("string")).alias("s"),
+            F.when(F.col("id") < 25, F.col("id")).alias("m"),
+        ).coalesce(1)
+    )
+    log.append(
+        spark.range(50, 100).select(
+            "id",
+            F.concat(F.lit("b_"), F.col("id").cast("string")).alias("s"),
+            F.lit(None).cast("long").alias("m"),
+        ).coalesce(1)
+    )
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        TableLogBatchReader,
+    )
+    from pyspark.sql import datasource as DS
+
+    reader = TableLogBatchReader(log.path, log.schema(), None)
+    list(reader.pushFilters([DS.StringStartsWith(("s",), "b_")]))
+    assert len(reader.partitions()) == 1
+    reader2 = TableLogBatchReader(log.path, log.schema(), None)
+    list(reader2.pushFilters([DS.IsNotNull(("m",))]))
+    assert len(reader2.partitions()) == 1
+    native = spark.read.format("tablelog").load(log.path)
+    assert native.filter(F.col("s").startswith("b_")).count() == 50
+    assert native.filter(F.col("m").isNotNull()).count() == 25
