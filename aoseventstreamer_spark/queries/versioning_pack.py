@@ -146,6 +146,136 @@ def q_tablelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tablelog_update",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id >= 100 AND doc_id < 200
+                THEN text || ' [upd]' ELSE text END AS text,
+           lang,
+           CASE WHEN doc_id >= 100 AND doc_id < 200
+                THEN n_chars + 6 ELSE n_chars END AS n_chars
+    FROM documents
+    """,
+)
+def q_tablelog_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE through the real tablelog write path
+    (tablelog.update_where): the corpus lands in 4 ranged file slices,
+    rows with doc_id in [100, 200) get two simultaneous assignments
+    (text suffixed, n_chars bumped by the suffix length) evaluated
+    against the OLD row — manifest stats prune candidate files, only
+    files actually containing matches are rewritten (asserted:
+    untouched files survive), and the read-back row set is hash-exact
+    against the relational CASE form of the same UPDATE."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_update_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    step = max(1, hi // 4)
+    for lo in range(0, hi, step):
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).coalesce(1)
+        )
+    before = {e["path"] for e in log.snapshot_files()}
+    log.update_where(
+        [("doc_id", ">=", 100), ("doc_id", "<", 200)],
+        {"text": "concat(text, ' [upd]')", "n_chars": "n_chars + 6"},
+    )
+    after = {e["path"] for e in log.snapshot_files()}
+    assert before & after, "untouched files must survive the rewrite"
+    return log.read()
+
+
+@query(
+    "q_tablelog_cdf",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang FROM documents
+    ), v2 AS (
+      SELECT * FROM base WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    )
+    SELECT doc_id, text, lang,
+           'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+    FROM base WHERE doc_id >= 100 AND doc_id < 200
+    UNION ALL
+    SELECT doc_id, text, lang, 'delete', CAST(3 AS BIGINT)
+    FROM v2 WHERE doc_id IN (1, 2, 3)
+    UNION ALL
+    SELECT doc_id, text || ' [v2]' AS text, lang, 'insert', CAST(3 AS BIGINT)
+    FROM v2 WHERE doc_id IN (1, 2, 3)
+    """,
+)
+def q_tablelog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed computed from the commit log
+    (tablelog.read_changes): v1 appends the corpus in 4 ranged slices,
+    v2 deletes [100, 200), v3 updates doc_ids {1,2,3} — the CDF over
+    (1, 3] must surface EXACTLY the deleted rows (the copy-on-write
+    survivors carried into rewritten files cancel under exceptAll) and
+    each update as its delete+insert pre/post-image pair, stamped with
+    the commit version. Hash-exact against the relational statement of
+    the same change set; a single leaked survivor row or wrong version
+    stamp breaks the hash."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_cdf_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    step = max(1, hi // 4)
+    for lo in range(0, hi, step):
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).coalesce(1)
+        )
+    # the ranged appends take an SF-dependent number of commits, so
+    # the oracle's fixed 2/3 numbering is recovered by rebasing below
+    v_base = log.latest_version()
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    log.update_where(
+        [("doc_id", "in", [1, 2, 3])], {"text": "concat(text, ' [v2]')"}
+    )
+    ch = log.read_changes(v_base)
+    # rebase commit versions to the oracle's 2/3 numbering (the base
+    # corpus takes `appended` commits, an SF-dependent offset)
+    return ch.withColumn(
+        "_commit_version",
+        (F.col("_commit_version") - F.lit(v_base - 1)).cast("long"),
+    )
+
+
+@query(
+    "q_tablelog_time_travel",
+    oracle="""
+    SELECT doc_id, text, lang FROM documents
+    """,
+)
+def q_tablelog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (tablelog.read(version=...)): after a
+    DELETE and an UPDATE have rewritten files, reading the pre-DML
+    version returns the original corpus bit-for-bit — data files are
+    immutable and commits never delete them, so a pinned reader is
+    isolated from every later rewrite. Hash-exact against the plain
+    corpus scan."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_tt_"))
+    log.append(docs.coalesce(2))
+    v1 = log.latest_version()
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    log.update_where([("doc_id", "in", [1, 2, 3])], {"lang": "'xx'"})
+    return log.read(version=v1)
+
+
+@query(
     "q_tablelog_delete",
     oracle="""
     SELECT doc_id, text, lang, n_chars FROM documents

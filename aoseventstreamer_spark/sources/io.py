@@ -57,6 +57,21 @@ def write_batch(
 ) -> None:
     if fmt not in _BATCH_FORMATS:
         raise ValueError(f"unsupported sink format: {fmt}")
+    if fmt == "tablelog":
+        # transactional sink: append commits one snapshot; overwrite
+        # swaps the whole live file set in ONE commit (no directory
+        # overwrite, no reader-visible empty window)
+        from aoseventstreamer_spark.tablelog import TableLog
+
+        log = TableLog(df.sparkSession, path)
+        pby = list(partition_by) if partition_by else None
+        if mode == "append":
+            log.append(df, partition_by=pby)
+        elif mode == "overwrite":
+            log.overwrite(df, partition_by=pby)
+        else:
+            raise ValueError(f"tablelog sink supports append/overwrite, not {mode}")
+        return
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         options.setdefault("header", "true")
@@ -104,8 +119,40 @@ def write_stream(
     fmt: str = "parquet",
     trigger: dict | None = None,
     partition_by: tuple[str, ...] | None = None,
+    txn_app: str | None = None,
 ):
-    """Append-mode streaming file sink with checkpointed progress."""
+    """Append-mode streaming sink with checkpointed progress.
+
+    ``fmt="tablelog"`` is the EXACTLY-ONCE sink: each micro-batch
+    commits one snapshot stamped with ``(txn_app, batchId)``
+    (tablelog.append's idempotent-writer contract), so the batch a
+    restart replays — Structured Streaming re-runs any batch whose
+    sink side-effect may or may not have happened — is recognized by
+    its stamp and skipped instead of appended twice. ``txn_app``
+    defaults to a checkpoint-derived id (unique per query); pass it
+    explicitly when two queries share a checkpoint layout. File
+    formats stay at-least-once-file / exactly-once-row only via
+    Spark's own _spark_metadata, which tablelog replaces."""
+    if fmt == "tablelog":
+        from aoseventstreamer_spark.tablelog import TableLog
+
+        app = txn_app or f"tablelog-sink:{checkpoint.rstrip('/')}"
+        pby = list(partition_by) if partition_by else None
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            TableLog(batch_df.sparkSession, path).append(
+                batch_df, partition_by=pby, txn_app=app, txn_version=batch_id
+            )
+
+        writer = (
+            df.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+        )
+        writer = writer.trigger(
+            **(trigger or {"processingTime": "250 milliseconds"})
+        )
+        return writer.start()
     writer = (
         df.writeStream.format(fmt)
         .option("path", path)

@@ -46,6 +46,14 @@ of that idea:
   kill → optimize → restart).
 - OPTIMIZE = the small-file rewrite as ONE atomic commit; VACUUM
   deletes data files no retained snapshot references (age-guarded).
+- DML = DELETE / UPDATE / MERGE / replaceWhere as copy-on-write
+  rewrites of ONLY the files containing matches; CDF =
+  ``read_changes`` derives row-level deltas from the commit log
+  (survivors cancel under ``exceptAll``).
+- TXN = idempotent-writer stamps (Delta's txnAppId/txnVersion):
+  ``append(txn_app=, txn_version=)`` no-ops on a replayed stamp, which
+  makes the foreachBatch sink (sources/io.write_stream) exactly-once
+  across crash-replayed micro-batches.
 
 Reference parity: the log stores the same routed-event rows
 (utils.rs:16-32 subjects; natsio.rs:131-147 publish fan-out) —
@@ -285,15 +293,16 @@ def _where_to_column(schema: T.StructType, where: list[tuple]) -> "F.Column":
 
 def replay_from(
     versions: list[int], read_manifest, version: int
-) -> tuple[dict[str, dict], dict | None]:
+) -> tuple[dict[str, dict], dict | None, dict[str, int]]:
     """Pure replay shared by the JVM-FS TableLog and the Python
     datasource reader (sources/tablelog_source.py): walk BACKWARD only
     until a checkpoint manifest (one carrying ``full``), then fold the
-    bounded suffix forward. Returns ({rel_path -> entry}, schema doc).
-    ``read_manifest`` is any version→dict callable."""
+    bounded suffix forward. Returns ({rel_path -> entry}, schema doc,
+    {txn app_id -> last committed txn version}). ``read_manifest`` is
+    any version→dict callable."""
     vs = [v for v in versions if v <= version]
     if not vs:
-        return {}, None
+        return {}, None, {}
     suffix: list[dict] = []
     for i in range(len(vs) - 1, -1, -1):
         m = read_manifest(vs[i])
@@ -307,11 +316,17 @@ def replay_from(
             schema_doc = m["schema"]  # newest wins
     base: dict[str, dict] = {}
     start = 0
+    # checkpoint manifests re-embed the accumulated txn map (like the
+    # schema), so idempotent-writer state survives the bounded walk
+    txns: dict[str, int] = dict(suffix[0].get("txns") or {})
     if suffix[0].get("full") is not None:
         # the checkpoint's own actions are already folded into full
         base = {e["path"]: e for e in suffix[0]["full"]}
         start = 1
     for m in suffix[start:]:
+        if m.get("txn"):
+            app, tv = m["txn"]
+            txns[app] = max(int(tv), txns.get(app, -(10**18)))
         for a in m["actions"]:
             if a["op"] == "add":
                 base[a["path"]] = {
@@ -322,7 +337,7 @@ def replay_from(
                 }
             else:
                 base.pop(a["path"], None)
-    return base, schema_doc
+    return base, schema_doc, txns
 
 
 def _fs(spark: SparkSession, path: str):
@@ -448,24 +463,37 @@ class TableLog:
 
     # ---------- state reconstruction ----------
 
-    def _replay(self, version: int) -> tuple[dict[str, dict], dict | None]:
+    def _replay(
+        self, version: int
+    ) -> tuple[dict[str, dict], dict | None, dict[str, int]]:
         """Live file set {rel_path -> entry} at ``version`` plus the
-        stored schema doc. Bounded backward walk via ``replay_from``
-        (checkpoint manifests re-embed the schema, so the walk is
-        bounded for both)."""
+        stored schema doc and the idempotent-writer txn map. Bounded
+        backward walk via ``replay_from`` (checkpoint manifests
+        re-embed schema AND txns, so the walk is bounded for all
+        three)."""
         return replay_from(
             self._list_versions(), self._read_manifest, version
         )
 
     def snapshot_files(self, version: int | None = None) -> list[dict]:
         v = self.latest_version() if version is None else version
-        files, _ = self._replay(v)
+        files, _, _ = self._replay(v)
         return sorted(files.values(), key=lambda e: e["path"])
 
     def schema(self, version: int | None = None) -> T.StructType | None:
         v = self.latest_version() if version is None else version
-        _, doc = self._replay(v)
+        _, doc, _ = self._replay(v)
         return T.StructType.fromJson(doc) if doc else None
+
+    def last_txn_version(self, app_id: str, version: int | None = None) -> int:
+        """Latest transaction version committed by idempotent writer
+        ``app_id`` (-1 if it never committed) — Delta's ``txnVersion``
+        contract: a writer that stamps monotone versions can replay a
+        batch safely because the already-committed stamp makes the
+        retry a no-op (see ``append(txn_app=...)``)."""
+        v = self.latest_version() if version is None else version
+        _, _, txns = self._replay(v)
+        return int(txns.get(app_id, -1))
 
     # ---------- commit ----------
 
@@ -476,11 +504,15 @@ class TableLog:
         data_change: bool = True,
         schema: T.StructType | None = None,
         expected_version: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit one snapshot; returns the new version. ``added``
         entries are {'path': rel, 'size': int}; ``removed`` is rel
         paths. ``expected_version`` asserts the CAS precondition
-        explicitly (defaults to the latest observed now)."""
+        explicitly (defaults to the latest observed now). ``txn``
+        stamps this commit with an idempotent-writer
+        ``(app_id, txn_version)`` pair recorded in the manifest (and
+        folded into every checkpoint manifest's ``txns`` map)."""
         base = (
             self.latest_version()
             if expected_version is None
@@ -506,8 +538,10 @@ class TableLog:
             "actions": actions,
             "schema": schema.jsonValue() if schema is not None else None,
         }
+        if txn is not None:
+            doc["txn"] = [str(txn[0]), int(txn[1])]
         if version % self.checkpoint_interval == 0:
-            live, prior_schema = self._replay(base)
+            live, prior_schema, prior_txns = self._replay(base)
             for a in actions:
                 if a["op"] == "add":
                     live[a["path"]] = {
@@ -522,6 +556,14 @@ class TableLog:
             if doc["schema"] is None:
                 # re-embed so backward replay stops here for schema too
                 doc["schema"] = prior_schema
+            # re-embed accumulated txns (incl. this commit's own stamp)
+            # so last_txn_version's walk stops here as well
+            merged = dict(prior_txns)
+            if txn is not None:
+                app, tv = str(txn[0]), int(txn[1])
+                merged[app] = max(tv, merged.get(app, -(10**18)))
+            if merged:
+                doc["txns"] = merged
         self._write_manifest(version, doc)
         return version
 
@@ -628,6 +670,8 @@ class TableLog:
         partition_by: list[str] | None = None,
         max_commit_retries: int = 10,
         merge_schema: bool = False,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable data files and commit
         them as one snapshot. The parquet job runs ONCE; only the
@@ -638,7 +682,22 @@ class TableLog:
         Delta mergeSchema contract) — the commit stores the widened
         schema and older files read back with the new columns null.
         Dropping or renaming columns is refused either way (that
-        rewrite is a migration, not an append)."""
+        rewrite is a migration, not an append).
+
+        Idempotent writes: pass ``txn_app`` + ``txn_version`` (Delta's
+        ``txnAppId``/``txnVersion`` contract) and the append commits
+        ONLY if ``txn_version`` is newer than the app's last recorded
+        stamp — a replayed micro-batch (same version) becomes a no-op
+        BEFORE any parquet job runs, and a replay that loses a commit
+        race to its own earlier attempt is caught by the re-check
+        inside the retry loop. This is what makes the foreachBatch
+        tablelog sink exactly-once (sources/io.write_stream)."""
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("pass txn_app and txn_version together")
+        if txn_app is not None and self.last_txn_version(txn_app) >= int(
+            txn_version
+        ):
+            return self.latest_version()  # replayed batch: no-op
         stored = self.schema()
         new_schema = None
         if stored is None:
@@ -666,10 +725,18 @@ class TableLog:
         w.parquet(f"{self.path}/{rel}")
         added = self._promote_staged(rel)
         self._collect_stats(added, df.schema)
+        txn = (
+            (str(txn_app), int(txn_version)) if txn_app is not None else None
+        )
         for _ in range(max_commit_retries):
+            if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+                # a concurrent attempt of the SAME batch won the race;
+                # our promoted files are orphans (no manifest references
+                # them) — VACUUM sweeps them
+                return self.latest_version()
             try:
                 return self.commit(
-                    added=added, data_change=True, schema=new_schema
+                    added=added, data_change=True, schema=new_schema, txn=txn
                 )
             except CommitConflict:
                 continue
@@ -774,6 +841,85 @@ class TableLog:
         if where:
             df = df.filter(_where_to_column(df.schema, where))
         return df
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed: the row-level delta between two snapshots,
+        derived from the commit log alone (Delta's CDF shape, computed
+        rather than stored). For every data-change commit in
+        ``(from_version, to_version]``:
+
+        - rows in added files minus rows in removed files (multiset
+          ``exceptAll``) are ``insert``s,
+        - rows in removed files minus rows in added files are
+          ``delete``s.
+
+        Copy-on-write rewrites carry every surviving row into the new
+        files unchanged, so survivors cancel exactly and only genuine
+        changes surface; an UPDATE appears as its delete+insert pair
+        (pre/post image). Layout-only commits (OPTIMIZE/zorder,
+        ``data_change=False``) contribute nothing. Result columns =
+        table schema (at ``to_version``) + ``_change_type`` +
+        ``_commit_version``.
+
+        Requires the removed files in the range to still exist —
+        i.e. VACUUM has not swept past ``from_version`` (same
+        retention contract as Delta CDF)."""
+        from pyspark.sql import functions as F
+
+        to = self.latest_version() if to_version is None else to_version
+        sch = self.schema(to)
+        if sch is None:
+            raise ValueError(f"table {self.path} has no commits")
+        cols = sch.fieldNames()
+        out_schema = T.StructType(
+            list(sch.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.LongType(), False),
+            ]
+        )
+        reader = self.spark.read.option("basePath", self.path).schema(sch)
+
+        def rows_of(rels: list[str]) -> DataFrame:
+            if not rels:
+                return self.spark.createDataFrame([], sch)
+            return reader.parquet(
+                *[f"{self.path}/{r}" for r in rels]
+            ).select(*cols)
+
+        pieces: list[DataFrame] = []
+        for v in range(from_version + 1, to + 1):
+            m = self._read_manifest(v)
+            adds = [
+                a["path"]
+                for a in m["actions"]
+                if a["op"] == "add" and a.get("data_change", True)
+            ]
+            removes = [
+                a["path"]
+                for a in m["actions"]
+                if a["op"] == "remove" and a.get("data_change", True)
+            ]
+            if not adds and not removes:
+                continue
+            adf, rdf = rows_of(adds), rows_of(removes)
+            for kind, delta in (
+                ("insert", adf.exceptAll(rdf)),
+                ("delete", rdf.exceptAll(adf)),
+            ):
+                pieces.append(
+                    delta.withColumn("_change_type", F.lit(kind)).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+        if not pieces:
+            return self.spark.createDataFrame([], out_schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ---------- maintenance ----------
 
@@ -980,6 +1126,199 @@ class TableLog:
                 continue
         raise CommitConflict(
             f"delete_where lost the commit race {max_retries} times"
+        ) from last_exc
+
+    def update_where(
+        self, where: list[tuple], set_exprs: dict[str, str], max_retries: int = 3
+    ) -> dict:
+        """UPDATE ... SET: rows matching the conjunction get each
+        ``set_exprs`` column replaced by its SQL expression (evaluated
+        against the OLD row, all assignments simultaneously — standard
+        UPDATE semantics); non-matching rows (predicate false or NULL)
+        are untouched. Same copy-on-write discipline as delete_where:
+        manifest stats prune candidate files, a distinct
+        input_file_name scan pins the touched set, and only touched
+        files are rewritten — an update hitting one key rewrites one
+        file, never the table. Expressions may not assign partition
+        columns (that is a row MOVE between hive dirs — use
+        delete+append) and must preserve the column's type."""
+        from pyspark.sql import functions as F
+
+        if not where:
+            raise ValueError("update_where requires at least one clause")
+        if not set_exprs:
+            raise ValueError("update_where requires at least one assignment")
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            sch = self.schema(base)
+            if sch is None:
+                raise ValueError(f"table {self.path} has no commits")
+            cols = sch.fieldNames()
+            bad = [c for c in set_exprs if c not in cols]
+            if bad:
+                raise ValueError(f"SET columns not in schema: {bad}")
+            candidates, _total = self.pruned_files(where, base)
+            if not candidates:
+                return {"version": base, "files_rewritten": 0, "rows_updated": 0}
+            pcols = self._partition_cols([e["path"] for e in candidates])
+            clash = [c for c in set_exprs if c in pcols]
+            if clash:
+                raise ValueError(
+                    f"cannot SET partition columns {clash}: that moves rows "
+                    "between hive directories — delete_where + append instead"
+                )
+            reader = self.spark.read.option("basePath", self.path).schema(sch)
+            cdf = reader.parquet(
+                *[f"{self.path}/{e['path']}" for e in candidates]
+            )
+            pred = _where_to_column(sch, where)
+            uris = [
+                r[0]
+                for r in cdf.filter(pred)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            ]  # bounded: one row per touched file
+            touched = self._rel_of_uris(candidates, uris)
+            if not touched:
+                return {"version": base, "files_rewritten": 0, "rows_updated": 0}
+            tdf = reader.parquet(*[f"{self.path}/{p}" for p in touched])
+            n_match = tdf.filter(pred).count()
+            hit = F.coalesce(pred, F.lit(False))
+            # one select over the old row: every assignment sees the
+            # PRE-update values even when one SET column feeds another
+            new_rows = tdf.select(
+                *[
+                    F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in cols
+                ]
+            )
+            for c in set_exprs:
+                want = sch[c].dataType
+                got = new_rows.schema[c].dataType
+                if got != want:
+                    new_rows = new_rows.withColumn(c, F.col(c).cast(want))
+            added = self._write_rewrite(new_rows, self._partition_cols(touched))
+            try:
+                v = self.commit(added=added, removed=touched, data_change=True)
+                return {
+                    "version": v,
+                    "files_rewritten": len(touched),
+                    "rows_updated": int(n_match),
+                }
+            except CommitConflict as e:
+                last_exc = e  # re-derive everything against the new snapshot
+                continue
+        raise CommitConflict(
+            f"update_where lost the commit race {max_retries} times"
+        ) from last_exc
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        max_retries: int = 3,
+    ) -> dict:
+        """Full-table INSERT OVERWRITE as ONE commit: stage ``df``'s
+        files, then remove(every live file)+add(new) atomically —
+        readers pinned to the prior version keep it; nobody observes
+        an empty table (the directory-overwrite hazard this format
+        exists to remove). The new schema replaces the stored one."""
+        last_exc: Exception | None = None
+        added = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            live = [e["path"] for e in self.snapshot_files(base)]
+            if added is None:  # stage once; only the commit retries
+                added = self._write_rewrite(df, partition_by or [])
+            try:
+                v = self.commit(
+                    added=added,
+                    removed=live,
+                    data_change=True,
+                    schema=df.schema,
+                    expected_version=base,
+                )
+                return {"version": v, "files_removed": len(live)}
+            except CommitConflict as e:
+                last_exc = e
+                continue
+        raise CommitConflict(
+            f"overwrite lost the commit race {max_retries} times"
+        ) from last_exc
+
+    def overwrite_where(
+        self, df: DataFrame, where: list[tuple], max_retries: int = 3
+    ) -> dict:
+        """INSERT OVERWRITE a predicate slice (Delta's ``replaceWhere``,
+        the backfill idiom): atomically replace every row matching the
+        conjunction with ``df``'s rows, in ONE commit — readers see
+        either the old slice or the new one, never neither (unlike the
+        directory-swap compactor's documented window). Refuses rows in
+        ``df`` that do NOT satisfy the predicate (they would silently
+        leak outside the slice being replaced — Delta's constraint).
+        Only files containing matches are rewritten."""
+        from pyspark.sql import functions as F
+
+        if not where:
+            raise ValueError("overwrite_where requires at least one clause")
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            sch = self.schema(base)
+            if sch is None:
+                raise ValueError(f"table {self.path} has no commits")
+            cols = sch.fieldNames()
+            if set(df.columns) != set(cols):
+                raise ValueError(
+                    f"overwrite columns {sorted(df.columns)} must equal "
+                    f"the table schema {sorted(cols)}"
+                )
+            pred = _where_to_column(sch, where)
+            n_outside = df.filter(~F.coalesce(pred, F.lit(False))).count()
+            if n_outside:
+                raise ValueError(
+                    f"{n_outside} replacement rows do not satisfy the "
+                    "replaceWhere predicate — they would escape the slice"
+                )
+            candidates, _total = self.pruned_files(where, base)
+            reader = self.spark.read.option("basePath", self.path).schema(sch)
+            touched: list[str] = []
+            survivors = None
+            if candidates:
+                cdf = reader.parquet(
+                    *[f"{self.path}/{e['path']}" for e in candidates]
+                )
+                uris = [
+                    r[0]
+                    for r in cdf.filter(pred)
+                    .select(F.input_file_name())
+                    .distinct()
+                    .collect()
+                ]
+                touched = self._rel_of_uris(candidates, uris)
+                if touched:
+                    tdf = reader.parquet(
+                        *[f"{self.path}/{p}" for p in touched]
+                    )
+                    survivors = tdf.filter(~F.coalesce(pred, F.lit(False)))
+            new_data = df.select(*cols)
+            if survivors is not None:
+                new_data = survivors.select(*cols).unionByName(new_data)
+            added = self._write_rewrite(
+                new_data, self._partition_cols(touched)
+            )
+            try:
+                v = self.commit(added=added, removed=touched, data_change=True)
+                return {"version": v, "files_rewritten": len(touched)}
+            except CommitConflict as e:
+                last_exc = e
+                continue
+        raise CommitConflict(
+            f"overwrite_where lost the commit race {max_retries} times"
         ) from last_exc
 
     def merge_into(
