@@ -1603,3 +1603,83 @@ class TableLogStream:
             deliver(frm, to, df)
         self._commit_position(to)
         return True
+
+
+class TableLogChangeStream(TableLogStream):
+    """Change-data-feed tail (Delta's streaming ``readChangeFeed``):
+    where the append-only ``TableLogStream`` REFUSES data-change
+    removes, this source CONSUMES them — each micro-batch is
+    ``read_changes(position, latest)``, i.e. row-level inserts and
+    deletes with commit stamps, so a downstream consumer can maintain
+    state through DELETE/UPDATE/MERGE instead of going blind the first
+    time DML touches a consumed region. Layout-only commits still
+    deliver nothing. Same position/checkpoint machinery and the same
+    delivery contract as the parent (position commits AFTER deliver
+    returns).
+
+    The canonical consumer is incremental view maintenance:
+    ``apply_count_delta`` folds a batch of changes into a keyed
+    count/sum state frame — the streaming-materialized-view shape that
+    makes CDF worth storing at all."""
+
+    def run_once(self, deliver) -> bool:
+        frm = self._position()
+        to = self.log.latest_version()
+        if to <= frm:
+            return False
+        any_change = False
+        for v in range(frm + 1, to + 1):
+            m = self.log._read_manifest(v)
+            if any(a.get("data_change", True) for a in m["actions"]):
+                any_change = True
+                break
+        if any_change:
+            deliver(frm, to, self.log.read_changes(frm, to))
+        self._commit_position(to)
+        return True
+
+
+def apply_count_delta(
+    state: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for a keyed COUNT:
+    fold one CDF batch (``_change_type`` insert/delete rows) into the
+    running ``keys → count`` state — inserts +1, deletes −1, keys whose
+    count reaches zero drop out. Pure DataFrame transform: one
+    partial-aggregated shuffle over the BATCH (not the base table) plus
+    an outer join against the state, which is the whole point — the
+    view never rescans the table, at 100 TB a one-file UPDATE costs a
+    two-row delta. Equivalence ``state == table.groupBy(keys).count()``
+    is asserted across append/DELETE/UPDATE in
+    tests/test_tablelog_txn.py."""
+    from pyspark.sql import functions as F
+
+    delta = (
+        changes.groupBy(*keys)
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", F.lit(1))
+                .when(F.col("_change_type") == "delete", F.lit(-1))
+                .otherwise(F.lit(0))
+            ).alias("__delta")
+        )
+    )
+    if state is None:
+        merged = delta.select(
+            *keys, F.col("__delta").alias(count_col)
+        )
+    else:
+        merged = (
+            state.join(delta, on=keys, how="full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col(count_col), F.lit(0))
+                    + F.coalesce(F.col("__delta"), F.lit(0))
+                ).alias(count_col),
+            )
+        )
+    return merged.filter(F.col(count_col) != 0)

@@ -320,3 +320,102 @@ def test_cdf_range_spans_multiple_commits(spark, tmp_path):
     assert set(
         r._commit_version for r in ch.select("_commit_version").collect()
     ) == {2, 3}
+
+
+# ---------- CDF streaming tail + incremental view maintenance ----------
+
+from aoseventstreamer_spark.tablelog import (  # noqa: E402
+    TableLogChangeStream,
+    apply_count_delta,
+)
+
+
+def _collect_changes(stream):
+    out = {}
+
+    def deliver(frm, to, df):
+        out["df"] = df
+        out["range"] = (frm, to)
+
+    delivered = stream.run_once(deliver)
+    return delivered, out
+
+
+def test_change_stream_consumes_dml(spark, tmp_path):
+    """The CDF tail delivers row-level deltas across DELETE/UPDATE —
+    the commits the append-only tail refuses."""
+    log = _ranged(spark, str(tmp_path / "cs"))
+    stream = TableLogChangeStream(
+        spark, log.path, str(tmp_path / "cs_ckpt")
+    )
+    delivered, out = _collect_changes(stream)
+    assert delivered
+    ins = out["df"].filter(F.col("_change_type") == "insert")
+    assert ins.count() == 200  # the initial appends are pure inserts
+
+    log.delete_where([("id", ">=", 60), ("id", "<", 80)])
+    log.update_where([("id", "=", 5)], {"v": "v + 100"})
+    delivered, out = _collect_changes(stream)
+    assert delivered
+    ch = out["df"]
+    assert sorted(
+        r.id for r in ch.filter(F.col("_change_type") == "delete").collect()
+    ) == [5] + list(range(60, 80))
+    ups = ch.filter(F.col("_change_type") == "insert").collect()
+    assert len(ups) == 1 and ups[0].id == 5 and ups[0].v == 100
+
+    # nothing pending → no delivery, position stable
+    delivered, _ = _collect_changes(stream)
+    assert not delivered
+
+
+def test_change_stream_skips_layout_only_commits(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "cl"))
+    for i in range(6):
+        log.append(spark.range(i * 5, i * 5 + 5).coalesce(1))
+    stream = TableLogChangeStream(spark, log.path, str(tmp_path / "cl_ckpt"))
+    _collect_changes(stream)  # drain the appends
+    res = log.optimize(min_files=2, small_file_bytes=10**9)
+    assert res["files_removed"] > 0
+    delivered, out = _collect_changes(stream)
+    assert delivered and "df" not in out  # position advanced, no rows
+
+
+def test_incremental_view_tracks_batch_groupby(spark, tmp_path):
+    """apply_count_delta folded over the CDF tail equals a fresh
+    groupBy-count of the table after every kind of commit."""
+    log = TableLog(spark, str(tmp_path / "iv"))
+    stream = TableLogChangeStream(spark, log.path, str(tmp_path / "iv_ckpt"))
+    state = None
+
+    def fold():
+        nonlocal state
+
+        def deliver(frm, to, df):
+            nonlocal state
+            state = apply_count_delta(state, df, ["v"])
+            state = spark.createDataFrame(
+                state.collect(), state.schema
+            )  # pin (a real consumer checkpoints state between batches)
+
+        stream.run_once(deliver)
+        want = _rows(log.read().groupBy("v").count().withColumnRenamed("count", "n"))
+        got = _rows(state) if state is not None else []
+        assert got == want, f"state diverged: {got} != {want}"
+
+    log.append(
+        spark.range(100).select("id", (F.col("id") % 5).alias("v")).coalesce(1)
+    )
+    fold()
+    log.append(
+        spark.range(100, 130).select("id", (F.col("id") % 3).alias("v")).coalesce(1)
+    )
+    fold()
+    log.delete_where([("id", "<", 40)])
+    fold()
+    log.update_where([("id", ">=", 120)], {"v": "v + 10"})
+    fold()
+    # a whole key disappearing must drop its state row, not keep 0
+    log.delete_where([("v", "=", 10)])
+    fold()
+    assert state.filter(F.col("n") <= 0).count() == 0
