@@ -22,6 +22,17 @@ def _salt_col(df: DataFrame, n_salts: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
+def _guard_salt_free(*dfs: DataFrame) -> None:
+    # same collision contract as bloom_semi_reduce's __bloom_bits: an
+    # input that already carries the internal column would silently
+    # join/group on the wrong thing
+    for df in dfs:
+        if _SALT in df.columns:
+            raise ValueError(
+                f"input already has a column named {_SALT!r}; rename it"
+            )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -39,6 +50,7 @@ def salted_join(
     rather than silently wrong."""
     if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
         raise ValueError(f"salted_join supports inner/left joins, not {how!r}")
+    _guard_salt_free(large, small)
     salted_large = large.withColumn(_SALT, _salt_col(large, n_salts))
     salted_small = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -56,6 +68,7 @@ def two_phase_agg(
     """Skew-safe aggregation: partial agg on (key, salt), final agg on
     key. ``aggs`` maps output column -> 'sum(col)' / 'count(*)' /
     'min(col)' / 'max(col)' (the re-aggregatable functions)."""
+    _guard_salt_free(df)
     salted = df.withColumn(_SALT, _salt_col(df, n_salts))
 
     partial_exprs, final_exprs = [], []

@@ -143,3 +143,18 @@ def test_aqe_skew_split_activates_on_hot_key_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salt_column_collision_guarded(spark):
+    """An input already carrying the internal __salt column is refused
+    (same contract as bloom_semi_reduce's __bloom_bits guard)."""
+    import pytest as _pytest
+
+    from aoseventstreamer_spark.operators.skew import salted_join, two_phase_agg
+
+    poisoned = spark.range(5).withColumnRenamed("id", "__salt")
+    clean = spark.range(5).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(poisoned.withColumn("k", F.lit(1)), clean, on="k")
+    with _pytest.raises(ValueError, match="__salt"):
+        two_phase_agg(poisoned, "__salt", {"n": "count(*)"})
