@@ -505,6 +505,8 @@ class TableLog:
         schema: T.StructType | None = None,
         expected_version: int | None = None,
         txn: tuple[str, int] | None = None,
+        operation: str | None = None,
+        op_metrics: dict | None = None,
     ) -> int:
         """Commit one snapshot; returns the new version. ``added``
         entries are {'path': rel, 'size': int}; ``removed`` is rel
@@ -512,7 +514,9 @@ class TableLog:
         explicitly (defaults to the latest observed now). ``txn``
         stamps this commit with an idempotent-writer
         ``(app_id, txn_version)`` pair recorded in the manifest (and
-        folded into every checkpoint manifest's ``txns`` map)."""
+        folded into every checkpoint manifest's ``txns`` map).
+        ``operation``/``op_metrics`` label the commit for ``history()``
+        (Delta's DESCRIBE HISTORY operation + operationMetrics)."""
         base = (
             self.latest_version()
             if expected_version is None
@@ -540,6 +544,12 @@ class TableLog:
         }
         if txn is not None:
             doc["txn"] = [str(txn[0]), int(txn[1])]
+        if operation is not None:
+            doc["operation"] = str(operation)
+        if op_metrics:
+            doc["op_metrics"] = {
+                k: int(v) for k, v in op_metrics.items()
+            }
         if version % self.checkpoint_interval == 0:
             live, prior_schema, prior_txns = self._replay(base)
             for a in actions:
@@ -736,7 +746,15 @@ class TableLog:
                 return self.latest_version()
             try:
                 return self.commit(
-                    added=added, data_change=True, schema=new_schema, txn=txn
+                    added=added,
+                    data_change=True,
+                    schema=new_schema,
+                    txn=txn,
+                    operation="STREAMING UPDATE" if txn else "APPEND",
+                    op_metrics={
+                        "num_added_files": len(added),
+                        "num_added_bytes": sum(e["size"] for e in added),
+                    },
                 )
             except CommitConflict:
                 continue
@@ -904,11 +922,23 @@ class TableLog:
             ]
             if not adds and not removes:
                 continue
-            adf, rdf = rows_of(adds), rows_of(removes)
-            for kind, delta in (
-                ("insert", adf.exceptAll(rdf)),
-                ("delete", rdf.exceptAll(adf)),
-            ):
+            # one-sided commits skip exceptAll entirely: a pure append
+            # is all-inserts and a pure retention delete all-deletes —
+            # this keeps the dominant append history linear-scan cheap
+            # (measured 11.4 s → sub-second on a 16-append history,
+            # tools/tablelog_dml_probe.py) instead of paying a
+            # two-sided anti-join per commit
+            if adds and removes:
+                adf, rdf = rows_of(adds), rows_of(removes)
+                deltas = [
+                    ("insert", adf.exceptAll(rdf)),
+                    ("delete", rdf.exceptAll(adf)),
+                ]
+            elif adds:
+                deltas = [("insert", rows_of(adds))]
+            else:
+                deltas = [("delete", rows_of(removes))]
+            for kind, delta in deltas:
                 pieces.append(
                     delta.withColumn("_change_type", F.lit(kind)).withColumn(
                         "_commit_version", F.lit(v).cast("long")
@@ -920,6 +950,62 @@ class TableLog:
         for p in pieces[1:]:
             out = out.unionByName(p)
         return out
+
+    def history(self, limit: int | None = None) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit, newest first —
+        version, commit timestamp, the operation that produced it
+        (APPEND / STREAMING UPDATE / DELETE / UPDATE / MERGE /
+        REPLACE WHERE / OVERWRITE / OPTIMIZE; null for commits made
+        through the raw ``commit()`` API), its integer operation
+        metrics, file add/remove counts, the data_change flag, and the
+        idempotent-writer stamp if any. Driver-side manifest walk
+        (metadata only, KBs per commit); ``limit`` bounds it to the
+        newest N commits — pass it on long-lived tables."""
+        vs = sorted(self._list_versions(), reverse=True)
+        if limit is not None:
+            vs = vs[:limit]
+        rows = []
+        for v in vs:
+            m = self._read_manifest(v)
+            adds = sum(1 for a in m["actions"] if a["op"] == "add")
+            removes = sum(1 for a in m["actions"] if a["op"] == "remove")
+            txn = m.get("txn")
+            rows.append(
+                {
+                    "version": v,
+                    "timestamp_ms": int(m.get("timestamp_ms", 0)),
+                    "operation": m.get("operation"),
+                    "op_metrics": {
+                        k: int(x)
+                        for k, x in (m.get("op_metrics") or {}).items()
+                    },
+                    "num_added_files": adds,
+                    "num_removed_files": removes,
+                    "data_change": any(
+                        a.get("data_change", True) for a in m["actions"]
+                    ),
+                    "txn_app": txn[0] if txn else None,
+                    "txn_version": int(txn[1]) if txn else None,
+                }
+            )
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("timestamp_ms", T.LongType(), False),
+                T.StructField("operation", T.StringType(), True),
+                T.StructField(
+                    "op_metrics",
+                    T.MapType(T.StringType(), T.LongType()),
+                    True,
+                ),
+                T.StructField("num_added_files", T.LongType(), False),
+                T.StructField("num_removed_files", T.LongType(), False),
+                T.StructField("data_change", T.BooleanType(), False),
+                T.StructField("txn_app", T.StringType(), True),
+                T.StructField("txn_version", T.LongType(), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     # ---------- maintenance ----------
 
@@ -1019,7 +1105,14 @@ class TableLog:
         for _ in range(max_commit_retries):
             try:
                 v = self.commit(
-                    added=added, removed=removed, data_change=False
+                    added=added,
+                    removed=removed,
+                    data_change=False,
+                    operation="OPTIMIZE",
+                    op_metrics={
+                        "num_removed_files": len(removed),
+                        "num_added_files": len(added),
+                    },
                 )
                 return {
                     "version": v,
@@ -1115,7 +1208,16 @@ class TableLog:
                 survivors, self._partition_cols(touched)
             )
             try:
-                v = self.commit(added=added, removed=touched, data_change=True)
+                v = self.commit(
+                    added=added,
+                    removed=touched,
+                    data_change=True,
+                    operation="DELETE",
+                    op_metrics={
+                        "num_rewritten_files": len(touched),
+                        "num_deleted_rows": int(n_match),
+                    },
+                )
                 return {
                     "version": v,
                     "files_rewritten": len(touched),
@@ -1203,7 +1305,16 @@ class TableLog:
                     new_rows = new_rows.withColumn(c, F.col(c).cast(want))
             added = self._write_rewrite(new_rows, self._partition_cols(touched))
             try:
-                v = self.commit(added=added, removed=touched, data_change=True)
+                v = self.commit(
+                    added=added,
+                    removed=touched,
+                    data_change=True,
+                    operation="UPDATE",
+                    op_metrics={
+                        "num_rewritten_files": len(touched),
+                        "num_updated_rows": int(n_match),
+                    },
+                )
                 return {
                     "version": v,
                     "files_rewritten": len(touched),
@@ -1241,6 +1352,11 @@ class TableLog:
                     data_change=True,
                     schema=df.schema,
                     expected_version=base,
+                    operation="OVERWRITE",
+                    op_metrics={
+                        "num_removed_files": len(live),
+                        "num_added_files": len(added),
+                    },
                 )
                 return {"version": v, "files_removed": len(live)}
             except CommitConflict as e:
@@ -1312,7 +1428,16 @@ class TableLog:
                 new_data, self._partition_cols(touched)
             )
             try:
-                v = self.commit(added=added, removed=touched, data_change=True)
+                v = self.commit(
+                    added=added,
+                    removed=touched,
+                    data_change=True,
+                    operation="REPLACE WHERE",
+                    op_metrics={
+                        "num_rewritten_files": len(touched),
+                        "num_added_files": len(added),
+                    },
+                )
                 return {"version": v, "files_rewritten": len(touched)}
             except CommitConflict as e:
                 last_exc = e
@@ -1385,7 +1510,12 @@ class TableLog:
                 n_ins = src.count()
                 added = self._write_rewrite(src, [])
                 try:
-                    v = self.commit(added=added, data_change=True)
+                    v = self.commit(
+                        added=added,
+                        data_change=True,
+                        operation="MERGE",
+                        op_metrics={"num_inserted_rows": int(n_ins)},
+                    )
                     return {"version": v, "files_rewritten": 0,
                             "rows_updated": 0, "rows_inserted": int(n_ins),
                             "rows_deleted": 0}
@@ -1442,7 +1572,18 @@ class TableLog:
                 new_data, self._partition_cols([e["path"] for e in entries])
             )
             try:
-                v = self.commit(added=added, removed=touched, data_change=True)
+                v = self.commit(
+                    added=added,
+                    removed=touched,
+                    data_change=True,
+                    operation="MERGE",
+                    op_metrics={
+                        "num_rewritten_files": len(touched),
+                        "num_updated_rows": int(n_upd),
+                        "num_inserted_rows": int(n_ins),
+                        "num_deleted_rows": int(n_del),
+                    },
+                )
                 return {
                     "version": v,
                     "files_rewritten": len(touched),

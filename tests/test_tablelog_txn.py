@@ -419,3 +419,44 @@ def test_incremental_view_tracks_batch_groupby(spark, tmp_path):
     log.delete_where([("v", "=", 10)])
     fold()
     assert state.filter(F.col("n") <= 0).count() == 0
+
+
+# ---------- DESCRIBE HISTORY ----------
+
+
+def test_history_labels_every_write_path(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "h"))
+    df = spark.range(20).select("id", (F.col("id") % 4).alias("v")).coalesce(1)
+    log.append(df)                                                  # APPEND
+    log.append(df, txn_app="job", txn_version=0)                    # STREAMING UPDATE
+    log.update_where([("id", "<", 3)], {"v": "v + 1"})              # UPDATE
+    log.delete_where([("id", ">=", 18)])                            # DELETE
+    log.merge_into(
+        spark.range(5).select("id", F.lit(9).cast("long").alias("v")),
+        on=["id"],
+    )                                                               # MERGE
+    log.overwrite_where(
+        spark.range(1).select("id", F.lit(0).cast("long").alias("v")),
+        [("id", "<", 1)],
+    )                                                               # REPLACE WHERE
+    log.optimize(min_files=2, small_file_bytes=10**9)               # OPTIMIZE
+    log.overwrite(df)                                               # OVERWRITE
+
+    h = log.history().collect()
+    assert [r.version for r in h] == sorted(
+        (r.version for r in h), reverse=True
+    )
+    ops = {r.version: r.operation for r in h}
+    assert list(ops.values())[:8][::-1] == [
+        "APPEND", "STREAMING UPDATE", "UPDATE", "DELETE",
+        "MERGE", "REPLACE WHERE", "OPTIMIZE", "OVERWRITE",
+    ]
+    by_op = {r.operation: r for r in h}
+    # both appends carry ids 0..19, so each id exists twice
+    assert by_op["UPDATE"].op_metrics["num_updated_rows"] == 6
+    assert by_op["DELETE"].op_metrics["num_deleted_rows"] == 4
+    assert by_op["MERGE"].op_metrics["num_updated_rows"] == 5
+    assert by_op["OPTIMIZE"].data_change is False
+    assert by_op["STREAMING UPDATE"].txn_app == "job"
+    assert by_op["STREAMING UPDATE"].txn_version == 0
+    assert log.history(limit=2).count() == 2
