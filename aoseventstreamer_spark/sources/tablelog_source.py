@@ -86,7 +86,7 @@ class _LocalManifests:
     def state(self, version: int | None = None):
         vs = self.versions()
         v = vs[-1] if version is None and vs else (version or 0)
-        files, schema_doc, _txns = replay_from(vs, self.read, v)
+        files, schema_doc, _txns, _cons = replay_from(vs, self.read, v)
         return files, schema_doc
 
     def schema(self) -> T.StructType:

@@ -54,6 +54,23 @@ of that idea:
   ``append(txn_app=, txn_version=)`` no-ops on a replayed stamp, which
   makes the foreachBatch sink (sources/io.write_stream) exactly-once
   across crash-replayed micro-batches.
+- CONCURRENCY = every operation commits with the CAS pinned to the
+  snapshot it derived from; a lost race is classified
+  (``_commit_or_rebase``, Delta's ConflictChecker shape under
+  WriteSerializable): commits disjoint from the files being replaced
+  rebase for free (metadata retry only — no Spark job re-runs), while
+  a concurrent rewrite of the same files raises
+  ``ConcurrentModification`` and the DML loops RE-DERIVE against the
+  new snapshot — never resurrecting deleted rows or duplicating
+  survivors.
+- RESTORE = roll back to an earlier version as one new data-change
+  commit (diff of the two live sets; history preserved; bounded by the
+  VACUUM retention window).
+- CONSTRAINTS = ``add_constraint(name, sql)`` / ``drop_constraint``
+  metadata commits (existing rows validated first); every row-adding
+  write then enforces the CHECK set in one agg over only the written
+  files and refuses violating writes (``ConstraintViolation``), with
+  SQL semantics (NULL passes).
 
 Reference parity: the log stores the same routed-event rows
 (utils.rs:16-32 subjects; natsio.rs:131-147 publish fan-out) —
@@ -86,6 +103,26 @@ _LOCK_STALE_SECONDS = 60.0
 
 class CommitConflict(Exception):
     """Another writer committed this version first; re-derive and retry."""
+
+
+class ConcurrentModification(CommitConflict):
+    """An intervening commit removed or re-wrote a file this operation
+    read and is replacing (write-write conflict), or changed the
+    table's constraint set. Rebasing blindly would resurrect deleted
+    rows / duplicate survivors, so the operation must RE-DERIVE its
+    rewrite against the new snapshot (the DML loops do; raw callers
+    re-run). Subclasses CommitConflict so existing re-derive loops
+    handle it."""
+
+
+class ConstraintViolation(Exception):
+    """Rows in a write violate a table CHECK constraint. ``violations``
+    maps constraint name -> violating-row count; the staged files were
+    deleted, the table is unchanged."""
+
+    def __init__(self, msg: str, violations: dict[str, int]):
+        super().__init__(msg)
+        self.violations = dict(violations)
 
 
 # ---------- file-level statistics (data skipping) ----------
@@ -293,16 +330,17 @@ def _where_to_column(schema: T.StructType, where: list[tuple]) -> "F.Column":
 
 def replay_from(
     versions: list[int], read_manifest, version: int
-) -> tuple[dict[str, dict], dict | None, dict[str, int]]:
+) -> tuple[dict[str, dict], dict | None, dict[str, int], dict[str, str]]:
     """Pure replay shared by the JVM-FS TableLog and the Python
     datasource reader (sources/tablelog_source.py): walk BACKWARD only
     until a checkpoint manifest (one carrying ``full``), then fold the
     bounded suffix forward. Returns ({rel_path -> entry}, schema doc,
-    {txn app_id -> last committed txn version}). ``read_manifest`` is
-    any version→dict callable."""
+    {txn app_id -> last committed txn version},
+    {constraint name -> CHECK sql}). ``read_manifest`` is any
+    version→dict callable."""
     vs = [v for v in versions if v <= version]
     if not vs:
-        return {}, None, {}
+        return {}, None, {}, {}
     suffix: list[dict] = []
     for i in range(len(vs) - 1, -1, -1):
         m = read_manifest(vs[i])
@@ -311,9 +349,14 @@ def replay_from(
             break
     suffix.reverse()
     schema_doc = None
+    constraints: dict[str, str] = {}
     for m in suffix:
         if m.get("schema") is not None:
             schema_doc = m["schema"]  # newest wins
+        if m.get("constraints") is not None:
+            # full map stored on every change (and re-embedded by
+            # checkpoints), so newest-wins replay mirrors the schema
+            constraints = dict(m["constraints"])
     base: dict[str, dict] = {}
     start = 0
     # checkpoint manifests re-embed the accumulated txn map (like the
@@ -337,7 +380,7 @@ def replay_from(
                 }
             else:
                 base.pop(a["path"], None)
-    return base, schema_doc, txns
+    return base, schema_doc, txns, constraints
 
 
 def _fs(spark: SparkSession, path: str):
@@ -465,25 +508,36 @@ class TableLog:
 
     def _replay(
         self, version: int
-    ) -> tuple[dict[str, dict], dict | None, dict[str, int]]:
+    ) -> tuple[dict[str, dict], dict | None, dict[str, int], dict[str, str]]:
         """Live file set {rel_path -> entry} at ``version`` plus the
-        stored schema doc and the idempotent-writer txn map. Bounded
-        backward walk via ``replay_from`` (checkpoint manifests
-        re-embed schema AND txns, so the walk is bounded for all
-        three)."""
+        stored schema doc, the idempotent-writer txn map, and the
+        constraint map. Bounded backward walk via ``replay_from``
+        (checkpoint manifests re-embed schema, txns AND constraints,
+        so the walk is bounded for all four)."""
         return replay_from(
             self._list_versions(), self._read_manifest, version
         )
 
     def snapshot_files(self, version: int | None = None) -> list[dict]:
         v = self.latest_version() if version is None else version
-        files, _, _ = self._replay(v)
+        files, _, _, _ = self._replay(v)
         return sorted(files.values(), key=lambda e: e["path"])
 
     def schema(self, version: int | None = None) -> T.StructType | None:
         v = self.latest_version() if version is None else version
-        _, doc, _ = self._replay(v)
+        _, doc, _, _ = self._replay(v)
         return T.StructType.fromJson(doc) if doc else None
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The table's CHECK constraints {name -> sql expression} at a
+        version (latest by default). Enforced on every row-adding
+        write path (append / UPDATE / MERGE / overwrite / replaceWhere)
+        with standard SQL CHECK semantics: a row fails only when the
+        expression is FALSE — NULL (unknown) passes. NOT NULL is the
+        special case ``col IS NOT NULL``."""
+        v = self.latest_version() if version is None else version
+        _, _, _, cons = self._replay(v)
+        return cons
 
     def last_txn_version(self, app_id: str, version: int | None = None) -> int:
         """Latest transaction version committed by idempotent writer
@@ -492,7 +546,7 @@ class TableLog:
         batch safely because the already-committed stamp makes the
         retry a no-op (see ``append(txn_app=...)``)."""
         v = self.latest_version() if version is None else version
-        _, _, txns = self._replay(v)
+        _, _, txns, _ = self._replay(v)
         return int(txns.get(app_id, -1))
 
     # ---------- commit ----------
@@ -507,6 +561,7 @@ class TableLog:
         txn: tuple[str, int] | None = None,
         operation: str | None = None,
         op_metrics: dict | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Commit one snapshot; returns the new version. ``added``
         entries are {'path': rel, 'size': int}; ``removed`` is rel
@@ -550,8 +605,14 @@ class TableLog:
             doc["op_metrics"] = {
                 k: int(v) for k, v in op_metrics.items()
             }
+        if constraints is not None:
+            # FULL map on every change ({} = all dropped), so replay's
+            # newest-wins rule needs no per-constraint delta handling
+            doc["constraints"] = {
+                str(k): str(v) for k, v in constraints.items()
+            }
         if version % self.checkpoint_interval == 0:
-            live, prior_schema, prior_txns = self._replay(base)
+            live, prior_schema, prior_txns, prior_cons = self._replay(base)
             for a in actions:
                 if a["op"] == "add":
                     live[a["path"]] = {
@@ -566,6 +627,10 @@ class TableLog:
             if doc["schema"] is None:
                 # re-embed so backward replay stops here for schema too
                 doc["schema"] = prior_schema
+            if constraints is None and prior_cons:
+                # re-embed constraints the same way (absent key would
+                # make replay see an empty map past this checkpoint)
+                doc["constraints"] = prior_cons
             # re-embed accumulated txns (incl. this commit's own stamp)
             # so last_txn_version's walk stops here as well
             merged = dict(prior_txns)
@@ -576,6 +641,67 @@ class TableLog:
                 doc["txns"] = merged
         self._write_manifest(version, doc)
         return version
+
+    def _commit_or_rebase(
+        self,
+        base: int,
+        added: list[dict] | None = None,
+        removed: list[str] | None = None,
+        **kw,
+    ) -> int:
+        """Commit with the CAS pinned to the snapshot the operation
+        DERIVED FROM (``expected_version=base``), then classify a lost
+        race the way Delta's ConflictChecker does under
+        WriteSerializable:
+
+        - every intervening commit is DISJOINT from our ``removed``
+          set (blind appends, DML on other files) → REBASE: advance
+          the CAS and re-try the metadata commit only; the staged data
+          files are reused verbatim and serializing our operation
+          FIRST yields exactly the committed outcome, so no Spark job
+          re-runs;
+        - an intervening commit touched a file we read-and-are-
+          replacing, or changed the constraint set our write was
+          validated under → ``ConcurrentModification``: the rewrite is
+          stale and MUST be re-derived (the DML loops catch it, being
+          a CommitConflict, and re-run against the new snapshot).
+
+        Without the pinned CAS, commit() re-resolves the head and a
+        concurrent OPTIMIZE/DML that rewrote the same files would be
+        silently overwritten — resurrecting deleted rows and
+        duplicating survivors (regression-tested in
+        tests/test_tablelog_restore.py)."""
+        dep = set(removed or [])
+        while True:
+            try:
+                return self.commit(
+                    added=added,
+                    removed=removed,
+                    expected_version=base,
+                    **kw,
+                )
+            except ConcurrentModification:
+                raise
+            except CommitConflict:
+                head = self.latest_version()
+                if head <= base:
+                    raise  # lock starvation, not a version race
+                for v in range(base + 1, head + 1):
+                    m = self._read_manifest(v)
+                    if m.get("constraints") is not None:
+                        raise ConcurrentModification(
+                            f"commit {v} changed the table constraints "
+                            "concurrently; re-validate and re-derive"
+                        )
+                    for a in m["actions"]:
+                        if a["path"] in dep:
+                            raise ConcurrentModification(
+                                f"file {a['path']} was touched by "
+                                f"concurrent commit {v} "
+                                f"({m.get('operation') or a['op']}); "
+                                "re-derive against the new snapshot"
+                            )
+                base = head
 
     # ---------- write path ----------
 
@@ -639,6 +765,47 @@ class TableLog:
                 "max": {c: _stat_encode(match[f"__mx_{c}"]) for c in cols},
                 "null_count": {c: int(match[f"__nc_{c}"]) for c in cols},
             }
+
+    def _enforce_constraints(
+        self, added: list[dict], schema: T.StructType, cons: dict[str, str]
+    ) -> None:
+        """Validate just-promoted (still uncommitted) files against the
+        CHECK constraints in ONE aggregate job — per-constraint
+        violating-row counts via sum(expr IS FALSE), so NULL (unknown)
+        passes per the SQL standard. On any violation the promoted
+        files are deleted (they are referenced by no manifest, so this
+        only tidies what VACUUM would sweep) and ConstraintViolation
+        carries the counts; the table is unchanged."""
+        from pyspark.sql import functions as F
+
+        if not cons or not added:
+            return
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .schema(schema)
+            .parquet(*[f"{self.path}/{e['path']}" for e in added])
+        )
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, expr in sorted(cons.items())
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {
+            name: int(row[name] or 0)
+            for name in cons
+            if int(row[name] or 0) > 0
+        }
+        if bad:
+            for e in added:
+                self._fs.delete(self._Path(f"{self.path}/{e['path']}"), False)
+            detail = ", ".join(
+                f"{n} ({c} rows, CHECK {cons[n]!r})" for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolation(
+                f"write violates table constraints: {detail}", bad
+            )
 
     def _stage_dir(self) -> str:
         return f".stage-{uuid.uuid4().hex}"
@@ -735,6 +902,7 @@ class TableLog:
         w.parquet(f"{self.path}/{rel}")
         added = self._promote_staged(rel)
         self._collect_stats(added, df.schema)
+        self._enforce_constraints(added, df.schema, self.constraints())
         txn = (
             (str(txn_app), int(txn_version)) if txn_app is not None else None
         )
@@ -744,11 +912,18 @@ class TableLog:
                 # our promoted files are orphans (no manifest references
                 # them) — VACUUM sweeps them
                 return self.latest_version()
+            base = self.latest_version()
             try:
+                # the CAS is pinned so a concurrent attempt of the SAME
+                # stamped batch cannot slip in between the txn re-check
+                # above and this commit — without it, both replays pass
+                # the check and the loser rebases silently, committing
+                # the batch twice despite the idempotence stamps
                 return self.commit(
                     added=added,
                     data_change=True,
                     schema=new_schema,
+                    expected_version=base,
                     txn=txn,
                     operation="STREAMING UPDATE" if txn else "APPEND",
                     op_metrics={
@@ -1014,7 +1189,6 @@ class TableLog:
         target_file_bytes: int = 128 * 1024 * 1024,
         small_file_bytes: int = 32 * 1024 * 1024,
         min_files: int = 4,
-        max_commit_retries: int = 10,
         cluster_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
     ) -> dict:
@@ -1102,29 +1276,28 @@ class TableLog:
         sch = self.schema(base_version)
         if sch is not None:
             self._collect_stats(added, sch)
-        for _ in range(max_commit_retries):
-            try:
-                v = self.commit(
-                    added=added,
-                    removed=removed,
-                    data_change=False,
-                    operation="OPTIMIZE",
-                    op_metrics={
-                        "num_removed_files": len(removed),
-                        "num_added_files": len(added),
-                    },
-                )
-                return {
-                    "version": v,
-                    "rewritten_groups": rewritten_groups,
-                    "files_removed": len(removed),
-                    "files_added": len(added),
-                }
-            except CommitConflict:
-                # concurrent APPEND added files; our removed set is
-                # still live (appends never remove) — retry the CAS
-                continue
-        raise CommitConflict("optimize lost the commit race repeatedly")
+        # rebase-aware CAS: concurrent APPENDs never touch our removed
+        # set, so they rebase for free; a concurrent DML that rewrote a
+        # file we are compacting raises ConcurrentModification —
+        # committing anyway would resurrect its deleted rows inside our
+        # compacted group (re-run optimize to pick up the new layout)
+        v = self._commit_or_rebase(
+            base_version,
+            added=added,
+            removed=removed,
+            data_change=False,
+            operation="OPTIMIZE",
+            op_metrics={
+                "num_removed_files": len(removed),
+                "num_added_files": len(added),
+            },
+        )
+        return {
+            "version": v,
+            "rewritten_groups": rewritten_groups,
+            "files_removed": len(removed),
+            "files_added": len(added),
+        }
 
     # ---------- row-level operations (copy-on-write) ----------
 
@@ -1147,7 +1320,13 @@ class TableLog:
 
     def _write_rewrite(self, df: DataFrame, pcols: list[str]) -> list[dict]:
         """Stage + promote a copy-on-write rewrite, preserving the
-        table's hive layout; returns stats-annotated add entries."""
+        table's hive layout; returns stats-annotated add entries.
+        CHECK constraints are enforced on the written files (UPDATE /
+        MERGE / overwrite can introduce violations; a DELETE's
+        survivors trivially pass — the check is one agg over only the
+        rewritten files). An ``overwrite`` whose new schema drops a
+        constraint's column fails loudly at expression analysis —
+        drop the constraint first."""
         stage = self._stage_dir()
         w = df.write.mode("overwrite")
         if pcols:
@@ -1155,6 +1334,7 @@ class TableLog:
         w.parquet(f"{self.path}/{stage}")
         added = self._promote_staged(stage)
         self._collect_stats(added, df.schema)
+        self._enforce_constraints(added, df.schema, self.constraints())
         return added
 
     def delete_where(
@@ -1208,7 +1388,8 @@ class TableLog:
                 survivors, self._partition_cols(touched)
             )
             try:
-                v = self.commit(
+                v = self._commit_or_rebase(
+                    base,
                     added=added,
                     removed=touched,
                     data_change=True,
@@ -1305,7 +1486,8 @@ class TableLog:
                     new_rows = new_rows.withColumn(c, F.col(c).cast(want))
             added = self._write_rewrite(new_rows, self._partition_cols(touched))
             try:
-                v = self.commit(
+                v = self._commit_or_rebase(
+                    base,
                     added=added,
                     removed=touched,
                     data_change=True,
@@ -1428,7 +1610,8 @@ class TableLog:
                 new_data, self._partition_cols(touched)
             )
             try:
-                v = self.commit(
+                v = self._commit_or_rebase(
+                    base,
                     added=added,
                     removed=touched,
                     data_change=True,
@@ -1510,7 +1693,8 @@ class TableLog:
                 n_ins = src.count()
                 added = self._write_rewrite(src, [])
                 try:
-                    v = self.commit(
+                    v = self._commit_or_rebase(
+                        base,
                         added=added,
                         data_change=True,
                         operation="MERGE",
@@ -1572,7 +1756,8 @@ class TableLog:
                 new_data, self._partition_cols([e["path"] for e in entries])
             )
             try:
-                v = self.commit(
+                v = self._commit_or_rebase(
+                    base,
                     added=added,
                     removed=touched,
                     data_change=True,
@@ -1596,6 +1781,174 @@ class TableLog:
                 continue
         raise CommitConflict(
             f"merge_into lost the commit race {max_retries} times"
+        ) from last_exc
+
+    def restore(self, version: int, max_retries: int = 3) -> dict:
+        """RESTORE TABLE TO VERSION: roll the table back to an earlier
+        snapshot as ONE NEW data-change commit — history is never
+        rewritten (Delta's RESTORE shape). The commit re-adds exactly
+        the target version's files missing from the head and removes
+        head files the target lacks; files live in both snapshots are
+        untouched, so restoring across a selective DELETE moves only
+        the files that DELETE rewrote. Time travel to versions after
+        the restore still works, the CDF shows the restore as genuine
+        row-level deltas (survivor rows cancel under the two-sided
+        exceptAll in read_changes), and a second restore can roll the
+        roll-back forward again.
+
+        Refuses (before committing anything) when a re-added file has
+        been swept by VACUUM — the retention window bounds how far back
+        RESTORE reaches, exactly Delta's contract. The restored rows
+        are NOT re-validated against CHECK constraints added after the
+        target version (they were valid when written; Delta likewise
+        skips re-validation on RESTORE). The stored schema is rolled
+        back too when it changed since the target."""
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if version > base or version < 0:
+                raise ValueError(
+                    f"cannot restore to version {version}: table is at {base}"
+                )
+            target = {e["path"]: e for e in self.snapshot_files(version)}
+            cur = {e["path"]: e for e in self.snapshot_files(base)}
+            adds = [e for p, e in sorted(target.items()) if p not in cur]
+            removes = [p for p in sorted(cur) if p not in target]
+            missing = [
+                e["path"]
+                for e in adds
+                if not self._fs.exists(self._Path(f"{self.path}/{e['path']}"))
+            ]
+            if missing:
+                raise ValueError(
+                    f"cannot restore to version {version}: {len(missing)} "
+                    f"data files were removed by VACUUM (first: "
+                    f"{missing[0]!r}) — the retention window bounds RESTORE"
+                )
+            sch_t, sch_b = self.schema(version), self.schema(base)
+            schema_arg = (
+                sch_t if sch_t is not None and sch_t != sch_b else None
+            )
+            if not adds and not removes and schema_arg is None:
+                return {
+                    "version": base,
+                    "restored_version": version,
+                    "files_added": 0,
+                    "files_removed": 0,
+                }
+            try:
+                v = self._commit_or_rebase(
+                    base,
+                    added=adds,
+                    removed=removes,
+                    data_change=True,
+                    schema=schema_arg,
+                    operation="RESTORE",
+                    op_metrics={
+                        "restored_version": version,
+                        "num_restored_files": len(adds),
+                        "num_removed_files": len(removes),
+                    },
+                )
+                return {
+                    "version": v,
+                    "restored_version": version,
+                    "files_added": len(adds),
+                    "files_removed": len(removes),
+                }
+            except CommitConflict as e:
+                last_exc = e  # re-derive the diff against the new head
+                continue
+        raise CommitConflict(
+            f"restore lost the commit race {max_retries} times"
+        ) from last_exc
+
+    # ---------- constraints ----------
+
+    def add_constraint(
+        self, name: str, expr: str, max_retries: int = 3
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
+        CURRENT rows first (one filter-count scan — a constraint the
+        existing data violates is refused with the violating count,
+        Delta's behavior), then commits the new constraint map as a
+        metadata-only manifest (no file actions, ``data_change=False``
+        so live tails skip it). From that commit on, every row-adding
+        write validates against the constraint and a violating write
+        raises ConstraintViolation with per-constraint counts.
+        SQL CHECK semantics: NULL passes; spell NOT NULL as
+        ``col IS NOT NULL``."""
+        from pyspark.sql import functions as F
+
+        if not name or not expr:
+            raise ValueError("add_constraint requires a name and a CHECK sql")
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            cons = self.constraints(base)
+            if cons.get(name) == expr:
+                return base  # idempotent re-add
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists with a different "
+                    f"expression {cons[name]!r}; drop it first"
+                )
+            sch = self.schema(base)
+            if sch is None:
+                raise ValueError(f"table {self.path} has no commits")
+            n_bad = (
+                self.read(version=base)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if n_bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r}: {n_bad} existing rows "
+                    f"violate CHECK {expr!r}",
+                    {name: int(n_bad)},
+                )
+            try:
+                # plain pinned commit, NOT _commit_or_rebase: a blind
+                # rebase over a concurrent append would let that
+                # append's rows skip validation — any intervening
+                # commit must restart the validate-then-commit cycle
+                return self.commit(
+                    expected_version=base,
+                    data_change=False,
+                    operation="ADD CONSTRAINT",
+                    constraints={**cons, name: expr},
+                )
+            except CommitConflict as e:
+                last_exc = e  # re-validate against the new snapshot
+                continue
+        raise CommitConflict(
+            f"add_constraint lost the commit race {max_retries} times"
+        ) from last_exc
+
+    def drop_constraint(self, name: str, max_retries: int = 3) -> int:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only commit storing
+        the shrunken (possibly empty) full map. Dropping an unknown
+        constraint is a no-op returning the current version."""
+        last_exc: Exception | None = None
+        for _ in range(max_retries):
+            base = self.latest_version()
+            cons = self.constraints(base)
+            if name not in cons:
+                return base
+            try:
+                return self._commit_or_rebase(
+                    base,
+                    data_change=False,
+                    operation="DROP CONSTRAINT",
+                    constraints={
+                        k: v for k, v in cons.items() if k != name
+                    },
+                )
+            except CommitConflict as e:
+                last_exc = e
+                continue
+        raise CommitConflict(
+            f"drop_constraint lost the commit race {max_retries} times"
         ) from last_exc
 
     def vacuum(
