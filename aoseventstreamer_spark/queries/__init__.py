@@ -85,7 +85,7 @@ def avg_value_4dp(col: Column | str, alias: str) -> Column:
 
 # Populate the registries. (pipeline_pack/tpch_pack register after the
 # priority list and therefore append after the 74-entry round-2 surface.)
-from aoseventstreamer_spark.queries import analytics_ext, audio_pack, corpus_pack, coverage_ext, er_pack, events_ext, lexical_pack, llm, pipeline_pack, pipeline_pack2, quantile_pack, relational, routing_queries, selection_pack, spans_pack, temporal_ext, tpch_pack, tpch_pack2, validation_pack, versioning_pack  # noqa: E402,F401
+from aoseventstreamer_spark.queries import analytics_ext, audio_pack, corpus_pack, coverage_ext, er_pack, events_ext, lexical_pack, llm, pipeline_pack, pipeline_pack2, quantile_pack, relational, routing_queries, selection_pack, spans_pack, temporal_ext, timeseries_pack, tpch_pack, tpch_pack2, validation_pack, versioning_pack  # noqa: E402,F401
 
 # Registration order is the order the driver's correctness harness walks
 # the registry, and it checks a bounded prefix (50 entries in round 1).
