@@ -1338,7 +1338,7 @@ class TableLog:
         return added
 
     def delete_where(
-        self, where: list[tuple], max_retries: int = 3
+        self, where: list[tuple], max_retries: int = 10
     ) -> dict:
         """DELETE rows matching the conjunction (same clause grammar
         as read(where=...)) by rewriting ONLY the files that actually
@@ -1351,8 +1351,14 @@ class TableLog:
 
         Concurrency: a lost commit race re-runs the whole operation
         against the new snapshot (orphaned staged files are swept by
-        VACUUM). Live tablelog streams refuse data-change removes
-        unless opened with ignore_changes (Delta's contract)."""
+        VACUUM). Every re-derive implies ANOTHER writer committed, so
+        the system always makes progress and a writer needs at most
+        W-1 re-derives against W fully-colliding writers —
+        ``max_retries=10`` therefore tolerates ~11 writers rewriting
+        the SAME files simultaneously (measured in
+        tools/tablelog_concurrency_probe.py probe B). Live tablelog
+        streams refuse data-change removes unless opened with
+        ignore_changes (Delta's contract)."""
         from pyspark.sql import functions as F
 
         if not where:
@@ -1412,7 +1418,7 @@ class TableLog:
         ) from last_exc
 
     def update_where(
-        self, where: list[tuple], set_exprs: dict[str, str], max_retries: int = 3
+        self, where: list[tuple], set_exprs: dict[str, str], max_retries: int = 10
     ) -> dict:
         """UPDATE ... SET: rows matching the conjunction get each
         ``set_exprs`` column replaced by its SQL expression (evaluated
@@ -1513,7 +1519,7 @@ class TableLog:
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
-        max_retries: int = 3,
+        max_retries: int = 10,
     ) -> dict:
         """Full-table INSERT OVERWRITE as ONE commit: stage ``df``'s
         files, then remove(every live file)+add(new) atomically —
@@ -1549,7 +1555,7 @@ class TableLog:
         ) from last_exc
 
     def overwrite_where(
-        self, df: DataFrame, where: list[tuple], max_retries: int = 3
+        self, df: DataFrame, where: list[tuple], max_retries: int = 10
     ) -> dict:
         """INSERT OVERWRITE a predicate slice (Delta's ``replaceWhere``,
         the backfill idiom): atomically replace every row matching the
@@ -1635,7 +1641,7 @@ class TableLog:
         on: list[str],
         when_matched: str = "update",
         when_not_matched: str | None = "insert",
-        max_retries: int = 3,
+        max_retries: int = 10,
     ) -> dict:
         """MERGE (upsert): source rows matching a target row on the
         key replace it (``when_matched='update'``, full-row) or delete
@@ -1783,7 +1789,7 @@ class TableLog:
             f"merge_into lost the commit race {max_retries} times"
         ) from last_exc
 
-    def restore(self, version: int, max_retries: int = 3) -> dict:
+    def restore(self, version: int, max_retries: int = 10) -> dict:
         """RESTORE TABLE TO VERSION: roll the table back to an earlier
         snapshot as ONE NEW data-change commit — history is never
         rewritten (Delta's RESTORE shape). The commit re-adds exactly
@@ -1866,7 +1872,7 @@ class TableLog:
     # ---------- constraints ----------
 
     def add_constraint(
-        self, name: str, expr: str, max_retries: int = 3
+        self, name: str, expr: str, max_retries: int = 10
     ) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr): validates the
         CURRENT rows first (one filter-count scan — a constraint the
@@ -1925,7 +1931,7 @@ class TableLog:
             f"add_constraint lost the commit race {max_retries} times"
         ) from last_exc
 
-    def drop_constraint(self, name: str, max_retries: int = 3) -> int:
+    def drop_constraint(self, name: str, max_retries: int = 10) -> int:
         """ALTER TABLE DROP CONSTRAINT: metadata-only commit storing
         the shrunken (possibly empty) full map. Dropping an unknown
         constraint is a no-op returning the current version."""
