@@ -960,6 +960,8 @@ class TableLog:
         manifest metadata only; a file is dropped ONLY when its exact
         min/max/null stats prove no row can match (missing stats or a
         non-normalizable literal always survive)."""
+        if version is None:
+            version = self.latest_version()  # pin once (see read())
         entries = self.snapshot_files(version)
         sch = self.schema(version)
         fields = {f.name: f.dataType for f in sch.fields} if sch else {}
@@ -1016,6 +1018,12 @@ class TableLog:
             if version is not None:
                 raise ValueError("pass version OR as_of_timestamp_ms")
             version = self.version_at(as_of_timestamp_ms)
+        if version is None:
+            # pin the snapshot ONCE: schema() and snapshot_files()
+            # each re-resolve latest_version(), and a commit landing
+            # between the two would hand back one snapshot's schema
+            # with another's files (round-8 self-review finding)
+            version = self.latest_version()
         sch = self.schema(version)
         if where:
             entries, _total = self.pruned_files(where, version)

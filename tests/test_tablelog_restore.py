@@ -333,3 +333,26 @@ def test_update_rederives_across_concurrent_delete(spark, tmp_path):
     assert df.filter("v = 2").count() == 0
     assert df.filter("v = 20").count() == 10
     assert df.count() == 40
+
+
+def test_read_pins_snapshot_once(spark, tmp_path):
+    """read() must resolve latest_version exactly once — schema and
+    file-set resolution re-resolving independently would let a commit
+    landing in between hand back one snapshot's schema with another's
+    files (round-8 self-review finding)."""
+
+    class _Counting(TableLog):
+        calls = 0
+
+        def latest_version(self):
+            _Counting.calls += 1
+            return super().latest_version()
+
+    log = _ranged(spark, str(tmp_path / "pin"), n_appends=1)
+    clog = _Counting(spark, str(tmp_path / "pin"))
+    _Counting.calls = 0
+    clog.read().count()
+    assert _Counting.calls == 1
+    _Counting.calls = 0
+    clog.read(where=[("v", "=", 1)]).count()
+    assert _Counting.calls == 1
