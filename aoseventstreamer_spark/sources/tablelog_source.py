@@ -26,7 +26,14 @@ Spark's own micro-batch engine instead:
   schema's types;
 - ``initialOffset`` honors ``option("startingVersion", ...)``
   (default 0 = replay from the first snapshot — the reference's
-  DeliverPolicy::All, natsio.rs:176-182).
+  DeliverPolicy::All, natsio.rs:176-182);
+- ``option("readChangeFeed", "true")`` switches the stream to
+  ROW-LEVEL DELTAS (Delta's streaming CDF): every data-change commit
+  — including the DML rewrites the plain tail refuses — arrives as
+  insert/delete rows with ``_change_type``/``_commit_version``, under
+  Spark's own exactly-once offsets; appends fan out per-file, DML
+  commits diff in one partition (bounded by the commit's touched
+  files), OPTIMIZE advances the offset rowlessly.
 
 Driver/executor I/O here is plain-Python (os/open), so this source
 covers ``file:`` paths — the 100 TB posture note: Python data sources
@@ -118,9 +125,11 @@ class _LocalManifests:
                     ):
                         raise ValueError(
                             f"version {v} contains a data-change remove; "
-                            "set .option('ignoreChanges', 'true') to "
-                            "deliver rewritten files (surviving rows "
-                            "will re-deliver)"
+                            "set .option('readChangeFeed', 'true') to "
+                            "stream row-level deltas, or "
+                            ".option('ignoreChanges', 'true') to "
+                            "deliver rewritten files whole (surviving "
+                            "rows will re-deliver)"
                         )
         return out
 
@@ -128,6 +137,17 @@ class _LocalManifests:
 class _FilePartition(InputPartition):
     def __init__(self, rel_path: str):
         self.rel_path = rel_path
+
+
+class _ChangePartition(InputPartition):
+    """One COMMIT's row-level delta: the data-change adds and removes
+    of a single version (both sides must meet in one reader because
+    copy-on-write survivors only cancel when diffed together)."""
+
+    def __init__(self, version: int, adds: list[str], removes: list[str]):
+        self.version = version
+        self.adds = adds
+        self.removes = removes
 
 
 def _read_file_batches(
@@ -191,6 +211,72 @@ def _filter_to_clause(f) -> tuple | None:
     if isinstance(f, DS.StringStartsWith):
         return (col, "startswith", f.value)
     return None
+
+
+def _cdf_schema(schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.LongType(), False),
+        ]
+    )
+
+
+def _read_change_batches(
+    root: str, part: _ChangePartition, schema: T.StructType
+) -> Iterator:
+    """Row-level delta of one commit as Arrow batches: multiset
+    difference of (rows in added files) vs (rows in removed files),
+    inserts = adds∖removes, deletes = removes∖adds — exactly
+    ``tablelog.read_changes``'s exceptAll semantics, computed here
+    with a Counter over row tuples because the partition reader runs
+    plain Python on the executor. Memory is bounded by ONE commit's
+    touched files (a selective DML rewrites MBs, not the table);
+    one-sided commits (pure appends / retention deletes) skip the
+    diff entirely. Requires hashable (atomic-typed) columns — the
+    event log's shape; array columns would need canonicalization."""
+    from collections import Counter
+
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    base_schema = T.StructType(
+        [
+            f
+            for f in schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+    )
+    names = [f.name for f in base_schema.fields]
+    arrow_out = to_arrow_schema(schema)
+
+    def rows_of(rels: list[str]) -> Counter:
+        c: Counter = Counter()
+        for rel in rels:
+            for batch in _read_file_batches(root, rel, base_schema):
+                for row in batch.to_pylist():
+                    c[tuple(row[n] for n in names)] += 1
+        return c
+
+    adds = rows_of(part.adds)
+    removes = rows_of(part.removes) if part.removes else Counter()
+    out_rows: list[dict] = []
+    for kind, this, other in (
+        ("insert", adds, removes),
+        ("delete", removes, adds),
+    ):
+        for key, n in this.items():
+            extra = n - other.get(key, 0)
+            for _ in range(max(0, extra)):
+                row = dict(zip(names, key))
+                row["_change_type"] = kind
+                row["_commit_version"] = part.version
+                out_rows.append(row)
+    if not out_rows:
+        return
+    table = pa.Table.from_pylist(out_rows, schema=arrow_out)
+    yield from table.to_batches(max_chunksize=1 << 16)
 
 
 class TableLogBatchReader(DataSourceReader):
@@ -304,11 +390,73 @@ class TableLogStreamReader(DataSourceStreamReader):
         pass  # Spark's checkpoint is the source of truth
 
 
+class TableLogCDFStreamReader(DataSourceStreamReader):
+    """``option("readChangeFeed", "true")``: the stream delivers
+    row-level CHANGES — every data-change commit (including the
+    DELETE/UPDATE/MERGE rewrites the append-only tail refuses) becomes
+    its insert/delete row deltas with ``_change_type`` +
+    ``_commit_version`` columns, under Spark's own exactly-once offset
+    tracking. Pure appends fan out one partition per file (full read
+    parallelism, no diff); DML commits get one partition per commit
+    (both sides of the copy-on-write diff must meet); layout-only
+    OPTIMIZE commits advance the offset with zero rows. Same retention
+    contract as tablelog.read_changes: the removed files in the range
+    must not have been VACUUMed."""
+
+    def __init__(self, path: str, schema: T.StructType, starting: int):
+        self.path = _strip_scheme(path)
+        self.schema_ = schema  # includes _change_type/_commit_version
+        self.starting = starting
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting}
+
+    def latestOffset(self) -> dict:
+        vs = _LocalManifests(self.path).versions()
+        return {"version": vs[-1] if vs else self.starting}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        man = _LocalManifests(self.path)
+        out: list[InputPartition] = []
+        for v in man.versions():
+            if not (int(start["version"]) < v <= int(end["version"])):
+                continue
+            adds, removes = [], []
+            for a in man.read(v)["actions"]:
+                if not a.get("data_change", True):
+                    continue
+                (adds if a["op"] == "add" else removes).append(a["path"])
+            if adds and removes:
+                out.append(_ChangePartition(v, adds, removes))
+            elif adds:
+                out.extend(_ChangePartition(v, [p], []) for p in adds)
+            elif removes:
+                out.extend(_ChangePartition(v, [], [p]) for p in removes)
+        return out or [_ChangePartition(-1, [], [])]
+
+    def read(self, partition: _ChangePartition):
+        if partition.version < 0:
+            return iter(())
+        return _read_change_batches(self.path, partition, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class TableLogDataSource(DataSource):
     """format("tablelog"): path = table root; options:
     ``snapshotVersion`` (batch: pin a snapshot), ``startingVersion``
     (stream: first version NOT yet delivered; default 0 = from the
-    first snapshot)."""
+    first snapshot), ``readChangeFeed`` (stream: deliver row-level
+    change deltas with ``_change_type``/``_commit_version`` instead of
+    refusing DML commits), ``ignoreChanges`` (stream: deliver rewritten
+    files whole — surviving rows re-deliver)."""
+
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
 
     @classmethod
     def name(cls) -> str:
@@ -321,15 +469,27 @@ class TableLogDataSource(DataSource):
         return path
 
     def schema(self) -> T.StructType:
-        return _LocalManifests(self._path()).schema()
+        sch = _LocalManifests(self._path()).schema()
+        return _cdf_schema(sch) if self._cdf() else sch
 
     def reader(self, schema: T.StructType) -> TableLogBatchReader:
+        if self._cdf():
+            raise ValueError(
+                "readChangeFeed is a streaming option; for batch CDF "
+                "use tablelog.TableLog.read_changes(from, to)"
+            )
         v = self.options.get("snapshotversion")
         return TableLogBatchReader(
             self._path(), schema, int(v) if v is not None else None
         )
 
-    def streamReader(self, schema: T.StructType) -> TableLogStreamReader:
+    def streamReader(self, schema: T.StructType):
+        if self._cdf():
+            return TableLogCDFStreamReader(
+                self._path(),
+                schema,
+                int(self.options.get("startingversion", 0)),
+            )
         return TableLogStreamReader(
             self._path(),
             schema,

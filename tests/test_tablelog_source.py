@@ -246,3 +246,117 @@ def test_batch_pushdown_handles_strings_and_null(registered, tmp_path):
     native = spark.read.format("tablelog").load(log.path)
     assert native.filter(F.col("s").startswith("b_")).count() == 50
     assert native.filter(F.col("m").isNotNull()).count() == 25
+
+
+# ---------- streaming change data feed (readChangeFeed) ----------
+
+
+def _cdf_stream_once(spark, path, ck, got):
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r.id, r.v, r._change_type, r._commit_version)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("tablelog")
+        .option("readChangeFeed", "true")
+        .load(path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_cdf_stream_matches_batch_read_changes(registered, tmp_path):
+    """The readChangeFeed stream over the full history must equal
+    TableLog.read_changes(0): appends as inserts, a DELETE as its
+    deleted rows only (copy-on-write survivors cancel), an UPDATE as
+    delete+insert pre/post images — all stamped with the commit."""
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "c1"))
+    df = spark.range(40).select("id", (F.col("id") % 5).alias("v"))
+    log.append(df.coalesce(1))
+    log.append(df.withColumn("id", F.col("id") + 100).coalesce(1))
+    log.delete_where([("v", "=", 2)])
+    log.update_where([("id", "in", [0, 101])], {"v": "9"})
+    got = []
+    _cdf_stream_once(spark, log.path, str(tmp_path / "ckc1"), got)
+    want = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in log.read_changes(0).collect()
+    )
+    assert sorted(got) == want
+    # spot semantics: the UPDATE commit carries pre AND post images
+    upd_v = log.latest_version()
+    upd = [g for g in got if g[3] == upd_v]
+    assert sorted(upd) == sorted(
+        [(0, 0, "delete", upd_v), (0, 9, "insert", upd_v),
+         (101, 1, "delete", upd_v), (101, 9, "insert", upd_v)]
+    )
+
+
+def test_cdf_stream_exactly_once_across_restart(registered, tmp_path):
+    """kill → more DML → restart on the SAME checkpoint: only the new
+    commits' deltas arrive, nothing re-delivers; an OPTIMIZE advances
+    the offset with zero rows even in CDF mode."""
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "c2"))
+    df = spark.range(30).select("id", (F.col("id") % 5).alias("v"))
+    for lo in (0, 10, 20):
+        log.append(
+            df.filter((F.col("id") >= lo) & (F.col("id") < lo + 10)).coalesce(1)
+        )
+    ck = str(tmp_path / "ckc2")
+    got = []
+    _cdf_stream_once(spark, log.path, ck, got)
+    assert len(got) == 30 and all(g[2] == "insert" for g in got)
+    # DML + layout-only commit while the stream is down
+    log.delete_where([("id", "=", 7)])
+    v_del = log.latest_version()
+    log.optimize(min_files=2, small_file_bytes=1 << 30)
+    before = list(got)
+    _cdf_stream_once(spark, log.path, ck, got)
+    new = got[len(before):]
+    assert new == [(7, 2, "delete", v_del)], new
+    # idle restart delivers nothing
+    _cdf_stream_once(spark, log.path, ck, got)
+    assert len(got) == 31
+
+
+def test_cdf_is_streaming_only_option(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "c3"))
+    log.append(spark.range(5).select("id"))
+    with pytest.raises(Exception, match="read_changes"):
+        (
+            spark.read.format("tablelog")
+            .option("readChangeFeed", "true")
+            .load(log.path)
+            .collect()
+        )
+
+
+def test_plain_tail_error_mentions_cdf(registered, tmp_path):
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "c4"))
+    log.append(spark.range(20).select("id", (F.col("id") % 3).alias("v")).coalesce(1))
+    log.delete_where([("v", "=", 1)])
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("tablelog")
+        .load(log.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckc4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="readChangeFeed"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "stream succeeded unexpectedly")
