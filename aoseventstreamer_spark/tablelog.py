@@ -875,26 +875,49 @@ class TableLog:
             txn_version
         ):
             return self.latest_version()  # replayed batch: no-op
-        stored = self.schema()
-        new_schema = None
-        if stored is None:
-            new_schema = df.schema
-        elif set(df.columns) != set(stored.fieldNames()):
-            if merge_schema and set(stored.fieldNames()) <= set(df.columns):
-                new_schema = T.StructType(
-                    list(stored.fields)
-                    + [
-                        f
-                        for f in df.schema.fields
-                        if f.name not in set(stored.fieldNames())
-                    ]
-                )
-            else:
-                raise ValueError(
-                    f"append schema {sorted(df.columns)} does not match "
-                    f"the table schema {sorted(stored.fieldNames())}; "
-                    "pass merge_schema=True to ADD columns"
-                )
+
+        orig_fields: set | None = None  # stored fields at FIRST derivation
+
+        def derive_schema() -> T.StructType | None:
+            """Validate df against the CURRENT stored schema and return
+            the schema to commit (None = unchanged). Re-run on every
+            commit attempt: a concurrent merge_schema append may have
+            widened the table between our derivation and our commit,
+            and re-committing the PRE-race merge would silently drop
+            the winner's new column from the stored schema (round-8
+            self-review finding; regression-tested in
+            tests/test_advice_r8b.py). The caller's contract is pinned
+            to the schema they DERIVED AGAINST: df must cover every
+            field that existed then (dropping columns stays refused),
+            while columns a concurrent writer added since are fine —
+            this append's files simply read back with them null."""
+            nonlocal orig_fields
+            stored = self.schema()
+            if stored is None:
+                return df.schema
+            stored_names = set(stored.fieldNames())
+            if orig_fields is None:
+                orig_fields = set(stored_names)
+            dfc = set(df.columns)
+            if dfc == stored_names:
+                return None
+            if orig_fields <= dfc:
+                extra = [
+                    f for f in df.schema.fields if f.name not in stored_names
+                ]
+                if not extra and dfc <= stored_names:
+                    # a concurrent merge_schema append widened the
+                    # table under us; nothing for US to add
+                    return None
+                if merge_schema and extra:
+                    return T.StructType(list(stored.fields) + extra)
+            raise ValueError(
+                f"append schema {sorted(df.columns)} does not match "
+                f"the table schema {sorted(stored.fieldNames())}; "
+                "pass merge_schema=True to ADD columns"
+            )
+
+        new_schema = derive_schema()  # validate BEFORE the parquet job
         rel = self._stage_dir()
         w = df.write.mode("overwrite")
         if partition_by:
@@ -913,6 +936,7 @@ class TableLog:
                 # them) — VACUUM sweeps them
                 return self.latest_version()
             base = self.latest_version()
+            new_schema = derive_schema()  # re-merge against the head
             try:
                 # the CAS is pinned so a concurrent attempt of the SAME
                 # stamped batch cannot slip in between the txn re-check
@@ -1971,8 +1995,16 @@ class TableLog:
         """Delete data files referenced by NO retained snapshot
         (latest ``retain_versions`` versions), skipping files younger
         than ``min_age_seconds`` (in-flight stages commit soon).
-        Returns deleted rel paths. Also prunes tmp manifest litter."""
+        Returns deleted rel paths. Also prunes tmp manifest litter.
+
+        A table with NO commits is refused (no-op returning []): with
+        an empty log every file under the root is "unreferenced", so
+        proceeding would delete data a first commit is about to claim
+        — or a plain parquet directory the caller pointed at by
+        mistake (round-8 self-review finding)."""
         latest = self.latest_version()
+        if latest == 0:
+            return []
         keep: set[str] = set()
         for v in range(max(1, latest - retain_versions + 1), latest + 1):
             keep.update(e["path"] for e in self.snapshot_files(v))
@@ -2004,6 +2036,8 @@ class TableLog:
                 ):
                     self._fs.delete(st.getPath(), False)
         # sweep abandoned hidden stage dirs (writer died pre-promote)
+        if not self._fs.exists(self._root):
+            return deleted
         for st in self._fs.listStatus(self._root):
             n = st.getPath().getName()
             if (
@@ -2043,18 +2077,41 @@ class TableLogStream:
         self._Path = self._jvm.org.apache.hadoop.fs.Path
 
     def _position(self) -> int:
-        p = self._Path(f"{self.checkpoint}/position.json")
-        if not self._fs.exists(p):
-            return 0
-        stream = self._fs.open(p)
-        try:
-            ioutils = self._jvm.org.apache.commons.io.IOUtils
-            data = bytes(ioutils.toByteArray(stream))
-        finally:
-            stream.close()
-        return int(json.loads(data.decode("utf-8"))["last_version"])
+        """Committed position = the MAX over numbered position files
+        (plus the legacy single ``position.json`` if one exists from an
+        older checkpoint). Numbered files are each committed by a
+        tmp-write + rename to a FRESH name, so no step ever deletes the
+        previous position before the new one is durable — the old
+        delete-then-rename protocol lost the position entirely if the
+        process died between the two calls, and ``_position()``'s
+        0-fallback then re-delivered the whole table (round-8
+        self-review finding; crash-window test in
+        tests/test_advice_r8b.py)."""
+        best = 0
+        if self._fs.exists(self._ck_root):
+            for st in self._fs.listStatus(self._ck_root):
+                name = st.getPath().getName()
+                if name.startswith("position-") and name.endswith(".json"):
+                    stem = name[len("position-"):-len(".json")]
+                    if stem.isdigit():
+                        best = max(best, int(stem))
+        legacy = self._Path(f"{self.checkpoint}/position.json")
+        if self._fs.exists(legacy):
+            stream = self._fs.open(legacy)
+            try:
+                ioutils = self._jvm.org.apache.commons.io.IOUtils
+                data = bytes(ioutils.toByteArray(stream))
+            finally:
+                stream.close()
+            best = max(best, int(json.loads(data.decode("utf-8"))["last_version"]))
+        return best
 
     def _commit_position(self, version: int) -> None:
+        """Commit = rename a tmp file to ``position-<version>.json``
+        (a name that never pre-exists, so the rename is atomic and
+        needs no prior delete on any FS). Older position files are
+        pruned only AFTER the new one is durable; a crash at any point
+        leaves at least one committed position on disk."""
         tmp = self._Path(f"{self.checkpoint}/.position-{uuid.uuid4().hex}.json")
         self._fs.mkdirs(self._ck_root)
         out = self._fs.create(tmp, True)
@@ -2066,10 +2123,20 @@ class TableLogStream:
             )
         finally:
             out.close()
-        dst = self._Path(f"{self.checkpoint}/position.json")
-        self._fs.delete(dst, False)
-        if not self._fs.rename(tmp, dst):
+        dst = self._Path(
+            f"{self.checkpoint}/position-{version:0{_MANIFEST_DIGITS}d}.json"
+        )
+        if not self._fs.rename(tmp, dst) and not self._fs.exists(dst):
             raise IOError("failed to commit stream position")
+        # prune superseded positions + legacy file (best-effort tidy)
+        for st in self._fs.listStatus(self._ck_root):
+            name = st.getPath().getName()
+            if name == "position.json":
+                self._fs.delete(st.getPath(), False)
+            elif name.startswith("position-") and name.endswith(".json"):
+                stem = name[len("position-"):-len(".json")]
+                if stem.isdigit() and int(stem) < version:
+                    self._fs.delete(st.getPath(), False)
 
     def pending_files(self) -> tuple[int, int, list[str]]:
         """(from_version, to_version, rel paths of data-change adds in
