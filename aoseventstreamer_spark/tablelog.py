@@ -193,6 +193,8 @@ def _file_survives(stats: dict | None, col: str, op: str, lit) -> bool:
         return True
     mins, maxs = stats.get("min", {}), stats.get("max", {})
     nulls, nrows = stats.get("null_count", {}), stats.get("num_rows")
+    if nrows == 0:
+        return False  # a zero-row file has no matching row
     nc = nulls.get(col)
     if op == "isnull":
         return True if nc is None else nc > 0
@@ -250,6 +252,55 @@ def _cmp_le(v, mx, op) -> bool:
     if op == ">=":
         return v <= mx
     return True
+
+
+def _file_all_match(stats: dict | None, col: str, op: str, lit) -> bool:
+    """Does EVERY row in a file with these stats provably match
+    ``col op lit``? The dual of ``_file_survives``: False on any
+    ignorance, so the caller falls back to a scan rather than
+    answering wrong. Powers metadata-only aggregation."""
+    if not stats:
+        return False
+    mins, maxs = stats.get("min", {}), stats.get("max", {})
+    nulls, nrows = stats.get("null_count", {}), stats.get("num_rows")
+    nc = nulls.get(col)
+    if nrows is None:
+        return False
+    if nrows == 0:
+        return True  # vacuously: every row of a zero-row file matches
+    if op == "isnull":
+        return nc is not None and nc == nrows
+    if op == "notnull":
+        return nc == 0
+    if nc != 0:
+        return False  # a NULL row matches no value predicate
+    mn, mx = mins.get(col), maxs.get(col)
+    if mn is None or mx is None:
+        return False
+    if op == "startswith":
+        if not (
+            isinstance(lit, str)
+            and isinstance(mn, str)
+            and isinstance(mx, str)
+        ):
+            return False
+        # both bounds carry the prefix → every value between them does
+        return mn.startswith(lit) and mx.startswith(lit)
+    if op == "in":
+        return (
+            mn == mx
+            and _comparable(mn, mn)
+            and any(_comparable(mn, v) and mn == v for v in lit)
+        )
+    if not (_comparable(mn, lit) and _comparable(mx, lit)):
+        return False
+    return {
+        "=": mn == lit and mx == lit,
+        "<": mx < lit,
+        "<=": mx <= lit,
+        ">": mn > lit,
+        ">=": mn >= lit,
+    }[op]
 
 
 _WHERE_OPS = {"=", "<", "<=", ">", ">=", "in", "startswith", "isnull", "notnull"}
@@ -758,7 +809,13 @@ class TableLog:
                     match = r
                     break
             if match is None:
-                continue  # zero-row or unmatched file: no stats, never pruned wrongly
+                # every file with >=1 row appears in the group-by, so
+                # no match means PROVABLY empty — record that (powers
+                # metadata_count and lets rewrites drop empty outputs)
+                e["stats"] = {
+                    "num_rows": 0, "min": {}, "max": {}, "null_count": {},
+                }
+                continue
             e["stats"] = {
                 "num_rows": int(match["__n"]),
                 "min": {c: _stat_encode(match[f"__mn_{c}"]) for c in cols},
@@ -1017,6 +1074,115 @@ class TableLog:
             if ok:
                 survivors.append(e)
         return survivors, len(entries)
+
+    def metadata_count(
+        self,
+        where: list[tuple] | None = None,
+        version: int | None = None,
+    ) -> int | None:
+        """COUNT(*) answered from manifest stats ALONE — no scan, no
+        Spark job (Delta/Iceberg's metadata-only query). Returns None
+        whenever the count is not PROVABLE from per-file stats, so the
+        caller falls back to ``read(where=...).count()``; a non-None
+        answer is always exact.
+
+        Per file, each conjunct classifies as NONE (``_file_survives``
+        false → contributes 0 rows), ALL (``_file_all_match`` — every
+        row provably matches), or UNKNOWN (anything else → give up).
+        At 100 TB an unfiltered count, a partition-aligned count, or a
+        count over a clustered column's range reads KBs of manifest
+        instead of the table."""
+        v = self.latest_version() if version is None else version
+        entries = self.snapshot_files(v)
+        sch = self.schema(v)
+        fields = {f.name: f.dataType for f in sch.fields} if sch else {}
+        norm_clauses: list[tuple] = []
+        for clause in where or []:
+            col, op = clause[0], clause[1]
+            lit = clause[2] if len(clause) > 2 else None
+            if op not in _WHERE_OPS:
+                raise ValueError(
+                    f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}"
+                )
+            dt = fields.get(col)
+            if op == "in":
+                norm = [_norm_literal(dt, x) for x in lit]
+                if any(n is None for n in norm) or not norm:
+                    return None  # un-normalizable literal: not provable
+            elif op in ("isnull", "notnull", "startswith"):
+                norm = lit
+            else:
+                norm = _norm_literal(dt, lit)
+                if norm is None:
+                    return None
+            norm_clauses.append((col, op, norm))
+        total = 0
+        for e in entries:
+            stats = e.get("stats") or {}
+            if any(
+                not _file_survives(stats, col, op, norm)
+                for col, op, norm in norm_clauses
+            ):
+                continue  # provably zero matching rows
+            if stats.get("num_rows") is None:
+                return None
+            if all(
+                _file_all_match(stats, col, op, norm)
+                for col, op, norm in norm_clauses
+            ):
+                total += int(stats["num_rows"])
+            else:
+                return None  # partially-matching file: needs a scan
+        return total
+
+    def metadata_min_max(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """(min, max) of ``col`` over the live table from manifest
+        stats alone (SQL MIN/MAX semantics: nulls ignored). None when
+        not provable — any live file missing stats for the column, or
+        a file whose bound is absent without being provably all-null.
+        Timestamp/date bounds decode back to datetime/date."""
+        import datetime
+
+        v = self.latest_version() if version is None else version
+        entries = self.snapshot_files(v)
+        sch = self.schema(v)
+        dt = None
+        if sch is not None and col in sch.fieldNames():
+            dt = sch[col].dataType
+        lo = hi = None
+        for e in entries:
+            stats = e.get("stats")
+            if not stats:
+                return None
+            nrows = stats.get("num_rows")
+            if nrows == 0:
+                continue
+            nc = (stats.get("null_count") or {}).get(col)
+            mn = (stats.get("min") or {}).get(col)
+            mx = (stats.get("max") or {}).get(col)
+            if mn is None or mx is None:
+                if nc is not None and nrows is not None and nc == nrows:
+                    continue  # provably all-null: contributes nothing
+                return None
+            if lo is None:
+                lo, hi = mn, mx
+            else:
+                if not (_comparable(lo, mn) and _comparable(hi, mx)):
+                    return None
+                lo, hi = min(lo, mn), max(hi, mx)
+        if lo is None:
+            return None
+
+        def _decode(x):
+            if isinstance(dt, T.TimestampType):
+                return datetime.datetime.fromtimestamp(x / 1_000_000)
+            if isinstance(dt, T.DateType):
+                return datetime.date.fromordinal(x)
+            return x
+
+        return _decode(lo), _decode(hi)
 
     def read(
         self,
@@ -1366,6 +1532,15 @@ class TableLog:
         w.parquet(f"{self.path}/{stage}")
         added = self._promote_staged(stage)
         self._collect_stats(added, df.schema)
+        # drop provably-empty outputs (e.g. a DELETE that emptied its
+        # file): committing them would only accumulate dead files
+        empty = [
+            e for e in added
+            if (e.get("stats") or {}).get("num_rows") == 0
+        ]
+        for e in empty:
+            self._fs.delete(self._Path(f"{self.path}/{e['path']}"), False)
+        added = [e for e in added if e not in empty]
         self._enforce_constraints(added, df.schema, self.constraints())
         return added
 

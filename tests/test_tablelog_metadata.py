@@ -1,0 +1,116 @@
+"""Metadata-only aggregation over the tablelog manifest: COUNT(*) and
+MIN/MAX answered from per-file stats with zero scan (the Delta/Iceberg
+metadata-only query). The contract under test: a non-None answer is
+always EXACT (equal to the scan), and anything not provable returns
+None instead of a wrong number."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.tablelog import TableLog, _file_all_match
+
+
+def _mk(spark, tmp_path, name="t"):
+    log = TableLog(spark, str(tmp_path / name))
+    # three files with disjoint id ranges and a constant-per-file tag
+    for i, tag in enumerate(["a", "b", "c"]):
+        log.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .select(
+                "id",
+                F.lit(tag).alias("tag"),
+                F.when(F.col("id") % 10 == 0, None)
+                .otherwise(F.col("id") * 2)
+                .alias("v"),
+            )
+            .coalesce(1)
+        )
+    return log
+
+
+def test_unfiltered_count_is_exact(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    assert log.metadata_count() == 300 == log.read().count()
+
+
+def test_file_aligned_equality_count(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    # tag is constant per file: min==max proves ALL rows match
+    assert log.metadata_count(where=[("tag", "=", "b")]) == 100
+    assert log.metadata_count(where=[("tag", "=", "zzz")]) == 0
+    # disjoint id ranges: a range covering whole files is provable
+    assert log.metadata_count(where=[("id", "<", 200)]) == 200
+    assert log.metadata_count(where=[("id", ">=", 100)]) == 200
+    assert (
+        log.metadata_count(where=[("id", ">=", 100), ("tag", "=", "b")])
+        == 100
+    )
+
+
+def test_partial_file_returns_none_not_wrong(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    # cuts through the middle of file 0: not provable from stats
+    got = log.metadata_count(where=[("id", "<", 50)])
+    assert got is None
+    assert log.read(where=[("id", "<", 50)]).count() == 50
+
+
+def test_null_predicates(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    # v is null on every 10th id — not provable either way per file
+    assert log.metadata_count(where=[("v", "isnull")]) is None
+    # but id has no nulls at all: notnull proves ALL per file
+    assert log.metadata_count(where=[("id", "notnull")]) == 300
+
+
+def test_count_tracks_dml(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    log.delete_where([("tag", "=", "b")])
+    assert log.metadata_count() == 200 == log.read().count()
+    assert log.metadata_count(where=[("tag", "=", "b")]) == 0
+
+
+def test_count_without_stats_returns_none(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "nostats"), stats_columns=[])
+    log.append(spark.range(10).coalesce(1))
+    assert log.metadata_count() is None  # no num_rows recorded
+
+
+def test_min_max_from_metadata(spark, tmp_path):
+    log = _mk(spark, tmp_path)
+    assert log.metadata_min_max("id") == (0, 299)
+    assert log.metadata_min_max("tag") == ("a", "c")
+    # v: every file has non-null rows, bounds present → provable
+    assert log.metadata_min_max("v") == (2, 598)
+
+
+def test_min_max_decodes_dates(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "dates"))
+    log.append(
+        spark.range(5)
+        .select(
+            F.date_add(F.lit("2024-03-01").cast("date"), F.col("id").cast("int"))
+            .alias("d")
+        )
+        .coalesce(1)
+    )
+    assert log.metadata_min_max("d") == (
+        datetime.date(2024, 3, 1),
+        datetime.date(2024, 3, 5),
+    )
+
+
+def test_all_match_startswith_prefix_rule():
+    stats = {
+        "num_rows": 4,
+        "min": {"s": "proj.a"},
+        "max": {"s": "proj.z"},
+        "null_count": {"s": 0},
+    }
+    assert _file_all_match(stats, "s", "startswith", "proj.")
+    assert not _file_all_match(stats, "s", "startswith", "proj.a")
+    stats["null_count"]["s"] = 1
+    assert not _file_all_match(stats, "s", "startswith", "proj.")
