@@ -350,3 +350,50 @@ def q_tablelog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # diff-based restore: files the DML never touched did not move
     assert res["files_added"] < len(untouched)
     return log.read()
+
+
+@query(
+    "q_tablelog_dv_delete",
+    oracle="""
+    SELECT doc_id, text, lang, n_chars FROM documents
+    WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    """,
+)
+def q_tablelog_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE through deletion vectors
+    (tablelog.delete_where(use_dv=True)): the same predicate delete as
+    q_tablelog_delete, but matching rows are MARKED in per-file
+    position sidecars instead of rewriting the files — asserted
+    in-query: the live data-file set is IDENTICAL before and after
+    (zero rewrite amplification; write cost ∝ deleted rows), the
+    marked entries carry exact cardinalities, and metadata_count
+    answers the post-delete COUNT(*) from the manifest alone. The
+    read-back applies the vectors via a position anti-join on the
+    scan's _metadata row index and is hash-exact against the plain
+    SQL complement — proving merge-on-read and copy-on-write produce
+    the same logical table."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_dv_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    step = max(1, hi // 4)
+    for lo in range(0, hi, step):
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).coalesce(1)
+        )
+    before = {e["path"] for e in log.snapshot_files()}
+    n_total = log.metadata_count()
+    res = log.delete_where(
+        [("doc_id", ">=", 100), ("doc_id", "<", 200)], use_dv=True
+    )
+    after = log.snapshot_files()
+    assert {e["path"] for e in after} == before, "dv delete must not rewrite"
+    marked = [e for e in after if e.get("dv")]
+    assert sum(e["dv"]["cardinality"] for e in marked) == res["rows_deleted"]
+    assert log.metadata_count() == n_total - res["rows_deleted"]
+    return log.read()

@@ -106,18 +106,24 @@ class _LocalManifests:
 
     def adds_between(
         self, start_v: int, end_v: int, ignore_changes: bool = False
-    ) -> list[str]:
-        """Rel paths of data-change adds in (start_v, end_v]. A
-        data-change REMOVE in the range (DELETE/MERGE rewrote consumed
-        files) is refused unless ``ignore_changes`` — the rewritten
-        files would re-deliver surviving rows (Delta's ignoreChanges
-        contract; layout-only OPTIMIZE commits stay invisible)."""
+    ) -> list[dict]:
+        """Data-change add ENTRIES (path + optional deletion vector)
+        in (start_v, end_v]. A data-change REMOVE in the range
+        (DELETE/MERGE rewrote consumed files) is refused unless
+        ``ignore_changes`` — the rewritten files would re-deliver
+        surviving rows (Delta's ignoreChanges contract; layout-only
+        OPTIMIZE commits stay invisible)."""
         out = []
         for v in self.versions():
             if start_v < v <= end_v:
                 for a in self.read(v)["actions"]:
                     if a["op"] == "add" and a.get("data_change", True):
-                        out.append(a["path"])
+                        out.append(
+                            {
+                                "path": a["path"],
+                                **({"dv": a["dv"]} if a.get("dv") else {}),
+                            }
+                        )
                     elif (
                         a["op"] == "remove"
                         and a.get("data_change", True)
@@ -135,27 +141,43 @@ class _LocalManifests:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, rel_path: str):
+    def __init__(self, rel_path: str, dv_rel: str | None = None):
         self.rel_path = rel_path
+        self.dv_rel = dv_rel
 
 
 class _ChangePartition(InputPartition):
     """One COMMIT's row-level delta: the data-change adds and removes
     of a single version (both sides must meet in one reader because
-    copy-on-write survivors only cancel when diffed together)."""
+    copy-on-write survivors only cancel when diffed together). Sides
+    are entry dicts (path + optional deletion vector) so dv-only
+    commits diff LOGICAL rows."""
 
-    def __init__(self, version: int, adds: list[str], removes: list[str]):
+    def __init__(self, version: int, adds: list[dict], removes: list[dict]):
         self.version = version
         self.adds = adds
         self.removes = removes
 
 
+def _dv_positions(root: str, dv_rel: str):
+    """Deleted row positions of one data file: its dv sidecar is a
+    parquet dir of ``pos`` values (``_dv/<commit>/__f=<key>/``)."""
+    import pyarrow.parquet as pq
+
+    return set(
+        pq.read_table(os.path.join(root, dv_rel), columns=["pos"])
+        .column("pos")
+        .to_pylist()
+    )
+
+
 def _read_file_batches(
-    root: str, rel_path: str, schema: T.StructType
+    root: str, rel_path: str, schema: T.StructType, dv_rel: str | None = None
 ) -> Iterator:
     """Arrow batches for one data file, with hive partition-dir values
-    re-attached as constant columns and columns ordered per the stored
-    schema."""
+    re-attached as constant columns, the entry's deletion vector
+    applied (row positions masked out), and columns ordered per the
+    stored schema."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -167,6 +189,15 @@ def _read_file_batches(
             k, _, v = seg.partition("=")
             part_vals[k] = v
     table = pq.read_table(os.path.join(root, rel_path))
+    if dv_rel is not None:
+        dead = _dv_positions(root, dv_rel)
+        if dead:
+            table = table.filter(
+                pa.array(
+                    [i not in dead for i in range(table.num_rows)],
+                    type=pa.bool_(),
+                )
+            )
     n = table.num_rows
     cols = []
     for field in arrow_schema:
@@ -251,10 +282,13 @@ def _read_change_batches(
     names = [f.name for f in base_schema.fields]
     arrow_out = to_arrow_schema(schema)
 
-    def rows_of(rels: list[str]) -> Counter:
+    def rows_of(entries: list[dict]) -> Counter:
         c: Counter = Counter()
-        for rel in rels:
-            for batch in _read_file_batches(root, rel, base_schema):
+        for e in entries:
+            dv_rel = (e.get("dv") or {}).get("path")
+            for batch in _read_file_batches(
+                root, e["path"], base_schema, dv_rel
+            ):
                 for row in batch.to_pylist():
                     c[tuple(row[n] for n in names)] += 1
         return c
@@ -342,14 +376,19 @@ class TableLogBatchReader(DataSourceReader):
                 if ok:
                     kept[path] = entry
             files = kept
-        return [_FilePartition(p) for p in sorted(files)] or [
-            _FilePartition("")
-        ]
+        return [
+            _FilePartition(
+                p, ((files[p].get("dv") or {}).get("path"))
+            )
+            for p in sorted(files)
+        ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.rel_path:
             return iter(())
-        return _read_file_batches(self.path, partition.rel_path, self.schema_)
+        return _read_file_batches(
+            self.path, partition.rel_path, self.schema_, partition.dv_rel
+        )
 
 
 class TableLogStreamReader(DataSourceStreamReader):
@@ -373,18 +412,23 @@ class TableLogStreamReader(DataSourceStreamReader):
         return {"version": vs[-1] if vs else self.starting}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        rels = _LocalManifests(self.path).adds_between(
+        entries = _LocalManifests(self.path).adds_between(
             int(start["version"]), int(end["version"]), self.ignore_changes
         )
         # an optimize-only (or empty) range still needs one partition:
         # Spark plans the batch either way, and an empty sequence is
         # rejected by the runner
-        return [_FilePartition(p) for p in rels] or [_FilePartition("")]
+        return [
+            _FilePartition(e["path"], (e.get("dv") or {}).get("path"))
+            for e in entries
+        ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.rel_path:
             return iter(())
-        return _read_file_batches(self.path, partition.rel_path, self.schema_)
+        return _read_file_batches(
+            self.path, partition.rel_path, self.schema_, partition.dv_rel
+        )
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint is the source of truth
@@ -425,13 +469,17 @@ class TableLogCDFStreamReader(DataSourceStreamReader):
             for a in man.read(v)["actions"]:
                 if not a.get("data_change", True):
                     continue
-                (adds if a["op"] == "add" else removes).append(a["path"])
+                entry = {
+                    "path": a["path"],
+                    **({"dv": a["dv"]} if a.get("dv") else {}),
+                }
+                (adds if a["op"] == "add" else removes).append(entry)
             if adds and removes:
                 out.append(_ChangePartition(v, adds, removes))
             elif adds:
-                out.extend(_ChangePartition(v, [p], []) for p in adds)
+                out.extend(_ChangePartition(v, [e], []) for e in adds)
             elif removes:
-                out.extend(_ChangePartition(v, [], [p]) for p in removes)
+                out.extend(_ChangePartition(v, [], [e]) for e in removes)
         return out or [_ChangePartition(-1, [], [])]
 
     def read(self, partition: _ChangePartition):
