@@ -1725,6 +1725,44 @@ class TableLog:
             self._fs.delete(marker, False)
         return gen, cards
 
+    def _mark_entries(
+        self, touched: list[dict], marked: DataFrame
+    ) -> tuple[list[dict], list[dict]]:
+        """Build the (added, removed) action entries that MARK the
+        ``marked`` (``__f`` = file key, ``pos``) rows of ``touched``
+        entries as deleted: each touched file is re-added with a new
+        deletion vector covering its OLD positions ∪ the new marks,
+        and removed with its old dv (so CDF diffs logical rows).
+        Shared by the dv paths of DELETE, UPDATE, and MERGE."""
+        from pyspark.sql import functions as F
+
+        old_dv = self._dv_rows(touched)
+        if old_dv is not None:
+            marked = marked.unionByName(
+                old_dv.select(
+                    F.col("__tl_key").alias("__f"),
+                    F.col("__tl_pos").alias("pos"),
+                )
+            )
+        gen, cards = self._write_dv(marked)
+        added = [
+            {
+                "path": e["path"],
+                "size": e.get("size", 0),
+                **({"stats": e["stats"]} if e.get("stats") else {}),
+                "dv": {
+                    "path": f"{gen}/__f={self._entry_key(e)}",
+                    "cardinality": cards[self._entry_key(e)],
+                },
+            }
+            for e in touched
+        ]
+        removed = [
+            {"path": e["path"], **({"dv": e["dv"]} if e.get("dv") else {})}
+            for e in touched
+        ]
+        return added, removed
+
     def _delete_where_dv(self, where: list[tuple], max_retries: int) -> dict:
         """Merge-on-read DELETE: mark matching rows in per-file
         deletion vectors instead of rewriting the files (Delta's DV
@@ -1760,33 +1798,7 @@ class TableLog:
             n_del = matched.count()
             by_name = {self._entry_key(e): e for e in candidates}
             touched = [by_name[n] for n in sorted(touched_names)]
-            # the new DV per file = old positions ∪ new matches (the
-            # entry's dv REPLACES the old one wholesale)
-            old_dv = self._dv_rows(touched)
-            if old_dv is not None:
-                matched = matched.unionByName(
-                    old_dv.select(
-                        F.col("__tl_key").alias("__f"),
-                        F.col("__tl_pos").alias("pos"),
-                    )
-                )
-            gen, cards = self._write_dv(matched)
-            added = [
-                {
-                    "path": e["path"],
-                    "size": e.get("size", 0),
-                    **({"stats": e["stats"]} if e.get("stats") else {}),
-                    "dv": {
-                        "path": f"{gen}/__f={self._entry_key(e)}",
-                        "cardinality": cards[self._entry_key(e)],
-                    },
-                }
-                for e in touched
-            ]
-            removed = [
-                {"path": e["path"], **({"dv": e["dv"]} if e.get("dv") else {})}
-                for e in touched
-            ]
+            added, removed = self._mark_entries(touched, matched)
             try:
                 v = self._commit_or_rebase(
                     base,
@@ -1908,7 +1920,11 @@ class TableLog:
         ) from last_exc
 
     def update_where(
-        self, where: list[tuple], set_exprs: dict[str, str], max_retries: int = 10
+        self,
+        where: list[tuple],
+        set_exprs: dict[str, str],
+        max_retries: int = 10,
+        use_dv: bool = False,
     ) -> dict:
         """UPDATE ... SET: rows matching the conjunction get each
         ``set_exprs`` column replaced by its SQL expression (evaluated
@@ -1920,7 +1936,13 @@ class TableLog:
         files are rewritten — an update hitting one key rewrites one
         file, never the table. Expressions may not assign partition
         columns (that is a row MOVE between hive dirs — use
-        delete+append) and must preserve the column's type."""
+        delete+append) and must preserve the column's type.
+
+        ``use_dv=True`` switches to merge-on-read: the matched rows'
+        pre-images are MARKED in deletion vectors and only the
+        post-image rows are appended as a new file — write cost ∝
+        updated rows, not touched-file bytes. CDF semantics are
+        identical (delete pre-image + insert post-image)."""
         from pyspark.sql import functions as F
 
         if not where:
@@ -1961,46 +1983,78 @@ class TableLog:
             if not touched_entries:
                 return {"version": base, "files_rewritten": 0, "rows_updated": 0}
             touched = [e["path"] for e in touched_entries]
-            tdf = self._scan_entries(touched_entries, sch)
-            n_match = tdf.filter(pred).count()
             hit = F.coalesce(pred, F.lit(False))
-            # one select over the old row: every assignment sees the
-            # PRE-update values even when one SET column feeds another
-            new_rows = tdf.select(
-                *[
-                    F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
-                    if c in set_exprs
-                    else F.col(c)
-                    for c in cols
+
+            def post_image(src: DataFrame, all_hit: bool) -> DataFrame:
+                # one select over the old row: every assignment sees
+                # the PRE-update values even when one SET column feeds
+                # another
+                cond = F.lit(True) if all_hit else hit
+                out = src.select(
+                    *[
+                        F.when(cond, F.expr(set_exprs[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in set_exprs
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+                for c in set_exprs:
+                    want = sch[c].dataType
+                    if out.schema[c].dataType != want:
+                        out = out.withColumn(c, F.col(c).cast(want))
+                return out
+
+            if use_dv:
+                matched_meta = cdf.filter(hit).filter(
+                    F.col("__tl_key").isin(list(touched_names))
+                )
+                n_match = matched_meta.count()
+                marked = matched_meta.select(
+                    F.col("__tl_key").alias("__f"),
+                    F.col("__tl_pos").alias("pos"),
+                )
+                new_rows = post_image(
+                    matched_meta.drop("__tl_key", "__tl_pos"), all_hit=True
+                )
+                dv_added, removed = self._mark_entries(
+                    touched_entries, marked
+                )
+                added = dv_added + self._write_rewrite(
+                    new_rows, self._partition_cols(touched)
+                )
+            else:
+                tdf = self._scan_entries(touched_entries, sch)
+                n_match = tdf.filter(pred).count()
+                new_rows = post_image(tdf, all_hit=False)
+                added = self._write_rewrite(
+                    new_rows, self._partition_cols(touched)
+                )
+                removed = [
+                    {
+                        "path": e["path"],
+                        **({"dv": e["dv"]} if e.get("dv") else {}),
+                    }
+                    for e in touched_entries
                 ]
-            )
-            for c in set_exprs:
-                want = sch[c].dataType
-                got = new_rows.schema[c].dataType
-                if got != want:
-                    new_rows = new_rows.withColumn(c, F.col(c).cast(want))
-            added = self._write_rewrite(new_rows, self._partition_cols(touched))
             try:
                 v = self._commit_or_rebase(
                     base,
                     added=added,
-                    removed=[
-                        {
-                            "path": e["path"],
-                            **({"dv": e["dv"]} if e.get("dv") else {}),
-                        }
-                        for e in touched_entries
-                    ],
+                    removed=removed,
                     data_change=True,
                     operation="UPDATE",
                     op_metrics={
-                        "num_rewritten_files": len(touched),
+                        ("num_dv_files" if use_dv else "num_rewritten_files"):
+                            len(touched),
                         "num_updated_rows": int(n_match),
                     },
                 )
                 return {
                     "version": v,
-                    "files_rewritten": len(touched),
+                    "files_rewritten": 0 if use_dv else len(touched),
+                    "files_marked": len(touched) if use_dv else 0,
                     "rows_updated": int(n_match),
                 }
             except CommitConflict as e:
@@ -2146,6 +2200,7 @@ class TableLog:
         when_matched: str = "update",
         when_not_matched: str | None = "insert",
         max_retries: int = 10,
+        use_dv: bool = False,
     ) -> dict:
         """MERGE (upsert): source rows matching a target row on the
         key replace it (``when_matched='update'``, full-row) or delete
@@ -2158,7 +2213,12 @@ class TableLog:
         ``MERGE`` cardinality rule). Source columns must equal the
         table schema (full-row semantics keep the operation
         oracle-checkable; partial-column update is a projection the
-        caller can build)."""
+        caller can build).
+
+        ``use_dv=True`` switches to merge-on-read: matched target
+        rows are MARKED in deletion vectors and only the replacement
+        + insert rows append as a new file — an upsert's write cost
+        tracks the source size, not the touched files' bytes."""
         from pyspark.sql import functions as F
 
         if when_matched not in ("update", "delete"):
@@ -2236,47 +2296,80 @@ class TableLog:
             # any source row matching the target matches inside a
             # touched file by construction, so the anti-joins below
             # only ever need tdf, never the full table
-            survivors = tdf.join(src.select(*on), on=on, how="left_anti")
             matched_src = src.join(
                 tdf.select(*on), on=on, how="leftsemi"
             )
-            pieces = [survivors.select(*cols)]
             n_upd = n_del = 0
             if when_matched == "update":
                 n_upd = matched_src.count()
-                pieces.append(matched_src.select(*cols))
             else:
                 n_del = matched_src.count()
             n_ins = 0
+            inserts = None
             if when_not_matched == "insert":
                 inserts = src.join(tdf.select(*on), on=on, how="left_anti")
                 n_ins = inserts.count()
-                pieces.append(inserts.select(*cols))
-            new_data = pieces[0]
-            for p in pieces[1:]:
-                new_data = new_data.unionByName(p)
             if not touched and n_ins == 0:
                 return {"version": base, "files_rewritten": 0,
                         "rows_updated": 0, "rows_inserted": 0,
                         "rows_deleted": 0}
-            added = self._write_rewrite(
-                new_data, self._partition_cols([e["path"] for e in entries])
-            )
+            pcols = self._partition_cols([e["path"] for e in entries])
+            if use_dv:
+                # mark every matched target row; append only the
+                # replacement rows (update) and the inserts
+                marked = (
+                    tdf_all.join(src.select(*on), on=on, how="leftsemi")
+                    .select(
+                        F.col("__tl_key").alias("__f"),
+                        F.col("__tl_pos").alias("pos"),
+                    )
+                )
+                dv_added, removed = (
+                    self._mark_entries(touched_entries, marked)
+                    if touched_entries
+                    else ([], [])
+                )
+                pieces = []
+                if when_matched == "update":
+                    pieces.append(matched_src.select(*cols))
+                if inserts is not None:
+                    pieces.append(inserts.select(*cols))
+                added = list(dv_added)
+                if pieces:
+                    new_data = pieces[0]
+                    for p in pieces[1:]:
+                        new_data = new_data.unionByName(p)
+                    added += self._write_rewrite(new_data, pcols)
+            else:
+                survivors = tdf.join(
+                    src.select(*on), on=on, how="left_anti"
+                )
+                pieces = [survivors.select(*cols)]
+                if when_matched == "update":
+                    pieces.append(matched_src.select(*cols))
+                if inserts is not None:
+                    pieces.append(inserts.select(*cols))
+                new_data = pieces[0]
+                for p in pieces[1:]:
+                    new_data = new_data.unionByName(p)
+                added = self._write_rewrite(new_data, pcols)
+                removed = [
+                    {
+                        "path": e["path"],
+                        **({"dv": e["dv"]} if e.get("dv") else {}),
+                    }
+                    for e in touched_entries
+                ]
             try:
                 v = self._commit_or_rebase(
                     base,
                     added=added,
-                    removed=[
-                        {
-                            "path": e["path"],
-                            **({"dv": e["dv"]} if e.get("dv") else {}),
-                        }
-                        for e in touched_entries
-                    ],
+                    removed=removed,
                     data_change=True,
                     operation="MERGE",
                     op_metrics={
-                        "num_rewritten_files": len(touched),
+                        ("num_dv_files" if use_dv else "num_rewritten_files"):
+                            len(touched),
                         "num_updated_rows": int(n_upd),
                         "num_inserted_rows": int(n_ins),
                         "num_deleted_rows": int(n_del),
@@ -2284,7 +2377,8 @@ class TableLog:
                 )
                 return {
                     "version": v,
-                    "files_rewritten": len(touched),
+                    "files_rewritten": 0 if use_dv else len(touched),
+                    "files_marked": len(touched) if use_dv else 0,
                     "rows_updated": int(n_upd),
                     "rows_inserted": int(n_ins),
                     "rows_deleted": int(n_del),

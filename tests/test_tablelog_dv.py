@@ -248,3 +248,90 @@ def test_native_cdf_stream_emits_dv_deletes(spark, tmp_path):
     assert sorted(r.id for r in dels.collect()) == list(range(30))
     ins = got.filter(F.col("_change_type") == "insert")
     assert ins.count() == 100  # the original append
+
+
+# ---------- dv-mode UPDATE and MERGE ----------
+
+
+def test_dv_update_marks_and_appends(spark, tmp_path):
+    log = _ranged(spark, str(tmp_path / "du"))
+    before = {e["path"] for e in log.snapshot_files()}
+    res = log.update_where(
+        [("id", ">=", 60), ("id", "<", 80)], {"v": "v + 100"}, use_dv=True
+    )
+    assert res["rows_updated"] == 20
+    assert res["files_rewritten"] == 0 and res["files_marked"] == 1
+    after = log.snapshot_files()
+    # original files all survive; ONE new (post-image) file appended
+    assert before <= {e["path"] for e in after}
+    assert len(after) == len(before) + 1
+    got = log.read()
+    assert got.count() == 300
+    assert got.filter(F.col("v") >= 100).count() == 20
+    assert _rows(got.filter((F.col("id") >= 60) & (F.col("id") < 80))) == [
+        (i, i % 7 + 100) for i in range(60, 80)
+    ]
+    # untouched rows keep original values
+    assert got.filter((F.col("id") < 60) & (F.col("v") >= 100)).count() == 0
+
+
+def test_dv_update_simultaneous_assignment(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "dsw"))
+    log.append(
+        spark.range(4).select(
+            "id", F.col("id").alias("a"), (F.col("id") * 10).alias("b")
+        ).coalesce(1)
+    )
+    log.update_where([("id", ">=", 2)], {"a": "b", "b": "a"}, use_dv=True)
+    rows = {r.id: (r.a, r.b) for r in log.read().collect()}
+    assert rows == {0: (0, 0), 1: (1, 10), 2: (20, 2), 3: (30, 3)}
+
+
+def test_dv_update_cdf_pre_and_post_images(spark, tmp_path):
+    log = _ranged(spark, str(tmp_path / "ducdf"), n_appends=1)
+    v0 = log.latest_version()
+    log.update_where([("id", "=", 5)], {"v": "42"}, use_dv=True)
+    ch = log.read_changes(v0)
+    got = sorted((r["_change_type"], r.id, r.v) for r in ch.collect())
+    assert got == [("delete", 5, 5 % 7), ("insert", 5, 42)]
+
+
+def test_dv_merge_upsert(spark, tmp_path):
+    log = _ranged(spark, str(tmp_path / "dm"), n_appends=2)
+    before = {e["path"] for e in log.snapshot_files()}
+    src = spark.createDataFrame(
+        [(50, 500), (150, 501), (999, 502)], "id long, v long"
+    )
+    res = log.merge_into(src, on=["id"], use_dv=True)
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 1
+    assert res["files_rewritten"] == 0 and res["files_marked"] == 2
+    assert before <= {e["path"] for e in log.snapshot_files()}
+    got = log.read()
+    assert got.count() == 201
+    assert {r.v for r in got.filter(F.col("id").isin(50, 150, 999)).collect()} == {
+        500, 501, 502
+    }
+
+
+def test_dv_merge_delete_mode(spark, tmp_path):
+    log = _ranged(spark, str(tmp_path / "dmd"), n_appends=1)
+    src = spark.createDataFrame(
+        [(10, 0), (20, 0)], "id long, v long"
+    )
+    res = log.merge_into(
+        src, on=["id"], when_matched="delete", when_not_matched=None,
+        use_dv=True,
+    )
+    assert res["rows_deleted"] == 2 and res["files_marked"] == 1
+    got = log.read()
+    assert got.count() == 98
+    assert got.filter(F.col("id").isin(10, 20)).count() == 0
+
+
+def test_dv_update_then_optimize_purges(spark, tmp_path):
+    log = _ranged(spark, str(tmp_path / "dup"), n_appends=1)
+    log.update_where([("id", "<", 10)], {"v": "v + 50"}, use_dv=True)
+    rows_before = _rows(log.read())
+    log.optimize(min_files=1, small_file_bytes=1 << 30)
+    assert not any(e.get("dv") for e in log.snapshot_files())
+    assert _rows(log.read()) == rows_before
