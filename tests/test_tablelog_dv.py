@@ -335,3 +335,62 @@ def test_dv_update_then_optimize_purges(spark, tmp_path):
     log.optimize(min_files=1, small_file_bytes=1 << 30)
     assert not any(e.get("dv") for e in log.snapshot_files())
     assert _rows(log.read()) == rows_before
+
+
+# ---------- dv concurrency: lost races must re-derive ----------
+
+
+class _RacingDvLog(TableLog):
+    """Injects a concurrent commit in the dv lost-update window: after
+    this operation staged its deletion vectors, before its commit. A
+    blind rebase would commit a dv that REPLACES the winner's —
+    resurrecting the winner's deleted rows."""
+
+    def __init__(self, spark, path, race):
+        super().__init__(spark, path)
+        self._race = race
+        self.dv_writes = 0
+
+    def _write_dv(self, matched):
+        out = super()._write_dv(matched)
+        self.dv_writes += 1
+        if self._race is not None:
+            race, self._race = self._race, None
+            race()
+        return out
+
+
+def test_dv_delete_rederives_across_concurrent_dv_delete(spark, tmp_path):
+    path = str(tmp_path / "dvrace")
+    _ranged(spark, path, n_appends=1)
+    other = TableLog(spark, path)
+    log = _RacingDvLog(
+        spark,
+        path,
+        race=lambda: other.delete_where([("v", "=", 1)], use_dv=True),
+    )
+    res = log.delete_where([("v", "=", 2)], use_dv=True)
+    assert res["rows_deleted"] == 14  # ids ≡2 (mod 7) in [0,100)
+    assert log.dv_writes == 2  # the re-derive actually happened
+    df = log.read()
+    # BOTH deletes hold — the loser's re-derived dv unions the
+    # winner's positions instead of replacing them
+    assert df.filter("v = 1").count() == 0
+    assert df.filter("v = 2").count() == 0
+    assert df.count() == 100 - 15 - 14  # v=1 kills 15, v=2 kills 14
+    card = log.snapshot_files()[0]["dv"]["cardinality"]
+    assert card == 29
+
+
+def test_dv_delete_rederives_across_concurrent_optimize(spark, tmp_path):
+    path = str(tmp_path / "dvrace2")
+    _ranged(spark, path, n_appends=4, rows_per=25)
+    other = TableLog(spark, path)
+    log = _RacingDvLog(
+        spark, path, race=lambda: other.optimize(min_files=1)
+    )
+    res = log.delete_where([("v", "=", 3)], use_dv=True)
+    assert res["rows_deleted"] == 14  # ids ≡3 (mod 7) in [0,100)
+    df = log.read()
+    assert df.filter("v = 3").count() == 0
+    assert df.count() == 86 and df.select("id").distinct().count() == 86
