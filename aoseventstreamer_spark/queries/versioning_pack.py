@@ -397,3 +397,69 @@ def q_tablelog_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sum(e["dv"]["cardinality"] for e in marked) == res["rows_deleted"]
     assert log.metadata_count() == n_total - res["rows_deleted"]
     return log.read()
+
+
+@query(
+    "q_tablelog_meta_agg",
+    oracle="""
+    WITH live AS (
+      SELECT doc_id FROM documents
+      WHERE NOT (doc_id >= 150 AND doc_id < 200)
+    )
+    SELECT 'total' AS k, CAST(COUNT(*) AS BIGINT) AS n FROM live
+    UNION ALL
+    SELECT 'lt_100', COUNT(*) FROM live WHERE doc_id < 100
+    UNION ALL
+    SELECT 'ge_100', COUNT(*) FROM live WHERE doc_id >= 100
+    UNION ALL
+    SELECT 'ge_300', COUNT(*) FROM live WHERE doc_id >= 300
+    """,
+)
+def q_tablelog_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*) (tablelog.metadata_count): the corpus
+    lands in four FIXED range slices ([0,100) [100,200) [200,300)
+    [300,∞)), a deletion-vector delete marks [150,200), and every
+    count below — total, a pruned-to-one-slice predicate, an
+    all-match predicate over the dv'd slice, a tail predicate — is
+    answered from MANIFEST STATS ALONE (asserted: metadata_count
+    returned non-None, i.e. every file classified all/none with dv
+    cardinality subtracted; a None would mean a scan was needed).
+    Hash-exact against DuckDB computing the same counts relationally
+    — proving the no-scan answers are the scan answers."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+    from pyspark.sql import types as T
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_meta_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    for lo, up in [(0, 100), (100, 200), (200, 300), (300, hi)]:
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            ).coalesce(1)
+        )
+    log.delete_where(
+        [("doc_id", ">=", 150), ("doc_id", "<", 200)], use_dv=True
+    )
+    probes = {
+        "total": None,
+        "lt_100": [("doc_id", "<", 100)],
+        "ge_100": [("doc_id", ">=", 100)],
+        "ge_300": [("doc_id", ">=", 300)],
+    }
+    rows = []
+    for k, where in probes.items():
+        n = log.metadata_count(where=where)
+        assert n is not None, f"{k} must be provable from stats"
+        rows.append((k, n))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("n", T.LongType(), False),
+            ]
+        ),
+    )
