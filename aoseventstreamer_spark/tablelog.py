@@ -1008,6 +1008,27 @@ class TableLog:
                 "pass merge_schema=True to ADD columns"
             )
 
+        def check_layout() -> None:
+            """Refuse an append whose hive layout differs from the
+            live table's: mixing partition-dir depths under one
+            basePath makes Spark's partition discovery silently DROP
+            rows on read (probed: a flat append onto a p=-partitioned
+            table read back 10 of 20 rows — not even an error).
+            An empty live set accepts any layout; ``overwrite``
+            replaces every file so it may change the layout freely."""
+            live = self.snapshot_files()
+            if not live:
+                return
+            existing = self._partition_cols([e["path"] for e in live])
+            if existing != list(partition_by or []):
+                raise ValueError(
+                    f"append partition_by={list(partition_by or [])} does "
+                    f"not match the table's live layout {existing}; mixed "
+                    "hive depths silently lose rows on read — use "
+                    "overwrite() to change the partitioning"
+                )
+
+        check_layout()
         new_schema = derive_schema()  # validate BEFORE the parquet job
         rel = self._stage_dir()
         w = df.write.mode("overwrite")
@@ -1027,6 +1048,7 @@ class TableLog:
                 # them) — VACUUM sweeps them
                 return self.latest_version()
             base = self.latest_version()
+            check_layout()  # a racing first-append may have set one
             new_schema = derive_schema()  # re-merge against the head
             try:
                 # the CAS is pinned so a concurrent attempt of the SAME

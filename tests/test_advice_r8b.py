@@ -177,3 +177,35 @@ def test_append_schema_mismatch_still_refused(spark, tmp_path):
         log.append(
             spark.range(3).select("id", F.lit(1).alias("extra")).coalesce(1)
         )
+
+
+# ---------- 4. mixed hive layouts are refused, not silently lossy ----------
+
+
+def test_mixed_partition_layout_append_refused(spark, tmp_path):
+    """Probed failure mode: a flat append onto a p=-partitioned table
+    does not error on read — partition discovery under basePath
+    silently DROPS rows (10 of 20 came back). The append must refuse
+    up front."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    d = str(tmp_path / "t")
+    log = TableLog(spark, d)
+    df = spark.range(10).select("id", (F.col("id") % 2).alias("p"))
+    log.append(df, partition_by=["p"])
+    with pytest.raises(ValueError, match="live layout"):
+        log.append(df)  # flat onto partitioned
+    with pytest.raises(ValueError, match="live layout"):
+        log.append(df, partition_by=["id"])  # different key
+    log.append(df.withColumn("id", F.col("id") + 10), partition_by=["p"])
+    assert log.read().count() == 20
+    # the reverse direction: partitioned onto flat
+    log2 = TableLog(spark, str(tmp_path / "t2"))
+    log2.append(df)
+    with pytest.raises(ValueError, match="live layout"):
+        log2.append(df, partition_by=["p"])
+    # overwrite may change the layout (it replaces every live file)
+    log2.overwrite(df, partition_by=["p"])
+    assert log2.read().count() == 10
+    log2.append(df.withColumn("id", F.col("id") + 50), partition_by=["p"])
+    assert log2.read().count() == 20
