@@ -580,10 +580,18 @@ class TableLog:
         stored schema doc, the idempotent-writer txn map, and the
         constraint map. Bounded backward walk via ``replay_from``
         (checkpoint manifests re-embed schema, txns AND constraints,
-        so the walk is bounded for all four)."""
-        return replay_from(
-            self._list_versions(), self._read_manifest, version
-        )
+        so the walk is bounded for all four). A version BELOW the
+        retained log (expire_manifests gave up that history) is
+        refused loudly — replaying it would silently yield an empty
+        table."""
+        vs = self._list_versions()
+        if vs and 0 < version < vs[0]:
+            raise ValueError(
+                f"version {version} predates the retained log (oldest "
+                f"manifest is {vs[0]}; expire_manifests removed older "
+                "history)"
+            )
+        return replay_from(vs, self._read_manifest, version)
 
     def snapshot_files(self, version: int | None = None) -> list[dict]:
         v = self.latest_version() if version is None else version
@@ -1428,6 +1436,12 @@ class TableLog:
         from pyspark.sql import functions as F
 
         to = self.latest_version() if to_version is None else to_version
+        vs = self._list_versions()
+        if vs and from_version + 1 < vs[0]:
+            raise ValueError(
+                f"change feed from version {from_version} predates the "
+                f"retained log (oldest manifest is {vs[0]})"
+            )
         sch = self.schema(to)
         if sch is None:
             raise ValueError(f"table {self.path} has no commits")
@@ -2597,6 +2611,42 @@ class TableLog:
         raise CommitConflict(
             f"drop_constraint lost the commit race {max_retries} times"
         ) from last_exc
+
+    def expire_manifests(self, retain_versions: int = 100) -> list[int]:
+        """Log retention (Delta's logRetentionDuration analogue, by
+        version count): delete manifests OLDER than the newest
+        checkpoint manifest at or below ``latest - retain_versions +
+        1``. Checkpoint manifests embed the full live set / schema /
+        txn map / constraints, so every surviving version still
+        replays from the surviving prefix — reads, time travel, and
+        stream positions WITHIN the retained window are unaffected;
+        time travel past it raises a missing-manifest error (give up
+        history, not correctness). Nothing is deleted when no
+        checkpoint exists at or below the cutoff. Returns the expired
+        version numbers.
+
+        Ordering note: run BEFORE vacuum when shrinking retention —
+        vacuum's keep-set walks the retained snapshots, so expired
+        history's exclusive files become sweepable on the next
+        vacuum."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        vs = self._list_versions()
+        if not vs:
+            return []
+        cutoff = vs[-1] - retain_versions + 1
+        anchor = None  # newest checkpoint <= cutoff
+        for v in vs:
+            if v > cutoff:
+                break
+            if self._read_manifest(v).get("full") is not None:
+                anchor = v
+        if anchor is None:
+            return []
+        expired = [v for v in vs if v < anchor]
+        for v in expired:
+            self._fs.delete(self._manifest_path(v), False)
+        return expired
 
     def vacuum(
         self, retain_versions: int = 1, min_age_seconds: float = 0.0

@@ -114,3 +114,50 @@ def test_all_match_startswith_prefix_rule():
     assert not _file_all_match(stats, "s", "startswith", "proj.a")
     stats["null_count"]["s"] = 1
     assert not _file_all_match(stats, "s", "startswith", "proj.")
+
+
+# ---------- manifest log retention ----------
+
+
+def test_expire_manifests_keeps_replayable_window(spark, tmp_path):
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log = TableLog(spark, str(tmp_path / "exp"), checkpoint_interval=10)
+    for i in range(25):
+        log.append(spark.range(i * 10, (i + 1) * 10).coalesce(1))
+    head = log.latest_version()
+    assert head == 25
+    expired = log.expire_manifests(retain_versions=5)
+    # newest checkpoint <= 21 is version 20; everything below goes
+    assert expired == list(range(1, 20))
+    assert log._list_versions()[0] == 20
+    # head reads and retained time travel replay from the checkpoint
+    assert log.read().count() == 250
+    assert log.read(version=21).count() == 210
+    assert log.read(version=20).count() == 200
+    # expired history fails LOUDLY, never an empty table
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="retained log"):
+        log.read(version=5)
+    with _pytest.raises(ValueError, match="retained log"):
+        log.restore(5)
+    with _pytest.raises(ValueError, match="retained log"):
+        log.read_changes(3)
+    # read_changes within the window still works
+    assert log.read_changes(20).count() == 50
+    # appends keep working and the next expiry advances the anchor
+    log.append(spark.range(1000, 1010).coalesce(1))
+    assert log.read().count() == 260
+
+
+def test_expire_manifests_noop_without_checkpoint_below_cutoff(spark, tmp_path):
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log = TableLog(spark, str(tmp_path / "exp2"), checkpoint_interval=10)
+    for i in range(5):
+        log.append(spark.range(i * 10, (i + 1) * 10).coalesce(1))
+    # no checkpoint exists at or below the cutoff: nothing deleted
+    assert log.expire_manifests(retain_versions=2) == []
+    assert log._list_versions()[0] == 1
+    assert log.read(version=1).count() == 10
