@@ -394,3 +394,21 @@ def test_dv_delete_rederives_across_concurrent_optimize(spark, tmp_path):
     df = log.read()
     assert df.filter("v = 3").count() == 0
     assert df.count() == 86 and df.select("id").distinct().count() == 86
+
+
+def test_dv_purge_on_partitioned_table(spark, tmp_path):
+    """OPTIMIZE must apply + purge dvs inside hive partition groups,
+    preserving the layout."""
+    log = TableLog(spark, str(tmp_path / "pp"))
+    df = spark.range(200).select(
+        "id", (F.col("id") % 2).alias("p"), (F.col("id") % 7).alias("v")
+    )
+    log.append(df, partition_by=["p"])
+    log.delete_where([("v", "=", 4)], use_dv=True)
+    rows_before = _rows(log.read().select("id", "p", "v"))
+    assert len(rows_before) == 200 - 28
+    log.optimize(min_files=1, small_file_bytes=1 << 30)
+    after = log.snapshot_files()
+    assert not any(e.get("dv") for e in after)
+    assert all("p=" in e["path"] for e in after)  # layout preserved
+    assert _rows(log.read().select("id", "p", "v")) == rows_before
