@@ -104,6 +104,17 @@ class _LocalManifests:
             )
         return T.StructType.fromJson(doc)
 
+    def version_at(self, timestamp_ms: int) -> int:
+        """Newest version committed at or before ``timestamp_ms``
+        (commit timestamps are monotone under the commit lock)."""
+        best = 0
+        for v in self.versions():
+            if self.read(v).get("timestamp_ms", 0) <= timestamp_ms:
+                best = v
+            else:
+                break
+        return best
+
     def adds_between(
         self, start_v: int, end_v: int, ignore_changes: bool = False
     ) -> list[dict]:
@@ -527,6 +538,22 @@ class TableLogDataSource(DataSource):
                 "use tablelog.TableLog.read_changes(from, to)"
             )
         v = self.options.get("snapshotversion")
+        ts = self.options.get("timestampasof")
+        if v is not None and ts is not None:
+            raise ValueError("pass snapshotVersion OR timestampAsOf")
+        if ts is not None:
+            # epoch millis, or a local "YYYY-MM-DD[ HH:MM:SS]" string
+            import datetime
+
+            try:
+                ts_ms = int(ts)
+            except ValueError:
+                s = str(ts).strip()
+                fmt = "%Y-%m-%d %H:%M:%S" if " " in s else "%Y-%m-%d"
+                ts_ms = int(
+                    datetime.datetime.strptime(s, fmt).timestamp() * 1000
+                )
+            v = _LocalManifests(self._path()).version_at(ts_ms)
         return TableLogBatchReader(
             self._path(), schema, int(v) if v is not None else None
         )

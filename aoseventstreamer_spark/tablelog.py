@@ -2936,3 +2936,61 @@ def apply_count_delta(
             )
         )
     return merged.filter(F.col(count_col) != 0)
+
+
+def apply_agg_delta(
+    state: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+) -> DataFrame:
+    """``apply_count_delta`` generalized to keyed COUNT + SUMs: fold
+    one CDF batch into running ``keys → (count, Σcol…)`` state —
+    inserts add, deletes subtract, an UPDATE's delete+insert pair nets
+    the value difference. ``sum_cols`` maps source column → state
+    column. NULL summands contribute 0 (the incremental form of SQL
+    SUM's null-skipping; a group whose values are all NULL therefore
+    carries 0, not NULL — use the count to distinguish). Keys whose
+    count reaches zero drop out. Same scale shape as the count
+    version: one partial-agg shuffle over the BATCH plus an outer
+    join against the state — never a base-table rescan. Equivalence
+    to a fresh groupBy agg across append/DELETE/UPDATE is asserted in
+    tests/test_tablelog_txn.py."""
+    from pyspark.sql import functions as F
+
+    sign = (
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    aggs = [F.sum(sign).alias("__dn")] + [
+        F.sum(sign * F.coalesce(F.col(src), F.lit(0))).alias(f"__d_{dst}")
+        for src, dst in sum_cols.items()
+    ]
+    delta = changes.groupBy(*keys).agg(*aggs)
+    if state is None:
+        merged = delta.select(
+            *keys,
+            F.col("__dn").alias(count_col),
+            *[
+                F.col(f"__d_{dst}").alias(dst)
+                for dst in sum_cols.values()
+            ],
+        )
+    else:
+        merged = state.join(delta, on=keys, how="full_outer").select(
+            *keys,
+            (
+                F.coalesce(F.col(count_col), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+            ).alias(count_col),
+            *[
+                (
+                    F.coalesce(F.col(dst), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{dst}"), F.lit(0))
+                ).alias(dst)
+                for dst in sum_cols.values()
+            ],
+        )
+    return merged.filter(F.col(count_col) != 0)

@@ -360,3 +360,26 @@ def test_plain_tail_error_mentions_cdf(registered, tmp_path):
     with pytest.raises(Exception, match="readChangeFeed"):
         q.awaitTermination(120)
         raise RuntimeError(q.exception() or "stream succeeded unexpectedly")
+
+
+def test_batch_read_timestamp_as_of(registered, tmp_path):
+    import time as _t
+
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "ts"))
+    log.append(spark.range(10).coalesce(1))
+    _t.sleep(0.05)
+    t_mid = int(_t.time() * 1000)
+    _t.sleep(0.05)
+    log.append(spark.range(10, 30).coalesce(1))
+    got = (
+        spark.read.format("tablelog")
+        .option("timestampAsOf", str(t_mid))
+        .load(log.path)
+    )
+    assert got.count() == 10
+    assert spark.read.format("tablelog").load(log.path).count() == 30
+    with pytest.raises(Exception, match="snapshotVersion OR timestampAsOf"):
+        spark.read.format("tablelog").option(
+            "timestampAsOf", str(t_mid)
+        ).option("snapshotVersion", "1").load(log.path).count()

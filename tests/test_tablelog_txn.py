@@ -460,3 +460,51 @@ def test_history_labels_every_write_path(spark, tmp_path):
     assert by_op["STREAMING UPDATE"].txn_app == "job"
     assert by_op["STREAMING UPDATE"].txn_version == 0
     assert log.history(limit=2).count() == 2
+
+
+def test_incremental_sum_view_tracks_batch_groupby(spark, tmp_path):
+    """apply_agg_delta (COUNT + SUM) folded over the CDF tail equals a
+    fresh groupBy agg after append / dv-DELETE / dv-UPDATE — the
+    update's delete+insert pair must net the value difference
+    exactly."""
+    from aoseventstreamer_spark.tablelog import apply_agg_delta
+
+    log = TableLog(spark, str(tmp_path / "sv"))
+    stream = TableLogChangeStream(spark, log.path, str(tmp_path / "sv_ckpt"))
+    state = None
+
+    def fold():
+        nonlocal state
+
+        def deliver(frm, to, df):
+            nonlocal state
+            state = apply_agg_delta(state, df, ["v"], {"amt": "amt_sum"})
+            state = spark.createDataFrame(state.collect(), state.schema)
+
+        stream.run_once(deliver)
+        want = _rows(
+            log.read()
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("amt"), F.lit(0)).alias("amt_sum"),
+            )
+        )
+        got = _rows(state) if state is not None else []
+        assert got == want, f"state diverged: {got} != {want}"
+
+    log.append(
+        spark.range(100)
+        .select(
+            "id", (F.col("id") % 5).alias("v"), (F.col("id") * 3).alias("amt")
+        )
+        .coalesce(1)
+    )
+    fold()
+    log.delete_where([("id", "<", 30)], use_dv=True)
+    fold()
+    log.update_where([("id", ">=", 80)], {"amt": "amt + 1000"}, use_dv=True)
+    fold()
+    log.delete_where([("v", "=", 2)], use_dv=True)
+    fold()
+    assert state.filter(F.col("n") <= 0).count() == 0
