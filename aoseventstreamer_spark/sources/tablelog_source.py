@@ -93,6 +93,14 @@ class _LocalManifests:
     def state(self, version: int | None = None):
         vs = self.versions()
         v = vs[-1] if version is None and vs else (version or 0)
+        if vs and 0 < v < vs[0]:
+            # below the retained log (expire_manifests): replaying
+            # would silently yield an empty table — fail loudly, the
+            # same contract as TableLog._replay
+            raise ValueError(
+                f"version {v} predates the retained log (oldest "
+                f"manifest is {vs[0]})"
+            )
         files, schema_doc, _txns, _cons = replay_from(vs, self.read, v)
         return files, schema_doc
 

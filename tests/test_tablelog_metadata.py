@@ -161,3 +161,32 @@ def test_expire_manifests_noop_without_checkpoint_below_cutoff(spark, tmp_path):
     assert log.expire_manifests(retain_versions=2) == []
     assert log._list_versions()[0] == 1
     assert log.read(version=1).count() == 10
+
+
+def test_native_source_refuses_expired_snapshot(spark, tmp_path):
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    register_tablelog_source(spark)
+    log = TableLog(spark, str(tmp_path / "nsx"), checkpoint_interval=5)
+    for i in range(12):
+        log.append(spark.range(i * 10, (i + 1) * 10).coalesce(1))
+    log.expire_manifests(retain_versions=3)
+    assert log._list_versions()[0] == 10
+    native = (
+        spark.read.format("tablelog")
+        .option("snapshotVersion", "4")
+        .load(log.path)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="retained log"):
+        native.count()
+    ok = (
+        spark.read.format("tablelog")
+        .option("snapshotVersion", "10")
+        .load(log.path)
+    )
+    assert ok.count() == 100
