@@ -1188,6 +1188,27 @@ class TableLog:
             -1,
         )
 
+    def _entries_for_keys(
+        self, entries: list[dict], keys: set[str] | list[str]
+    ) -> list[dict]:
+        """Resolve scan-derived ``__tl_key`` values back to entries,
+        failing LOUDLY on a mismatch: the scan side derives the key
+        from ``_metadata.file_path`` (``_rel_path_expr``) and the
+        metadata side from the manifest rel path — if a filesystem
+        URI-encodes characters of the table root differently, the two
+        md5s diverge and a silent miss here would mean DML touching
+        the wrong file set."""
+        by_key = {self._entry_key(e): e for e in entries}
+        missing = [k for k in keys if k not in by_key]
+        if missing:
+            raise ValueError(
+                f"{len(missing)} scan-derived file keys did not resolve "
+                f"to manifest entries (first: {missing[0]!r}); the table "
+                f"root {self.path!r} likely contains characters the "
+                "filesystem URI-encodes differently in _metadata.file_path"
+            )
+        return [by_key[k] for k in sorted(keys)]
+
     @staticmethod
     def _entry_key(e: dict) -> str:
         """Table-wide-unique key of a data file: md5 of its rel path.
@@ -1832,8 +1853,7 @@ class TableLog:
             if not touched_names:
                 return {"version": base, "files_marked": 0, "rows_deleted": 0}
             n_del = matched.count()
-            by_name = {self._entry_key(e): e for e in candidates}
-            touched = [by_name[n] for n in sorted(touched_names)]
+            touched = self._entries_for_keys(candidates, touched_names)
             added, removed = self._mark_entries(touched, matched)
             try:
                 v = self._commit_or_rebase(
@@ -1912,10 +1932,9 @@ class TableLog:
                 .distinct()
                 .collect()
             }  # bounded: one row per touched file
-            by_name = {self._entry_key(e): e for e in candidates}
-            touched_entries = [
-                by_name[n] for n in sorted(touched_names)
-            ]
+            touched_entries = self._entries_for_keys(
+                candidates, touched_names
+            )
             if not touched_entries:
                 return {"version": base, "files_rewritten": 0, "rows_deleted": 0}
             touched = [e["path"] for e in touched_entries]
@@ -2014,8 +2033,9 @@ class TableLog:
                 .distinct()
                 .collect()
             }  # bounded: one row per touched file
-            by_name = {self._entry_key(e): e for e in candidates}
-            touched_entries = [by_name[n] for n in sorted(touched_names)]
+            touched_entries = self._entries_for_keys(
+                candidates, touched_names
+            )
             if not touched_entries:
                 return {"version": base, "files_rewritten": 0, "rows_updated": 0}
             touched = [e["path"] for e in touched_entries]
@@ -2189,10 +2209,9 @@ class TableLog:
                     .distinct()
                     .collect()
                 }
-                by_name = {self._entry_key(e): e for e in candidates}
-                touched_entries = [
-                    by_name[n] for n in sorted(touched_names)
-                ]
+                touched_entries = self._entries_for_keys(
+                    candidates, touched_names
+                )
                 touched = [e["path"] for e in touched_entries]
                 if touched_entries:
                     tdf = self._scan_entries(touched_entries, sch)
@@ -2325,8 +2344,7 @@ class TableLog:
                 .distinct()
                 .collect()
             }
-            by_name = {self._entry_key(e): e for e in entries}
-            touched_entries = [by_name[n] for n in sorted(touched_names)]
+            touched_entries = self._entries_for_keys(entries, touched_names)
             touched = [e["path"] for e in touched_entries]
             tdf = self._scan_entries(touched_entries, sch)
             # any source row matching the target matches inside a
