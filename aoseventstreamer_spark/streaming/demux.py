@@ -52,17 +52,31 @@ class DemuxRunner:
         checkpoint: str,
         slice_partitions: int | None = None,
         deliver_concurrency: int | None = None,
+        log_format: str = "parquet",
     ):
-        """``deliver_concurrency`` (default min(16, cpus)) runs the
+        """``log_format='tablelog'`` tails the log through the native
+        snapshot-diff source instead of the parquet FILE source: the
+        checkpoint then carries a snapshot VERSION, not file paths, so
+        compacting (OPTIMIZE) a region the fleet already consumed
+        re-delivers NOTHING on restart — fleet-wide exactly-once
+        across layout maintenance, the same inversion
+        StreamGroupManager(log_format='tablelog') gets per-group.
+
+        ``deliver_concurrency`` (default min(16, cpus)) runs the
         per-group ``deliver`` callbacks CONCURRENTLY across groups
         within a batch — callbacks MUST therefore be thread-safe with
         respect to each other (a single group's own deliveries stay
         strictly ordered across batches; foreachBatch is serial). Pass
         ``deliver_concurrency=1`` for the strict single-threaded,
         registration-order delivery contract."""
+        if log_format not in ("parquet", "tablelog"):
+            raise ValueError(
+                f"log_format must be 'parquet' or 'tablelog', got {log_format!r}"
+            )
         self.spark = spark
         self.events_path = events_path
         self.checkpoint = checkpoint
+        self.log_format = log_format
         # Per-group deliveries within one batch run CONCURRENTLY from a
         # bounded driver pool: each deliver's action is tiny (a pruned
         # slice of the cached batch) but pays a serial py4j+scheduling
@@ -237,11 +251,25 @@ class DemuxRunner:
             finally:
                 matched.unpersist()
 
-        stream = (
-            self.spark.readStream.schema(schemas.ROUTED_EVENTS_SCHEMA)
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .parquet(self.events_path)
-        )
+        if self.log_format == "tablelog":
+            from aoseventstreamer_spark.sources.tablelog_source import (
+                register_tablelog_source,
+            )
+
+            register_tablelog_source(self.spark)
+            # snapshot-diff offsets: OPTIMIZE commits advance the
+            # offset rowlessly, so compaction never re-delivers;
+            # batching follows commit ranges (maxFilesPerTrigger is a
+            # file-source knob and does not apply)
+            stream = self.spark.readStream.format("tablelog").load(
+                self.events_path
+            )
+        else:
+            stream = (
+                self.spark.readStream.schema(schemas.ROUTED_EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", str(max_files_per_trigger))
+                .parquet(self.events_path)
+            )
         return (
             stream.writeStream.foreachBatch(fan_out)
             .option("checkpointLocation", self.checkpoint)

@@ -545,3 +545,54 @@ def test_stream_group_tablelog_exactly_once_across_optimize(spark, tmp_path):
     q = mgr.read_available(group.id, deliver)
     q.awaitTermination(120)
     assert len(delivered) == 15 and len(set(delivered)) == 15
+
+
+def test_demux_tablelog_exactly_once_across_optimize(spark, tmp_path):
+    """DemuxRunner(log_format='tablelog'): the fleet's shared
+    checkpoint carries a snapshot VERSION, so kill -> OPTIMIZE the
+    consumed region -> restart re-delivers NOTHING (the file-source
+    path-checkpoint hazard inverted for the whole fleet at once)."""
+    from aoseventstreamer_spark.streaming.demux import DemuxRunner
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    tbl = str(tmp_path / "tl_log")
+    log = TableLog(spark, tbl)
+
+    def append_routed(rows):
+        raw = spark.createDataFrame(rows, schemas.RAW_EMITS_SCHEMA)
+        routed = route_emits(raw, secret="t")
+        log.append(
+            routed.select(*[f.name for f in schemas.ROUTED_EVENTS_SCHEMA.fields])
+        )
+
+    append_routed(_emit_rows(0, "p1", 4) + _emit_rows(100, "p2", 3))
+    got: dict[str, int] = {"g1": 0, "g2": 0}
+
+    def mk_runner():
+        runner = DemuxRunner(
+            spark, tbl, str(tmp_path / "ck"), log_format="tablelog"
+        )
+        runner.register(
+            "g1", "UPDATES.STORAGE._.p1.>",
+            lambda cid, df: got.__setitem__("g1", got["g1"] + df.count()),
+        )
+        runner.register(
+            "g2", "UPDATES.STORAGE._.p2.>",
+            lambda cid, df: got.__setitem__("g2", got["g2"] + df.count()),
+        )
+        return runner
+
+    q = mk_runner().start(trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert got == {"g1": 4, "g2": 3}
+    # compact the CONSUMED region, then restart the fleet
+    res = log.optimize(min_files=1, small_file_bytes=1 << 30)
+    assert res["files_removed"] >= 1
+    q = mk_runner().start(trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert got == {"g1": 4, "g2": 3}  # zero re-delivery
+    # new appends still flow
+    append_routed(_emit_rows(200, "p1", 2))
+    q = mk_runner().start(trigger={"availableNow": True})
+    q.awaitTermination(120)
+    assert got == {"g1": 6, "g2": 3}
