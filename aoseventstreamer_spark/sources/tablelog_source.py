@@ -48,15 +48,28 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
-from aoseventstreamer_spark.tablelog import LOG_DIR, replay_from
+from aoseventstreamer_spark.tablelog import (
+    _MANIFEST_DIGITS,
+    _STATS_ATOMIC,
+    LOG_DIR,
+    CommitConflict,
+    _stat_encode,
+    build_commit_doc,
+    replay_from,
+)
 
 
 def _strip_scheme(path: str) -> str:
@@ -157,6 +170,337 @@ class _LocalManifests:
                             "rows will re-deliver)"
                         )
         return out
+
+
+class _LocalCommitter:
+    """Plain-Python commit path for the NATIVE WRITER (the same
+    local-FS storage shim as ``_LocalManifests`` — an object-store
+    deployment swaps both for an fsspec-backed pair). Shares the
+    manifest-document construction with ``TableLog.commit`` through
+    ``build_commit_doc``, so the two write paths cannot drift; the
+    CAS is the same tmp-write + lock + rename-to-version protocol
+    (O_EXCL lock file, stale steal after 60 s)."""
+
+    def __init__(self, table_path: str, checkpoint_interval: int = 10):
+        self.man = _LocalManifests(table_path)
+        self.checkpoint_interval = checkpoint_interval
+
+    def latest(self) -> int:
+        vs = self.man.versions()
+        return vs[-1] if vs else 0
+
+    def replay(self, version: int):
+        return replay_from(self.man.versions(), self.man.read, version)
+
+    def commit(
+        self,
+        added: list[dict],
+        removed: list,
+        schema_json: dict | None,
+        txn: tuple[str, int] | None,
+        operation: str,
+        op_metrics: dict,
+        expected_version: int,
+    ) -> int:
+        import time as _t
+        import uuid as _uuid
+
+        version = expected_version + 1
+        doc = build_commit_doc(
+            version,
+            added=added,
+            removed=removed,
+            data_change=True,
+            schema_json=schema_json,
+            txn=txn,
+            operation=operation,
+            op_metrics=op_metrics,
+            constraints=None,
+            checkpoint_state=(
+                self.replay(expected_version)
+                if version % self.checkpoint_interval == 0
+                else None
+            ),
+        )
+        log_dir = self.man.log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        dst = os.path.join(log_dir, f"{version:0{_MANIFEST_DIGITS}d}.json")
+        lock = os.path.join(log_dir, ".commit.lock")
+        deadline = _t.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if _t.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)  # steal orphaned lock
+                        continue
+                except OSError:
+                    continue  # released between create and stat
+                if _t.time() > deadline:
+                    os.unlink(tmp)
+                    raise CommitConflict("commit lock held too long")
+                _t.sleep(0.01)
+        try:
+            if os.path.exists(dst):
+                os.unlink(tmp)
+                raise CommitConflict(
+                    f"version {version} was committed concurrently"
+                )
+            os.rename(tmp, dst)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+        return version
+
+
+class _StatsAgg:
+    """Executor-side exact per-file stats computed DURING the write
+    (the native writer's advantage over append(): no post-write stats
+    job). Same column policy as TableLog._stats_cols_for (first 8
+    atomic columns) and the same encoded forms (_stat_encode)."""
+
+    def __init__(self, schema: T.StructType, max_cols: int = 8):
+        self.cols = []
+        for f in schema.fields:
+            if isinstance(f.dataType, _STATS_ATOMIC):
+                self.cols.append(f.name)
+            if len(self.cols) >= max_cols:
+                break
+        self.num_rows = 0
+        self.mins: dict = {}
+        self.maxs: dict = {}
+        self.nulls: dict = {c: 0 for c in self.cols}
+
+    def update(self, batch) -> None:
+        import pyarrow.compute as pc
+
+        self.num_rows += batch.num_rows
+        names = set(batch.schema.names)
+        for c in self.cols:
+            if c not in names:
+                continue
+            col = batch.column(batch.schema.get_field_index(c))
+            self.nulls[c] += col.null_count
+            if col.null_count == len(col):
+                continue
+            mm = pc.min_max(col)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if c not in self.mins or (
+                lo is not None and lo < self.mins[c]
+            ):
+                self.mins[c] = lo
+            if c not in self.maxs or (
+                hi is not None and hi > self.maxs[c]
+            ):
+                self.maxs[c] = hi
+
+    def result(self) -> dict:
+        return {
+            "num_rows": int(self.num_rows),
+            "min": {c: _stat_encode(v) for c, v in self.mins.items()},
+            "max": {c: _stat_encode(v) for c, v in self.maxs.items()},
+            "null_count": {c: int(n) for c, n in self.nulls.items()},
+        }
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    rel_path: str  # "" = empty task, nothing staged
+    size: int
+    stats: dict | None
+
+
+class TableLogBatchWriter(DataSourceArrowWriter):
+    """df.write.format("tablelog").mode("append"|"overwrite"): each
+    task streams its Arrow batches straight into ONE staged parquet
+    file (stats computed inline), and commit() promotes the staged
+    files + writes the manifest through the shared commit protocol —
+    an all-or-nothing transactional write with a CAS retry against
+    concurrent committers. Refused on tables with CHECK constraints
+    (the plain-Python committer cannot evaluate SQL expressions) or a
+    partitioned live layout (the native writer writes flat files)."""
+
+    def __init__(self, path: str, schema: T.StructType, overwrite: bool):
+        self.path = _strip_scheme(path)
+        self.schema_ = schema
+        self.overwrite = overwrite
+        self.write_id = __import__("uuid").uuid4().hex
+
+    # -- executor side --
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage_dir = os.path.join(self.path, f".dsstage-{self.write_id}")
+        os.makedirs(stage_dir, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        fpath = os.path.join(stage_dir, name)
+        writer = None
+        agg = _StatsAgg(self.schema_)
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(fpath, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            agg.update(batch)
+        if writer is None:
+            return _StagedFile("", 0, None)  # empty task
+        writer.close()
+        return _StagedFile(
+            f".dsstage-{self.write_id}/{name}",
+            os.path.getsize(fpath),
+            agg.result(),
+        )
+
+    # -- driver side --
+
+    def _guards(self, live: dict, constraints: dict) -> None:
+        if constraints:
+            raise ValueError(
+                "table has CHECK constraints; the native writer cannot "
+                "validate them — write through TableLog.append instead"
+            )
+        if not self.overwrite and any("=" in p.split("/")[0] for p in live):
+            raise ValueError(
+                "table has a hive-partitioned live layout; the native "
+                "writer writes flat files — append through "
+                "TableLog.append(partition_by=...) instead"
+            )
+
+    def _promote(self, messages) -> list[dict]:
+        import uuid as _uuid
+
+        entries = []
+        for m in messages:
+            if not m or not m.rel_path:
+                continue
+            final = f"part-{_uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(self.path, m.rel_path),
+                os.path.join(self.path, final),
+            )
+            e = {"path": final, "size": int(m.size)}
+            if m.stats:
+                e["stats"] = m.stats
+            entries.append(e)
+        stage = os.path.join(self.path, f".dsstage-{self.write_id}")
+        if os.path.isdir(stage):
+            try:
+                os.rmdir(stage)
+            except OSError:
+                pass  # a straggler file: vacuum sweeps the stage dir
+        return entries
+
+    def _schema_for_commit(self, stored_json: dict | None) -> dict | None:
+        mine = self.schema_.jsonValue()
+        if self.overwrite or stored_json is None:
+            return mine
+        stored_names = {f["name"] for f in stored_json["fields"]}
+        my_names = {f["name"] for f in mine["fields"]}
+        if stored_names != my_names:
+            raise ValueError(
+                f"write schema {sorted(my_names)} does not match the "
+                f"table schema {sorted(stored_names)}; the native writer "
+                "has no mergeSchema — use TableLog.append"
+            )
+        return None
+
+    def _commit_entries(
+        self,
+        entries: list[dict],
+        txn: tuple[str, int] | None,
+        operation: str,
+    ) -> int:
+        committer = _LocalCommitter(self.path)
+        for _ in range(10):
+            base = committer.latest()
+            live, schema_json, _txns, cons = committer.replay(base)
+            self._guards(live, cons)
+            removed = (
+                [
+                    {
+                        "path": e["path"],
+                        **({"dv": e["dv"]} if e.get("dv") else {}),
+                    }
+                    for e in live.values()
+                ]
+                if self.overwrite
+                else []
+            )
+            try:
+                return committer.commit(
+                    added=entries,
+                    removed=sorted(removed, key=lambda e: e["path"]),
+                    schema_json=self._schema_for_commit(schema_json),
+                    txn=txn,
+                    operation=operation,
+                    op_metrics={
+                        "num_added_files": len(entries),
+                        "num_added_bytes": sum(e["size"] for e in entries),
+                    },
+                    expected_version=base,
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "native tablelog write lost the commit race 10 times"
+        )
+
+    def commit(self, messages) -> None:
+        entries = self._promote(messages)
+        self._commit_entries(
+            entries, None, "OVERWRITE" if self.overwrite else "APPEND"
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        stage = os.path.join(self.path, f".dsstage-{self.write_id}")
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+class TableLogStreamWriter(TableLogBatchWriter, DataSourceStreamArrowWriter):
+    """spark.writeStream.format("tablelog"): the exactly-once native
+    sink — every micro-batch commits with an idempotent-writer stamp
+    ``(txnApp, batchId)``, so a crash-replayed batch is recognized in
+    commit() and skipped (its staged files are deleted; Delta's
+    txnAppId/txnVersion contract, the same idempotence the foreachBatch
+    sink in sources/io.write_stream gets). ``option("txnApp", ...)``
+    names the writer — REQUIRED to be distinct when several queries
+    write one table; the default is derived from the table path, which
+    is exactly-once for the common one-writer-per-table case and
+    stable across restarts."""
+
+    def __init__(
+        self, path: str, schema: T.StructType, txn_app: str | None
+    ):
+        super().__init__(path, schema, overwrite=False)
+        self.txn_app = txn_app or f"tablelog-native-sink:{self.path}"
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        committer = _LocalCommitter(self.path)
+        _live, _schema, txns, _cons = committer.replay(committer.latest())
+        if int(txns.get(self.txn_app, -1)) >= int(batchId):
+            # crash-replayed batch: drop the staged duplicates
+            self.abort(messages, batchId)
+            return
+        entries = self._promote(messages)
+        self._commit_entries(
+            entries, (self.txn_app, int(batchId)), "STREAMING UPDATE"
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        TableLogBatchWriter.abort(self, messages)
 
 
 class _FilePartition(InputPartition):
@@ -578,6 +922,18 @@ class TableLogDataSource(DataSource):
             schema,
             int(self.options.get("startingversion", 0)),
             str(self.options.get("ignorechanges", "false")).lower() == "true",
+        )
+
+    def writer(self, schema: T.StructType, overwrite: bool):
+        return TableLogBatchWriter(self._path(), schema, overwrite)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "the tablelog stream sink supports append mode only"
+            )
+        return TableLogStreamWriter(
+            self._path(), schema, self.options.get("txnapp")
         )
 
 

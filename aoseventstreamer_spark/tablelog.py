@@ -450,6 +450,104 @@ def replay_from(
     return base, schema_doc, txns, constraints
 
 
+def build_commit_doc(
+    version: int,
+    *,
+    added: list[dict] | None,
+    removed: list | None,
+    data_change: bool,
+    schema_json: dict | None,
+    txn: tuple[str, int] | None,
+    operation: str | None,
+    op_metrics: dict | None,
+    constraints: dict[str, str] | None,
+    checkpoint_state: tuple | None,
+) -> dict:
+    """Pure manifest-document builder shared by ``TableLog.commit``
+    (JVM-FS path) and the native data source's plain-Python committer
+    (sources/tablelog_source.py) — ONE place defines the action
+    ordering (removes before adds: a deletion-vector commit re-adds
+    the same path), the checkpoint embedding (full live set + schema +
+    txns + constraints so backward replay stops there), and the field
+    shapes. ``checkpoint_state`` is the ``replay_from`` 4-tuple at the
+    BASE version when this commit lands on a checkpoint boundary, else
+    None."""
+    actions = [
+        # a remove may carry the removed entry's deletion vector
+        # (dict form) so CDF can diff the PRE-commit logical rows
+        {
+            "op": "remove",
+            "path": p["path"] if isinstance(p, dict) else p,
+            "data_change": bool(data_change),
+            **(
+                {"dv": p["dv"]}
+                if isinstance(p, dict) and p.get("dv")
+                else {}
+            ),
+        }
+        for p in (removed or [])
+    ] + [
+        {
+            "op": "add",
+            "path": e["path"],
+            "size": int(e.get("size", 0)),
+            "data_change": bool(data_change),
+            **({"stats": e["stats"]} if e.get("stats") else {}),
+            **({"dv": e["dv"]} if e.get("dv") else {}),
+        }
+        for e in (added or [])
+    ]
+    doc = {
+        "version": version,
+        "timestamp_ms": int(time.time() * 1000),
+        "actions": actions,
+        "schema": schema_json,
+    }
+    if txn is not None:
+        doc["txn"] = [str(txn[0]), int(txn[1])]
+    if operation is not None:
+        doc["operation"] = str(operation)
+    if op_metrics:
+        doc["op_metrics"] = {k: int(v) for k, v in op_metrics.items()}
+    if constraints is not None:
+        # FULL map on every change ({} = all dropped), so replay's
+        # newest-wins rule needs no per-constraint delta handling
+        doc["constraints"] = {
+            str(k): str(v) for k, v in constraints.items()
+        }
+    if checkpoint_state is not None:
+        live, prior_schema, prior_txns, prior_cons = checkpoint_state
+        live = dict(live)
+        for a in actions:
+            if a["op"] == "add":
+                live[a["path"]] = {
+                    "path": a["path"],
+                    "size": a["size"],
+                    "data_change": a["data_change"],
+                    **({"stats": a["stats"]} if a.get("stats") else {}),
+                    **({"dv": a["dv"]} if a.get("dv") else {}),
+                }
+            else:
+                live.pop(a["path"], None)
+        doc["full"] = sorted(live.values(), key=lambda e: e["path"])
+        if doc["schema"] is None:
+            # re-embed so backward replay stops here for schema too
+            doc["schema"] = prior_schema
+        if constraints is None and prior_cons:
+            # re-embed constraints the same way (absent key would
+            # make replay see an empty map past this checkpoint)
+            doc["constraints"] = prior_cons
+        # re-embed accumulated txns (incl. this commit's own stamp)
+        # so last_txn_version's walk stops here as well
+        merged = dict(prior_txns)
+        if txn is not None:
+            app, tv = str(txn[0]), int(txn[1])
+            merged[app] = max(tv, merged.get(app, -(10**18)))
+        if merged:
+            doc["txns"] = merged
+    return doc
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -653,83 +751,22 @@ class TableLog:
             else expected_version
         )
         version = base + 1
-        # removes BEFORE adds: a deletion-vector commit re-ADDS the
-        # same data path with its new dv, and replay folds actions in
-        # list order — add-then-remove would pop the re-added entry
-        actions = [
-            # a remove may carry the removed entry's deletion vector
-            # (dict form) so CDF can diff the PRE-commit logical rows
-            {
-                "op": "remove",
-                "path": p["path"] if isinstance(p, dict) else p,
-                "data_change": bool(data_change),
-                **(
-                    {"dv": p["dv"]}
-                    if isinstance(p, dict) and p.get("dv")
-                    else {}
-                ),
-            }
-            for p in (removed or [])
-        ] + [
-            {
-                "op": "add",
-                "path": e["path"],
-                "size": int(e.get("size", 0)),
-                "data_change": bool(data_change),
-                **({"stats": e["stats"]} if e.get("stats") else {}),
-                **({"dv": e["dv"]} if e.get("dv") else {}),
-            }
-            for e in (added or [])
-        ]
-        doc = {
-            "version": version,
-            "timestamp_ms": int(time.time() * 1000),
-            "actions": actions,
-            "schema": schema.jsonValue() if schema is not None else None,
-        }
-        if txn is not None:
-            doc["txn"] = [str(txn[0]), int(txn[1])]
-        if operation is not None:
-            doc["operation"] = str(operation)
-        if op_metrics:
-            doc["op_metrics"] = {
-                k: int(v) for k, v in op_metrics.items()
-            }
-        if constraints is not None:
-            # FULL map on every change ({} = all dropped), so replay's
-            # newest-wins rule needs no per-constraint delta handling
-            doc["constraints"] = {
-                str(k): str(v) for k, v in constraints.items()
-            }
-        if version % self.checkpoint_interval == 0:
-            live, prior_schema, prior_txns, prior_cons = self._replay(base)
-            for a in actions:
-                if a["op"] == "add":
-                    live[a["path"]] = {
-                        "path": a["path"],
-                        "size": a["size"],
-                        "data_change": a["data_change"],
-                        **({"stats": a["stats"]} if a.get("stats") else {}),
-                        **({"dv": a["dv"]} if a.get("dv") else {}),
-                    }
-                else:
-                    live.pop(a["path"], None)
-            doc["full"] = sorted(live.values(), key=lambda e: e["path"])
-            if doc["schema"] is None:
-                # re-embed so backward replay stops here for schema too
-                doc["schema"] = prior_schema
-            if constraints is None and prior_cons:
-                # re-embed constraints the same way (absent key would
-                # make replay see an empty map past this checkpoint)
-                doc["constraints"] = prior_cons
-            # re-embed accumulated txns (incl. this commit's own stamp)
-            # so last_txn_version's walk stops here as well
-            merged = dict(prior_txns)
-            if txn is not None:
-                app, tv = str(txn[0]), int(txn[1])
-                merged[app] = max(tv, merged.get(app, -(10**18)))
-            if merged:
-                doc["txns"] = merged
+        doc = build_commit_doc(
+            version,
+            added=added,
+            removed=removed,
+            data_change=data_change,
+            schema_json=schema.jsonValue() if schema is not None else None,
+            txn=txn,
+            operation=operation,
+            op_metrics=op_metrics,
+            constraints=constraints,
+            checkpoint_state=(
+                self._replay(base)
+                if version % self.checkpoint_interval == 0
+                else None
+            ),
+        )
         self._write_manifest(version, doc)
         return version
 

@@ -383,3 +383,121 @@ def test_batch_read_timestamp_as_of(registered, tmp_path):
         spark.read.format("tablelog").option(
             "timestampAsOf", str(t_mid)
         ).option("snapshotVersion", "1").load(log.path).count()
+
+
+# ---------- native WRITER (DataSourceArrowWriter) ----------
+
+
+def test_native_batch_write_append_and_overwrite(registered, tmp_path):
+    spark = registered
+    d = str(tmp_path / "w")
+    df = spark.range(100).select("id", (F.col("id") % 7).alias("v"))
+    df.write.format("tablelog").mode("append").save(d)
+    df.selectExpr("id + 100 AS id", "v").write.format("tablelog").mode(
+        "append"
+    ).save(d)
+    log = TableLog(spark, d)
+    assert log.read().count() == 200
+    assert [r["operation"] for r in log.history().collect()] == [
+        "APPEND", "APPEND",
+    ]
+    # executor-computed exact stats power metadata count AND skipping
+    assert all(e.get("stats") for e in log.snapshot_files())
+    assert log.metadata_count() == 200
+    kept, total = log.pruned_files([("id", "<", 50)])
+    assert len(kept) < total
+    # round-trip equality through BOTH read paths
+    want = _rows(
+        df.unionByName(df.selectExpr("id + 100 AS id", "v"))
+    )
+    assert _rows(log.read()) == want
+    assert _rows(spark.read.format("tablelog").load(d)) == want
+    # overwrite replaces the live set in one commit
+    small = spark.range(5).select("id", F.lit(0).alias("v"))
+    small.write.format("tablelog").mode("overwrite").save(d)
+    assert log.read().count() == 5
+    assert log.read(version=2).count() == 200  # prior snapshot intact
+
+
+def test_native_write_schema_mismatch_refused(registered, tmp_path):
+    spark = registered
+    d = str(tmp_path / "ws")
+    spark.range(5).select("id").write.format("tablelog").mode("append").save(d)
+    with pytest.raises(Exception, match="does not match the"):
+        spark.range(5).select(
+            "id", F.lit(1).alias("extra")
+        ).write.format("tablelog").mode("append").save(d)
+
+
+def test_native_write_refused_on_constrained_or_partitioned(
+    registered, tmp_path
+):
+    spark = registered
+    # CHECK constraints cannot be validated by the plain-Python committer
+    d1 = str(tmp_path / "wc")
+    log = TableLog(spark, d1)
+    log.append(spark.range(5).select("id").coalesce(1))
+    log.add_constraint("pos", "id >= 0")
+    with pytest.raises(Exception, match="CHECK constraints"):
+        spark.range(5, 9).select("id").write.format("tablelog").mode(
+            "append"
+        ).save(d1)
+    # hive layout: the native writer writes flat files only
+    d2 = str(tmp_path / "wp")
+    log2 = TableLog(spark, d2)
+    log2.append(
+        spark.range(10).select("id", (F.col("id") % 2).alias("p")),
+        partition_by=["p"],
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        spark.range(10).select(
+            "id", (F.col("id") % 2).alias("p")
+        ).write.format("tablelog").mode("append").save(d2)
+
+
+def test_native_stream_sink_exactly_once_across_batch_replay(
+    registered, tmp_path
+):
+    """writeStream.format('tablelog'): delete the last checkpoint
+    commit marker (the crash-between-sink-write-and-checkpoint state)
+    and restart — the replayed batch carries the same batchId, the
+    txn stamp recognizes it, zero duplicates."""
+    import os
+
+    spark = registered
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "t")
+    ck = str(tmp_path / "ck")
+    spark.range(100).select("id", (F.col("id") * 2).alias("v")).coalesce(
+        2
+    ).write.parquet(src)
+
+    def start():
+        return (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("tablelog")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start(table)
+        )
+
+    q = start()
+    q.awaitTermination(120)
+    log = TableLog(spark, table)
+    assert log.read().count() == 100
+    commits = os.path.join(ck, "commits")
+    markers = sorted(f for f in os.listdir(commits) if not f.startswith("."))
+    os.remove(os.path.join(commits, markers[-1]))
+    crc = os.path.join(commits, f".{markers[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    q2 = start()
+    q2.awaitTermination(120)
+    assert log.read().count() == 100  # replay recognized, no duplicates
+    ops = {r["operation"] for r in log.history().collect()}
+    assert ops == {"STREAMING UPDATE"}
+    assert _rows(log.read()) == _rows(
+        spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    )
