@@ -2162,6 +2162,7 @@ class TableLog:
         df: DataFrame,
         partition_by: list[str] | None = None,
         max_retries: int = 10,
+        operation: str = "OVERWRITE",
     ) -> dict:
         """Full-table INSERT OVERWRITE as ONE commit: stage ``df``'s
         files, then remove(every live file)+add(new) atomically —
@@ -2185,7 +2186,7 @@ class TableLog:
                     data_change=True,
                     schema=df.schema,
                     expected_version=base,
-                    operation="OVERWRITE",
+                    operation=operation,
                     op_metrics={
                         "num_removed_files": len(live),
                         "num_added_files": len(added),
@@ -2666,6 +2667,74 @@ class TableLog:
         raise CommitConflict(
             f"drop_constraint lost the commit race {max_retries} times"
         ) from last_exc
+
+    def _migrate_columns(
+        self, transform, new_pcols: list[str], operation: str
+    ) -> dict:
+        """Shared core of rename_column / drop_column: an HONEST
+        full-rewrite migration (no column-mapping indirection layer —
+        every read path keeps working on physical names) committed as
+        ONE overwrite: readers pinned to prior versions see the old
+        schema, the head sees the new one atomically. Refused while
+        CHECK constraints exist (their SQL may reference the migrated
+        column; drop them first, re-add rewritten). CDF caveat, same
+        as Delta's: a change feed crossing the migration commit reads
+        the removed files under the NEW schema, so the migrated
+        column's pre-images read as null — consume the feed up to the
+        migration first."""
+        cons = self.constraints()
+        if cons:
+            raise ValueError(
+                f"table has CHECK constraints {sorted(cons)}; drop them "
+                "before a column migration and re-add rewritten forms"
+            )
+        df = transform(self.read())
+        res = self.overwrite(
+            df, partition_by=new_pcols or None, operation=operation
+        )
+        return {**res, "operation": operation}
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """ALTER TABLE RENAME COLUMN as a one-commit full rewrite —
+        the table-scale cost is stated, not hidden behind a mapping
+        layer. Partition columns rename with their hive dirs."""
+        sch = self.schema()
+        if sch is None:
+            raise ValueError(f"table {self.path} has no commits")
+        names = sch.fieldNames()
+        if old not in names:
+            raise ValueError(f"column {old!r} not in {sorted(names)}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        pcols = self._partition_cols(
+            [e["path"] for e in self.snapshot_files()]
+        )
+        new_pcols = [new if c == old else c for c in pcols]
+        return self._migrate_columns(
+            lambda df: df.withColumnRenamed(old, new),
+            new_pcols,
+            "RENAME COLUMN",
+        )
+
+    def drop_column(self, col: str) -> dict:
+        """ALTER TABLE DROP COLUMN as a one-commit full rewrite.
+        Dropping a partition column keeps the rows (their other
+        values persist) and flattens that hive level."""
+        sch = self.schema()
+        if sch is None:
+            raise ValueError(f"table {self.path} has no commits")
+        names = sch.fieldNames()
+        if col not in names:
+            raise ValueError(f"column {col!r} not in {sorted(names)}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        pcols = self._partition_cols(
+            [e["path"] for e in self.snapshot_files()]
+        )
+        new_pcols = [c for c in pcols if c != col]
+        return self._migrate_columns(
+            lambda df: df.drop(col), new_pcols, "DROP COLUMN"
+        )
 
     def expire_manifests(self, retain_versions: int = 100) -> list[int]:
         """Log retention (Delta's logRetentionDuration analogue, by

@@ -190,3 +190,60 @@ def test_native_source_refuses_expired_snapshot(spark, tmp_path):
         .load(log.path)
     )
     assert ok.count() == 100
+
+
+# ---------- column migrations (honest full rewrites) ----------
+
+
+def test_rename_column_roundtrip(spark, tmp_path):
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log = TableLog(spark, str(tmp_path / "rn"))
+    df = spark.range(50).select(
+        "id", (F.col("id") % 2).alias("p"), (F.col("id") * 3).alias("x")
+    )
+    log.append(df, partition_by=["p"])
+    v0 = log.latest_version()
+    log.rename_column("x", "value")
+    out = log.read()
+    assert set(out.columns) == {"id", "p", "value"}
+    assert sorted(r.value for r in out.collect()) == sorted(
+        i * 3 for i in range(50)
+    )
+    # time travel still sees the OLD name
+    assert set(log.read(version=v0).columns) == {"id", "p", "x"}
+    # partition-column rename moves the hive dirs too
+    log.rename_column("p", "bucket")
+    assert all("bucket=" in e["path"] for e in log.snapshot_files())
+    assert log.read().filter(F.col("bucket") == 1).count() == 25
+    # appends follow the new layout/schema
+    log.append(
+        spark.range(50, 60).select(
+            "id", (F.col("id") % 2).alias("bucket"),
+            (F.col("id") * 3).alias("value"),
+        ),
+        partition_by=["bucket"],
+    )
+    assert log.read().count() == 60
+
+
+def test_drop_column_and_constraint_refusal(spark, tmp_path):
+    import pytest as _pytest
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log = TableLog(spark, str(tmp_path / "dc"))
+    log.append(
+        spark.range(20).select("id", (F.col("id") * 2).alias("x")).coalesce(1)
+    )
+    log.add_constraint("pos", "x >= 0")
+    with _pytest.raises(ValueError, match="CHECK constraints"):
+        log.rename_column("x", "y")
+    with _pytest.raises(ValueError, match="CHECK constraints"):
+        log.drop_column("x")
+    log.drop_constraint("pos")
+    log.drop_column("x")
+    assert log.read().columns == ["id"]
+    assert log.read().count() == 20
+    with _pytest.raises(ValueError, match="only column"):
+        log.drop_column("id")
