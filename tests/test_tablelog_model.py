@@ -1,0 +1,145 @@
+"""Model-based randomized DML sequences: every operation is applied
+both to a real TableLog and to a plain-Python model of the logical
+table; after EVERY step the table must read back exactly the model,
+and recorded snapshots must time-travel back exactly. Seeded (not
+hypothesis) so failures replay deterministically; the op mix covers
+append, copy-on-write and deletion-vector DELETE/UPDATE, MERGE,
+OPTIMIZE (incl. dv purge), RESTORE, and VACUUM interleavings that no
+hand-written scenario test enumerates."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.tablelog import TableLog
+
+SCHEMA = "id long, k long, v long"
+
+
+def _read_rows(log):
+    return sorted(tuple(r) for r in log.read().collect())
+
+
+def _run_sequence(spark, tmp_path, seed: str, n_ops: int) -> list[str]:
+    rng = random.Random(seed)
+    log = TableLog(spark, str(tmp_path / f"m{seed}"))
+    model: list[tuple] = []  # logical rows (id, k, v)
+    snapshots: dict[int, list[tuple]] = {}
+    next_id = 0
+    trace: list[str] = []
+
+    def snap():
+        snapshots[log.latest_version()] = list(model)
+
+    def do_append():
+        nonlocal next_id, model
+        n = rng.randint(5, 40)
+        rows = [(next_id + i, (next_id + i) % 7, (next_id + i) * 3)
+                for i in range(n)]
+        next_id += n
+        log.append(spark.createDataFrame(rows, SCHEMA).coalesce(1))
+        model = model + rows
+        return f"append({n})"
+
+    def do_delete():
+        nonlocal model
+        k = rng.randint(0, 6)
+        dv = rng.random() < 0.5
+        log.delete_where([("k", "=", k)], use_dv=dv)
+        model = [r for r in model if r[1] != k]
+        return f"delete(k={k}, dv={dv})"
+
+    def do_update():
+        nonlocal model
+        k = rng.randint(0, 6)
+        dv = rng.random() < 0.5
+        log.update_where([("k", "=", k)], {"v": "v + 1000"}, use_dv=dv)
+        model = [
+            (r[0], r[1], r[2] + 1000) if r[1] == k else r for r in model
+        ]
+        return f"update(k={k}, dv={dv})"
+
+    def do_merge():
+        nonlocal model, next_id
+        # upsert: bump v for up to 5 existing ids, insert 3 fresh ones
+        existing = [r[0] for r in model]
+        upd_ids = rng.sample(existing, min(5, len(existing)))
+        ins = [(next_id + i, (next_id + i) % 7, -1) for i in range(3)]
+        next_id += 3
+        src_rows = [(i, i % 7, 9999) for i in upd_ids] + ins
+        dv = rng.random() < 0.5
+        log.merge_into(
+            spark.createDataFrame(src_rows, SCHEMA), on=["id"], use_dv=dv
+        )
+        by_id = {r[0]: r for r in src_rows}
+        model = [by_id.pop(r[0], r) for r in model] + list(by_id.values())
+        return f"merge(upd={len(upd_ids)}, dv={dv})"
+
+    def do_optimize():
+        log.optimize(min_files=1, small_file_bytes=1 << 30)
+        return "optimize"
+
+    def do_restore():
+        nonlocal model
+        candidates = [
+            v for v in snapshots if v <= log.latest_version()
+        ]
+        if not candidates:
+            return "restore(skip)"
+        v = rng.choice(candidates)
+        try:
+            log.restore(v)
+        except ValueError:
+            return f"restore({v}, refused)"  # vacuumed past it: legal
+        model = list(snapshots[v])
+        return f"restore({v})"
+
+    def do_vacuum():
+        log.vacuum(retain_versions=3, min_age_seconds=0.0)
+        # snapshots older than the retained window may now be
+        # unreadable; drop them from the restore candidate pool
+        keep_from = max(1, log.latest_version() - 2)
+        for v in list(snapshots):
+            if v < keep_from:
+                del snapshots[v]
+        return "vacuum"
+
+    ops = [
+        (do_append, 4), (do_delete, 3), (do_update, 3), (do_merge, 2),
+        (do_optimize, 1), (do_restore, 1), (do_vacuum, 1),
+    ]
+    weighted = [f for f, w in ops for _ in range(w)]
+
+    do_append()  # seed the table
+    snap()
+    for step in range(n_ops):
+        op = rng.choice(weighted)
+        trace.append(op())
+        got = _read_rows(log)
+        want = sorted(model)
+        assert got == want, (
+            f"seed={seed} step={step} trace={trace}: "
+            f"{len(got)} rows vs model {len(want)}"
+        )
+        snap()
+        # spot-check time travel against a recorded snapshot
+        if snapshots and rng.random() < 0.3:
+            v = rng.choice(sorted(snapshots))
+            tt = sorted(
+                tuple(r) for r in log.read(version=v).collect()
+            )
+            assert tt == sorted(snapshots[v]), (
+                f"seed={seed} step={step} time-travel v={v} diverged "
+                f"(trace={trace})"
+            )
+    return trace
+
+
+def test_model_sequence_seed_a(spark, tmp_path):
+    _run_sequence(spark, tmp_path, "r8-model-a", 14)
+
+
+def test_model_sequence_seed_b(spark, tmp_path):
+    _run_sequence(spark, tmp_path, "r8-model-b", 14)
