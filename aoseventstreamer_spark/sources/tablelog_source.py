@@ -35,6 +35,14 @@ Spark's own micro-batch engine instead:
   commits diff in one partition (bounded by the commit's touched
   files), OPTIMIZE advances the offset rowlessly.
 
+Thread caveat: Spark resolves Python data sources through a registry
+that is NOT visible from sibling Python threads (lookups there raise
+DATA_SOURCE_NOT_FOUND even after re-registering) — do format()
+reads/writes from the registering thread, or drive
+``TableLogBatchWriter`` / ``TableLog`` directly from worker threads
+(their commit protocols interoperate on the same lock, tested in
+tests/test_tablelog_source.py).
+
 Driver/executor I/O here is plain-Python (os/open), so this source
 covers ``file:`` paths — the 100 TB posture note: Python data sources
 receive only string options, and a production object-store deployment

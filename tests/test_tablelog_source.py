@@ -501,3 +501,57 @@ def test_native_stream_sink_exactly_once_across_batch_replay(
     assert _rows(log.read()) == _rows(
         spark.range(100).select("id", (F.col("id") * 2).alias("v"))
     )
+
+
+def test_native_and_jvm_committers_interoperate(registered, tmp_path):
+    """The native writer's plain-Python committer (O_EXCL lock +
+    rename) and TableLog's JVM committer (createNewFile lock + rename)
+    target the SAME lock file and version namespace — concurrent blind
+    appends through BOTH paths must all land exactly once. (The
+    writer objects are driven directly: Spark's Python data-source
+    REGISTRY is not visible from sibling Python threads — a lookup
+    quirk, not a commit-protocol property.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        TableLogBatchWriter,
+    )
+    from pyspark.sql import types as T
+
+    spark = registered
+    d = str(tmp_path / "interop")
+    spark.range(0, 10).select("id").write.format("tablelog").mode(
+        "append"
+    ).save(d)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def native(i):
+        w = TableLogBatchWriter(d, schema, overwrite=False)
+        batch = pa.RecordBatch.from_pydict(
+            {"id": list(range(100 * i, 100 * i + 10))}
+        )
+        msg = w.write(iter([batch]))
+        w.commit([msg])
+
+    def jvm(i):
+        TableLog(spark, d).append(
+            spark.range(1000 * i, 1000 * i + 10).select("id").coalesce(1)
+        )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(native, i) for i in (1, 2, 3)]
+        futs += [pool.submit(jvm, i) for i in (1, 2, 3)]
+        for f in futs:
+            f.result()
+
+    log = TableLog(spark, d)
+    assert log.latest_version() == 7  # 1 seed + 6 concurrent commits
+    got = sorted(r.id for r in log.read().collect())
+    want = sorted(
+        list(range(10))
+        + [x for i in (1, 2, 3) for x in range(100 * i, 100 * i + 10)]
+        + [x for i in (1, 2, 3) for x in range(1000 * i, 1000 * i + 10)]
+    )
+    assert got == want
