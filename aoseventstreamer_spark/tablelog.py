@@ -227,6 +227,20 @@ def _file_survives(stats: dict | None, col: str, op: str, lit) -> bool:
         lo = True if mn is None or not isinstance(mn, str) else mn[: len(lit)] <= lit
         hi = True if mx is None or not isinstance(mx, str) else mx >= lit
         return lo and hi
+    if op == "!=":
+        # no row can match only when EVERY row equals the literal
+        # (constant file, no nulls — null rows don't match != either
+        # but they also can't make the file prunable, since a non-null
+        # differing row may still exist unless mn==mx pins them all)
+        if (
+            mn is not None
+            and mx is not None
+            and _comparable(mn, lit)
+            and mn == mx == lit
+            and nc == 0
+        ):
+            return False
+        return True
     vals = list(lit) if op == "in" else [lit]
     for v in vals:
         if v is None:
@@ -311,6 +325,7 @@ def _file_all_match(stats: dict | None, col: str, op: str, lit) -> bool:
         return False
     return {
         "=": mn == lit and mx == lit,
+        "!=": mx < lit or mn > lit,
         "<": mx < lit,
         "<=": mx <= lit,
         ">": mn > lit,
@@ -318,7 +333,7 @@ def _file_all_match(stats: dict | None, col: str, op: str, lit) -> bool:
     }[op]
 
 
-_WHERE_OPS = {"=", "<", "<=", ">", ">=", "in", "startswith", "isnull", "notnull"}
+_WHERE_OPS = {"=", "!=", "<", "<=", ">", ">=", "in", "startswith", "isnull", "notnull"}
 
 _ZORDER_BITS = 8
 
@@ -389,8 +404,8 @@ def _where_to_column(schema: T.StructType, where: list[tuple]) -> "F.Column":
         elif op == "startswith":
             cond = cond & c.startswith(lit)
         else:
-            cond = cond & {"=": c == lit, "<": c < lit, "<=": c <= lit,
-                           ">": c > lit, ">=": c >= lit}[op]
+            cond = cond & {"=": c == lit, "!=": c != lit, "<": c < lit,
+                           "<=": c <= lit, ">": c > lit, ">=": c >= lit}[op]
     return cond
 
 

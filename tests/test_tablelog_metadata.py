@@ -247,3 +247,42 @@ def test_drop_column_and_constraint_refusal(spark, tmp_path):
     assert log.read().count() == 20
     with _pytest.raises(ValueError, match="only column"):
         log.drop_column("id")
+
+
+def test_not_equal_clause(spark, tmp_path):
+    """!= across the whole clause surface: row filter, file pruning
+    (a constant no-null file prunes; anything else survives), and
+    metadata_count all-match (range excludes the literal)."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log = TableLog(spark, str(tmp_path / "ne"))
+    # file A: constant tag 'a' (prunable for != 'a'); B: mixed
+    log.append(
+        spark.range(10).select("id", F.lit("a").alias("tag")).coalesce(1)
+    )
+    log.append(
+        spark.range(10, 20).select(
+            "id", F.when(F.col("id") < 15, "a").otherwise("b").alias("tag")
+        ).coalesce(1)
+    )
+    got = log.read(where=[("tag", "!=", "a")])
+    assert sorted(r.id for r in got.collect()) == list(range(15, 20))
+    kept, total = log.pruned_files([("tag", "!=", "a")])
+    assert total == 2 and len(kept) == 1  # constant-'a' file pruned
+    # SQL semantics: NULL never matches !=
+    log2 = TableLog(spark, str(tmp_path / "nn"))
+    log2.append(
+        spark.range(6).select(
+            "id", F.when(F.col("id") < 3, F.col("id")).alias("m")
+        ).coalesce(1)
+    )
+    assert log2.read(where=[("m", "!=", 1)]).count() == 2  # 0 and 2
+    res = log2.delete_where([("m", "!=", 1)])
+    assert res["rows_deleted"] == 2
+    assert log2.read().count() == 4  # nulls and the ==1 row survive
+    # metadata_count: all-match when the file range excludes the value
+    log3 = TableLog(spark, str(tmp_path / "nm"))
+    log3.append(spark.range(0, 50).select("id").coalesce(1))
+    log3.append(spark.range(100, 150).select("id").coalesce(1))
+    assert log3.metadata_count(where=[("id", "!=", 75)]) == 100
+    assert log3.metadata_count(where=[("id", "!=", 10)]) is None
