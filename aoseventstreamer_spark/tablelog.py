@@ -385,27 +385,52 @@ def _with_zvalue(df: DataFrame, cols: list[str], zcol: str) -> DataFrame:
     return df.withColumn(zcol, z)
 
 
-def _where_to_column(schema: T.StructType, where: list[tuple]) -> "F.Column":
+def _is_or_group(clause) -> bool:
+    """A conjunct is either one ``(col, op[, value])`` clause or a
+    non-empty LIST of such clauses meaning their DISJUNCTION (OR) —
+    the where grammar is a conjunction of these groups (CNF)."""
+    return (
+        isinstance(clause, list)
+        and bool(clause)
+        and all(isinstance(b, (tuple, list)) and len(b) >= 2 for b in clause)
+        and not isinstance(clause[0], str)
+    )
+
+
+def _branch_to_column(clause) -> "F.Column":
+    from pyspark.sql import functions as F
+
+    col, op = clause[0], clause[1]
+    lit = clause[2] if len(clause) > 2 else None
+    if op not in _WHERE_OPS:
+        raise ValueError(
+            f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}"
+        )
+    c = F.col(col)
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
+    if op == "in":
+        return c.isin(list(lit))
+    if op == "startswith":
+        return c.startswith(lit)
+    return {"=": c == lit, "!=": c != lit, "<": c < lit,
+            "<=": c <= lit, ">": c > lit, ">=": c >= lit}[op]
+
+
+def _where_to_column(schema: T.StructType, where: list) -> "F.Column":
     from pyspark.sql import functions as F
 
     cond = F.lit(True)
     for clause in where:
-        col, op = clause[0], clause[1]
-        lit = clause[2] if len(clause) > 2 else None
-        if op not in _WHERE_OPS:
-            raise ValueError(f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}")
-        c = F.col(col)
-        if op == "isnull":
-            cond = cond & c.isNull()
-        elif op == "notnull":
-            cond = cond & c.isNotNull()
-        elif op == "in":
-            cond = cond & c.isin(list(lit))
-        elif op == "startswith":
-            cond = cond & c.startswith(lit)
+        if _is_or_group(clause):
+            group = _branch_to_column(clause[0])
+            for b in clause[1:]:
+                group = group | _branch_to_column(b)
+            cond = cond & group
         else:
-            cond = cond & {"=": c == lit, "!=": c != lit, "<": c < lit,
-                           "<=": c <= lit, ">": c > lit, ">=": c >= lit}[op]
+            cond = cond & _branch_to_column(clause)
     return cond
 
 
@@ -1283,14 +1308,37 @@ class TableLog:
                 break
         return best
 
+    @staticmethod
+    def _norm_branch(fields: dict, clause) -> tuple:
+        """(col, op, norm, known) for one branch clause; known=False
+        means the branch cannot be evaluated against stats (the file
+        conservatively survives / classification is unknown)."""
+        col, op = clause[0], clause[1]
+        lit = clause[2] if len(clause) > 2 else None
+        if op not in _WHERE_OPS:
+            raise ValueError(
+                f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}"
+            )
+        dt = fields.get(col)
+        if op == "in":
+            norm = [_norm_literal(dt, v) for v in lit]
+            kept = [v for v in norm if v is not None]
+            return col, op, kept, bool(kept) and len(kept) == len(norm)
+        if op in ("isnull", "notnull", "startswith"):
+            return col, op, lit, True
+        norm = _norm_literal(dt, lit)
+        return col, op, norm, norm is not None
+
     def pruned_files(
-        self, where: list[tuple], version: int | None = None
+        self, where: list, version: int | None = None
     ) -> tuple[list[dict], int]:
         """Data skipping: (surviving entries, total live files) for a
-        conjunction of ``(col, op, value)`` clauses — ops ``= < <= >
+        CNF predicate — each conjunct is one ``(col, op, value)``
+        clause or a LIST of them meaning their OR; ops ``= != < <= >
         >= in startswith isnull notnull``. Driver-side loop over
         manifest metadata only; a file is dropped ONLY when its exact
-        min/max/null stats prove no row can match (missing stats or a
+        min/max/null stats prove no row can match — for an OR group,
+        when EVERY branch is provably empty (missing stats or a
         non-normalizable literal always survive)."""
         if version is None:
             version = self.latest_version()  # pin once (see read())
@@ -1299,27 +1347,17 @@ class TableLog:
         fields = {f.name: f.dataType for f in sch.fields} if sch else {}
         survivors = []
         for e in entries:
+            stats = e.get("stats")
             ok = True
             for clause in where:
-                col, op = clause[0], clause[1]
-                lit = clause[2] if len(clause) > 2 else None
-                if op not in _WHERE_OPS:
-                    raise ValueError(
-                        f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}"
-                    )
-                dt = fields.get(col)
-                if op == "in":
-                    norm = [_norm_literal(dt, v) for v in lit]
-                    norm = [v for v in norm if v is not None]
-                    if not norm:
-                        continue  # nothing comparable: survive
-                elif op in ("isnull", "notnull", "startswith"):
-                    norm = lit
-                else:
-                    norm = _norm_literal(dt, lit)
-                    if norm is None:
-                        continue
-                if not _file_survives(e.get("stats"), col, op, norm):
+                branches = clause if _is_or_group(clause) else [clause]
+                alive = False
+                for b in branches:
+                    col, op, norm, known = self._norm_branch(fields, b)
+                    if not known or _file_survives(stats, col, op, norm):
+                        alive = True
+                        break
+                if not alive:
                     ok = False
                     break
             if ok:
@@ -1337,49 +1375,46 @@ class TableLog:
         caller falls back to ``read(where=...).count()``; a non-None
         answer is always exact.
 
-        Per file, each conjunct classifies as NONE (``_file_survives``
-        false → contributes 0 rows), ALL (``_file_all_match`` — every
-        row provably matches), or UNKNOWN (anything else → give up).
-        At 100 TB an unfiltered count, a partition-aligned count, or a
-        count over a clustered column's range reads KBs of manifest
-        instead of the table."""
+        Per file, each conjunct (a clause, or a LIST of clauses = OR)
+        classifies as NONE (every branch ``_file_survives`` false →
+        contributes 0 rows), ALL (some branch ``_file_all_match`` —
+        every row provably matches the group), or UNKNOWN (anything
+        else → give up). At 100 TB an unfiltered count, a
+        partition-aligned count, or a count over a clustered column's
+        range reads KBs of manifest instead of the table."""
         v = self.latest_version() if version is None else version
         entries = self.snapshot_files(v)
         sch = self.schema(v)
         fields = {f.name: f.dataType for f in sch.fields} if sch else {}
-        norm_clauses: list[tuple] = []
+        groups: list[list[tuple]] = []
         for clause in where or []:
-            col, op = clause[0], clause[1]
-            lit = clause[2] if len(clause) > 2 else None
-            if op not in _WHERE_OPS:
-                raise ValueError(
-                    f"unsupported where op {op!r}; use {sorted(_WHERE_OPS)}"
-                )
-            dt = fields.get(col)
-            if op == "in":
-                norm = [_norm_literal(dt, x) for x in lit]
-                if any(n is None for n in norm) or not norm:
-                    return None  # un-normalizable literal: not provable
-            elif op in ("isnull", "notnull", "startswith"):
-                norm = lit
-            else:
-                norm = _norm_literal(dt, lit)
-                if norm is None:
-                    return None
-            norm_clauses.append((col, op, norm))
+            branches = clause if _is_or_group(clause) else [clause]
+            normed = []
+            for b in branches:
+                col, op, norm, known = self._norm_branch(fields, b)
+                if not known:
+                    return None  # un-normalizable branch: not provable
+                normed.append((col, op, norm))
+            groups.append(normed)
         total = 0
         for e in entries:
             stats = e.get("stats") or {}
             if any(
-                not _file_survives(stats, col, op, norm)
-                for col, op, norm in norm_clauses
+                all(
+                    not _file_survives(stats, col, op, norm)
+                    for col, op, norm in grp
+                )
+                for grp in groups
             ):
                 continue  # provably zero matching rows
             if stats.get("num_rows") is None:
                 return None
             if all(
-                _file_all_match(stats, col, op, norm)
-                for col, op, norm in norm_clauses
+                any(
+                    _file_all_match(stats, col, op, norm)
+                    for col, op, norm in grp
+                )
+                for grp in groups
             ):
                 # logical rows = physical minus the deletion vector;
                 # all-physical-match implies all-logical-match

@@ -286,3 +286,43 @@ def test_not_equal_clause(spark, tmp_path):
     log3.append(spark.range(100, 150).select("id").coalesce(1))
     assert log3.metadata_count(where=[("id", "!=", 75)]) == 100
     assert log3.metadata_count(where=[("id", "!=", 10)]) is None
+
+
+def test_or_groups_in_where(spark, tmp_path):
+    """A conjunct may be a LIST of clauses = their OR: row filter,
+    file skipping (dropped only when every branch is provably empty),
+    metadata_count (ALL when some branch all-matches per file), and
+    DML all accept the same grammar."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    log = TableLog(spark, str(tmp_path / "or"))
+    for lo, hi, tag in [(0, 50, "a"), (100, 150, "b"), (200, 250, "c")]:
+        log.append(
+            spark.range(lo, hi).select(
+                "id", F.lit(tag).alias("tag")
+            ).coalesce(1)
+        )
+    disj = [[("id", "<", 50), ("id", ">=", 200)]]
+    got = log.read(where=disj)
+    assert sorted(r.id for r in got.collect()) == list(range(0, 50)) + list(
+        range(200, 250)
+    )
+    kept, total = log.pruned_files(disj)
+    assert total == 3 and len(kept) == 2  # the middle file pruned
+    # metadata-only: both surviving files all-match one branch each
+    assert log.metadata_count(where=disj) == 100
+    # mixed with a conjunct; and an OR that cuts mid-file is UNKNOWN
+    assert log.metadata_count(
+        where=[[("tag", "=", "a"), ("tag", "=", "c")], ("id", ">=", 0)]
+    ) == 100
+    assert (
+        log.metadata_count(where=[[("id", "<", 25), ("id", ">=", 200)]])
+        is None
+    )
+    # DML through the same grammar
+    res = log.delete_where([[("tag", "=", "a"), ("tag", "=", "c")]])
+    assert res["rows_deleted"] == 100
+    assert log.read().count() == 50
+    assert {r.tag for r in log.read().select("tag").distinct().collect()} == {
+        "b"
+    }
