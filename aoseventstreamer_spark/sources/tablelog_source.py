@@ -721,14 +721,14 @@ class TableLogBatchReader(DataSourceReader):
                 for col, op, *rest in self.pushed:
                     lit = rest[0] if rest else None
                     if op == "in":
-                        norm = [
-                            v
-                            for v in (
-                                _norm_literal(fields.get(col), x) for x in lit
-                            )
-                            if v is not None
+                        raw = [
+                            _norm_literal(fields.get(col), x) for x in lit
                         ]
-                        if not norm:
+                        norm = [v for v in raw if v is not None]
+                        if len(norm) != len(raw) or not norm:
+                            # an un-normalizable IN literal may still
+                            # match rows — pruning on the comparable
+                            # subset could drop a matching file
                             continue
                     elif op in ("isnull", "notnull", "startswith"):
                         norm = lit
