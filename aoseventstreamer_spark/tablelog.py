@@ -1517,6 +1517,57 @@ class TableLog:
             df = df.filter(_where_to_column(df.schema, where))
         return df
 
+    def _dv_only_delta(
+        self,
+        adds: list[dict],
+        removes: list[dict],
+        sch: T.StructType,
+        cols: list[str],
+    ) -> list[tuple] | None:
+        """CDF fast path for a DV-ONLY commit (same data-path set on
+        both sides, only the deletion vectors changed — what a
+        merge-on-read DELETE without appended files produces): the
+        row-level delta is exactly the rows at the SYMMETRIC
+        DIFFERENCE of the two position sets, so instead of scanning
+        the touched files twice and shuffling every row through
+        ``exceptAll``, scan them ONCE with position metadata and
+        semi-join the (tiny) position diff. Returns None when the
+        commit isn't dv-only (generic path applies)."""
+        from pyspark.sql import functions as F
+
+        if not adds or not removes:
+            return None
+        if {e["path"] for e in adds} != {e["path"] for e in removes}:
+            return None
+        new_dv = self._dv_rows(adds)
+        old_dv = self._dv_rows(removes)
+        if new_dv is None:
+            return None  # dv fully cleared: not the marking shape
+        empty = self.spark.createDataFrame(
+            [], "__tl_key string, __tl_pos long"
+        )
+        old_dv = old_dv if old_dv is not None else empty
+        marked = new_dv.exceptAll(old_dv)  # newly-deleted positions
+        unmarked = old_dv.exceptAll(new_dv)  # re-surfaced (RESTORE-ish)
+        # one physical scan with position metadata, NO dv application:
+        # the position sets address PHYSICAL rows
+        base = [{"path": e["path"]} for e in adds]
+        scan = self._scan_entries(base, sch, with_meta=True)
+        out: list[tuple] = []
+        for kind, pos in (("delete", marked), ("insert", unmarked)):
+            out.append(
+                (
+                    kind,
+                    scan.join(
+                        pos,
+                        (scan["__tl_key"] == pos["__tl_key"])
+                        & (scan["__tl_pos"] == pos["__tl_pos"]),
+                        "leftsemi",
+                    ).select(*cols),
+                )
+            )
+        return out
+
     def read_changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -1594,7 +1645,10 @@ class TableLog:
             # (measured 11.4 s → sub-second on a 16-append history,
             # tools/tablelog_dml_probe.py) instead of paying a
             # two-sided anti-join per commit
-            if adds and removes:
+            dv_delta = self._dv_only_delta(adds, removes, sch, cols)
+            if dv_delta is not None:
+                deltas = dv_delta
+            elif adds and removes:
                 adf, rdf = rows_of(adds), rows_of(removes)
                 deltas = [
                     ("insert", adf.exceptAll(rdf)),
