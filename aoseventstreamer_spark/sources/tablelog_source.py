@@ -432,7 +432,20 @@ class TableLogBatchWriter(DataSourceArrowWriter):
         committer = _LocalCommitter(self.path)
         for _ in range(10):
             base = committer.latest()
-            live, schema_json, _txns, cons = committer.replay(base)
+            live, schema_json, txns, cons = committer.replay(base)
+            if txn is not None and int(txns.get(txn[0], -1)) >= int(txn[1]):
+                # the stamp landed since our pre-check (a zombie driver
+                # replaying the same batch concurrently: both passed the
+                # check, the other won the CAS) — committing here would
+                # duplicate the batch. Drop our promoted files and no-op
+                # (round-9 ADVICE finding; TableLog.append re-checks
+                # inside its retry loop for the same reason).
+                for e in entries:
+                    try:
+                        os.unlink(os.path.join(self.path, e["path"]))
+                    except OSError:
+                        pass
+                return base
             self._guards(live, cons)
             removed = (
                 [
@@ -498,10 +511,27 @@ class TableLogStreamWriter(TableLogBatchWriter, DataSourceStreamArrowWriter):
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
         committer = _LocalCommitter(self.path)
         _live, _schema, txns, _cons = committer.replay(committer.latest())
-        if int(txns.get(self.txn_app, -1)) >= int(batchId):
+        stored = int(txns.get(self.txn_app, -1))
+        if stored == int(batchId):
             # crash-replayed batch: drop the staged duplicates
             self.abort(messages, batchId)
             return
+        if stored > int(batchId):
+            # batchId runs BEHIND the stored stamp: a fresh checkpoint
+            # against a table that already carries this app's stamp
+            # (restarted query with a new checkpoint dir, or two
+            # queries sharing the path-derived default txnApp). Silently
+            # classifying these batches as replays is DATA LOSS — fail
+            # loudly instead (round-9 ADVICE finding).
+            self.abort(messages, batchId)
+            raise ValueError(
+                f"tablelog sink: batch {batchId} is behind the stored "
+                f"txn stamp {stored} for app {self.txn_app!r}. This is "
+                "a fresh checkpoint against an already-stamped table "
+                "or a second query sharing the same txnApp — set a "
+                "distinct .option('txnApp', ...) per query, or keep "
+                "the original checkpoint directory."
+            )
         entries = self._promote(messages)
         self._commit_entries(
             entries, (self.txn_app, int(batchId)), "STREAMING UPDATE"

@@ -1182,15 +1182,29 @@ class TableLog:
         for r in refs:
             parent = r.rsplit("/", 1)[0]  # _dv/<commit>
             by_parent.setdefault(parent, []).append(r)
+        # explicit schema including the partition column: without it,
+        # Spark's partition-value TYPE INFERENCE parses __f, and an md5
+        # hex key that happens to parse numerically (32 digits, or a
+        # digits-e-digits string read as double) round-trips to a
+        # DIFFERENT string, so the anti-join in _scan_entries misses
+        # and dv-deleted rows resurrect (round-9 ADVICE finding)
+        dv_schema = T.StructType(
+            [
+                T.StructField("pos", T.LongType()),
+                T.StructField("__f", T.StringType()),
+            ]
+        )
         pieces = []
         for parent, rels in sorted(by_parent.items()):
-            df = self.spark.read.option(
-                "basePath", f"{self.path}/{parent}"
-            ).parquet(*[f"{self.path}/{r}" for r in rels])
+            df = (
+                self.spark.read.schema(dv_schema)
+                .option("basePath", f"{self.path}/{parent}")
+                .parquet(*[f"{self.path}/{r}" for r in rels])
+            )
             pieces.append(
                 df.select(
-                    F.col("__f").cast("string").alias("__tl_key"),
-                    F.col("pos").cast("long").alias("__tl_pos"),
+                    F.col("__f").alias("__tl_key"),
+                    F.col("pos").alias("__tl_pos"),
                 )
             )
         out = pieces[0]
@@ -2785,18 +2799,53 @@ class TableLog:
         as Delta's: a change feed crossing the migration commit reads
         the removed files under the NEW schema, so the migrated
         column's pre-images read as null — consume the feed up to the
-        migration first."""
+        migration first.
+
+        The CAS is PINNED to the snapshot the rewrite was staged from
+        (no rebase): the rewrite is derived from version ``base``, so
+        a commit landing during the (table-scale) rewrite would have
+        its rows silently DROPPED by a rebased retry — instead the
+        migration raises ConcurrentModification and the caller re-runs
+        it (round-9 ADVICE finding; previously routed through
+        ``overwrite()``, whose retry re-lists the live set)."""
         cons = self.constraints()
         if cons:
             raise ValueError(
                 f"table has CHECK constraints {sorted(cons)}; drop them "
                 "before a column migration and re-add rewritten forms"
             )
-        df = transform(self.read())
-        res = self.overwrite(
-            df, partition_by=new_pcols or None, operation=operation
-        )
-        return {**res, "operation": operation}
+        base = self.latest_version()
+        live = [
+            {"path": e["path"], **({"dv": e["dv"]} if e.get("dv") else {})}
+            for e in self.snapshot_files(base)
+        ]
+        df = transform(self.read(version=base))
+        added = self._write_rewrite(df, new_pcols or [])
+        try:
+            v = self.commit(
+                added=added,
+                removed=live,
+                data_change=True,
+                schema=df.schema,
+                expected_version=base,
+                operation=operation,
+                op_metrics={
+                    "num_removed_files": len(live),
+                    "num_added_files": len(added),
+                },
+            )
+        except CommitConflict as e:
+            raise ConcurrentModification(
+                f"{operation} was staged from version {base} but the "
+                "table advanced during the rewrite; re-run the "
+                "migration (a rebase would silently drop the "
+                "concurrent rows)"
+            ) from e
+        return {
+            "version": v,
+            "files_removed": len(live),
+            "operation": operation,
+        }
 
     def rename_column(self, old: str, new: str) -> dict:
         """ALTER TABLE RENAME COLUMN as a one-commit full rewrite —
@@ -2903,14 +2952,34 @@ class TableLog:
         deleted: list[str] = []
         # deletion-vector generations live under _dv/ (hidden from the
         # data walk below); sweep whole generations no retained
-        # snapshot references, with the same age guard
+        # snapshot references, with the same age guard. A generation
+        # referenced by NO manifest at all is either crash litter or a
+        # commit IN FLIGHT (_write_dv renames into _dv/ before the
+        # manifest commit) — sweep those only past the commit window,
+        # regardless of min_age_seconds, or a racing vacuum would
+        # delete sidecars the landing commit is about to reference
+        # (round-9 ADVICE finding). Superseded generations (present in
+        # some retained manifest's actions) are committed history and
+        # sweep under the caller's age policy as before.
+        referenced_in_log: set[str] = set()
+        for v in self._list_versions():
+            for a in self._read_manifest(v).get("actions", []):
+                if a.get("dv"):
+                    referenced_in_log.add(
+                        a["dv"]["path"].rsplit("/", 1)[0]
+                    )
         dv_root = self._Path(f"{self.path}/{DV_DIR}")
         if self._fs.exists(dv_root):
             for st in self._fs.listStatus(dv_root):
                 gen_rel = f"{DV_DIR}/{st.getPath().getName()}"
                 if gen_rel in keep_dv_gens:
                     continue
-                if st.getModificationTime() / 1000.0 > now - min_age_seconds:
+                age_floor = (
+                    min_age_seconds
+                    if gen_rel in referenced_in_log
+                    else max(min_age_seconds, _LOCK_STALE_SECONDS)
+                )
+                if st.getModificationTime() / 1000.0 > now - age_floor:
                     continue
                 self._fs.delete(st.getPath(), True)
                 deleted.append(gen_rel)
