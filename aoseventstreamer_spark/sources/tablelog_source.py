@@ -43,16 +43,17 @@ reads/writes from the registering thread, or drive
 (their commit protocols interoperate on the same lock, tested in
 tests/test_tablelog_source.py).
 
-Driver/executor I/O here is plain-Python (os/open), so this source
-covers ``file:`` paths — the 100 TB posture note: Python data sources
-receive only string options, and a production object-store deployment
-would swap the 10-line ``_LocalManifests`` shim for an fsspec-backed
-one; the offset/partition/Arrow protocol above is storage-agnostic.
+Driver/executor I/O here is plain-Python (os/open), so the DATA path
+covers ``file:`` paths; the COMMIT path is pluggable — the manifest
+log speaks the ``logstore.LogStore`` protocol (``PythonFSLogStore``
+default; ``ObjectStoreLogStore`` for S3-class stores, one conditional
+PUT per commit, probed under the same concurrency suite as the JVM
+path — tests/test_logstore.py). The offset/partition/Arrow protocol
+above is storage-agnostic.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator, Sequence
 
@@ -69,51 +70,41 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
+from aoseventstreamer_spark.logstore import (
+    LogStore,
+    PythonFSLogStore,
+    _strip_scheme,
+)
 from aoseventstreamer_spark.tablelog import (
-    _MANIFEST_DIGITS,
     _STATS_ATOMIC,
-    LOG_DIR,
     CommitConflict,
     _stat_encode,
     build_commit_doc,
-    replay_from,
+    resolve_state,
 )
 
 
-def _strip_scheme(path: str) -> str:
-    if path.startswith("file:"):
-        path = path[len("file:") :]
-        while path.startswith("//"):
-            path = path[1:]
-    return path.rstrip("/")
-
-
 class _LocalManifests:
-    """Plain-Python manifest IO (the storage shim — see module doc)."""
+    """Manifest IO over a pluggable plain-Python LogStore (default:
+    ``PythonFSLogStore``, byte-compatible with the JVM path on a
+    shared local directory; an object-store deployment passes
+    ``ObjectStoreLogStore`` — see logstore module doc)."""
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, log: LogStore | None = None):
         self.root = _strip_scheme(table_path)
-        self.log_dir = os.path.join(self.root, LOG_DIR)
+        self.log = log or PythonFSLogStore(table_path)
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
-        out = []
-        for name in os.listdir(self.log_dir):
-            stem, dot, ext = name.partition(".")
-            if ext == "json" and not name.startswith(".") and stem.isdigit():
-                out.append(int(stem))
-        return sorted(out)
+        return self.log.versions()
 
     def read(self, version: int) -> dict:
-        with open(
-            os.path.join(self.log_dir, f"{version:020d}.json")
-        ) as f:
-            return json.load(f)
+        return self.log.read(version)
 
     def state(self, version: int | None = None):
-        vs = self.versions()
+        vs = self.log.fast_versions()
         v = vs[-1] if version is None and vs else (version or 0)
+        if vs and 0 < v < vs[0]:
+            vs = self.log.versions()  # time travel below the pointer
         if vs and 0 < v < vs[0]:
             # below the retained log (expire_manifests): replaying
             # would silently yield an empty table — fail loudly, the
@@ -122,7 +113,7 @@ class _LocalManifests:
                 f"version {v} predates the retained log (oldest "
                 f"manifest is {vs[0]})"
             )
-        files, schema_doc, _txns, _cons = replay_from(vs, self.read, v)
+        files, schema_doc, _txns, _cons = resolve_state(self.log, v, vs)
         return files, schema_doc
 
     def schema(self) -> T.StructType:
@@ -181,24 +172,31 @@ class _LocalManifests:
 
 
 class _LocalCommitter:
-    """Plain-Python commit path for the NATIVE WRITER (the same
-    local-FS storage shim as ``_LocalManifests`` — an object-store
-    deployment swaps both for an fsspec-backed pair). Shares the
-    manifest-document construction with ``TableLog.commit`` through
-    ``build_commit_doc``, so the two write paths cannot drift; the
-    CAS is the same tmp-write + lock + rename-to-version protocol
-    (O_EXCL lock file, stale steal after 60 s)."""
+    """Plain-Python commit path for the NATIVE WRITER over a
+    pluggable LogStore (default ``PythonFSLogStore``, byte-compatible
+    with the JVM path on a shared directory; ``ObjectStoreLogStore``
+    for S3-class stores — one conditional PUT per commit, see the
+    logstore module doc). Shares the manifest-document construction
+    with ``TableLog.commit`` through ``build_commit_doc`` and the
+    replay through ``resolve_state``, so the two write paths cannot
+    drift."""
 
-    def __init__(self, table_path: str, checkpoint_interval: int = 10):
-        self.man = _LocalManifests(table_path)
+    def __init__(
+        self,
+        table_path: str,
+        checkpoint_interval: int = 10,
+        log: LogStore | None = None,
+    ):
+        self.man = _LocalManifests(table_path, log=log)
+        self.log = self.man.log
         self.checkpoint_interval = checkpoint_interval
 
     def latest(self) -> int:
-        vs = self.man.versions()
+        vs = self.log.fast_versions()
         return vs[-1] if vs else 0
 
     def replay(self, version: int):
-        return replay_from(self.man.versions(), self.man.read, version)
+        return resolve_state(self.log, version)
 
     def commit(
         self,
@@ -210,10 +208,8 @@ class _LocalCommitter:
         op_metrics: dict,
         expected_version: int,
     ) -> int:
-        import time as _t
-        import uuid as _uuid
-
         version = expected_version + 1
+        on_boundary = version % self.checkpoint_interval == 0
         doc = build_commit_doc(
             version,
             added=added,
@@ -225,47 +221,15 @@ class _LocalCommitter:
             op_metrics=op_metrics,
             constraints=None,
             checkpoint_state=(
-                self.replay(expected_version)
-                if version % self.checkpoint_interval == 0
-                else None
+                self.replay(expected_version) if on_boundary else None
             ),
         )
-        log_dir = self.man.log_dir
-        os.makedirs(log_dir, exist_ok=True)
-        tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        dst = os.path.join(log_dir, f"{version:0{_MANIFEST_DIGITS}d}.json")
-        lock = os.path.join(log_dir, ".commit.lock")
-        deadline = _t.time() + 30.0
-        while True:
+        self.log.write_atomic(version, doc)
+        if on_boundary:
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if _t.time() - os.path.getmtime(lock) > 60.0:
-                        os.unlink(lock)  # steal orphaned lock
-                        continue
-                except OSError:
-                    continue  # released between create and stat
-                if _t.time() > deadline:
-                    os.unlink(tmp)
-                    raise CommitConflict("commit lock held too long")
-                _t.sleep(0.01)
-        try:
-            if os.path.exists(dst):
-                os.unlink(tmp)
-                raise CommitConflict(
-                    f"version {version} was committed concurrently"
-                )
-            os.rename(tmp, dst)
-        finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+                self.log.write_pointer(version, {"format": "json"})
+            except Exception:
+                pass  # pointer is advice; the commit stands
         return version
 
 

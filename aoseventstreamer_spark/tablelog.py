@@ -110,14 +110,25 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-LOG_DIR = "_tablelog"
+from aoseventstreamer_spark.logstore import (
+    _LOCK_STALE_SECONDS,
+    _MANIFEST_DIGITS,
+    LOG_DIR,
+    CommitConflict,
+    HadoopLogStore,
+    LogStore,
+    checkpoint_name,
+    checkpoint_versions,
+    read_checkpoint,
+    write_checkpoint,
+)
+
 DV_DIR = "_dv"  # deletion-vector sidecars: _dv/<commit>/[__f=<file>]/
-_MANIFEST_DIGITS = 20
-_LOCK_STALE_SECONDS = 60.0
 
 
-class CommitConflict(Exception):
-    """Another writer committed this version first; re-derive and retry."""
+# CommitConflict is defined in logstore (the commit CAS lives there)
+# and re-exported here for compatibility: tablelog callers catch the
+# SAME class every LogStore implementation raises.
 
 
 class ConcurrentModification(CommitConflict):
@@ -490,6 +501,93 @@ def replay_from(
     return base, schema_doc, txns, constraints
 
 
+def replay_seeded(
+    versions: list[int],
+    read_manifest,
+    version: int,
+    seed_version: int,
+    seed: tuple,
+) -> tuple[dict[str, dict], dict | None, dict[str, int], dict[str, str]]:
+    """Fold the JSON manifests in ``(seed_version, version]`` onto a
+    checkpoint-seeded state. Correct regardless of ``full`` embeds in
+    the range (a checkpoint manifest's own actions are included in its
+    ``full``, so folding just the actions onto the correct prior state
+    yields the same result — the embed is a shortcut for UNseeded
+    walks, not extra state)."""
+    files, schema_doc, txns, constraints = seed
+    files = {k: dict(v) for k, v in files.items()}
+    txns = dict(txns)
+    constraints = dict(constraints)
+    for v in versions:
+        if not (seed_version < v <= version):
+            continue
+        m = read_manifest(v)
+        if m.get("schema") is not None:
+            schema_doc = m["schema"]
+        if m.get("constraints") is not None:
+            constraints = dict(m["constraints"])
+        if m.get("txn"):
+            app, tv = m["txn"]
+            txns[app] = max(int(tv), txns.get(app, -(10**18)))
+        for a in m["actions"]:
+            if a["op"] == "add":
+                files[a["path"]] = {
+                    "path": a["path"],
+                    "size": a.get("size", 0),
+                    "data_change": a.get("data_change", True),
+                    **({"stats": a["stats"]} if a.get("stats") else {}),
+                    **({"dv": a["dv"]} if a.get("dv") else {}),
+                }
+            else:
+                files.pop(a["path"], None)
+    return files, schema_doc, txns, constraints
+
+
+def resolve_state(
+    log: LogStore, version: int, versions: list[int] | None = None
+) -> tuple[dict[str, dict], dict | None, dict[str, int], dict[str, str]]:
+    """``replay_from`` generalized over a LogStore: seed from the
+    newest readable PARQUET checkpoint sidecar at or below ``version``
+    (pointer first — one aux read; the sidecar listing only as a
+    fallback for time travel below the pointer), then fold the JSON
+    tail. Tables with only JSON ``full`` checkpoints take the
+    classic backward walk. JVM-free; shared by TableLog._replay and
+    the native data source's _LocalManifests."""
+    vs = versions if versions is not None else log.fast_versions()
+    ptr = log.read_pointer()
+    if ptr is None or ptr.get("format") != "parquet":
+        # JSON-checkpoint table (or no checkpoint yet): the classic
+        # backward walk; no sidecar listing on this path
+        return replay_from(vs, log.read, version)
+    def candidates():
+        first = None
+        if ptr["version"] <= version:
+            first = int(ptr["version"])
+            yield first
+        # time travel below the pointer, or a torn pointer sidecar:
+        # fall back to the aux listing (bounded — old sidecars are
+        # retired on checkpoint write). Lazy: the happy path costs
+        # one pointer read, never a listing.
+        for c in reversed([c for c in checkpoint_versions(log) if c <= version]):
+            if c != first:
+                yield c
+
+    for c in candidates():
+        seed = read_checkpoint(log, c)
+        if seed is None:
+            continue  # torn/missing sidecar: try an older checkpoint
+        if vs and vs[0] > c + 1 and version > c:
+            # the fast list starts above the seed; the fold needs
+            # every manifest in (c, version]
+            vs = log.versions()
+        return replay_seeded(vs, log.read, version, c, seed)
+    # no readable sidecar at all (every checkpoint torn/expired): the
+    # fast list may START at the pointer, whose manifest carries no
+    # full embed in parquet mode — the unseeded walk needs the whole
+    # retained log
+    return replay_from(log.versions(), log.read, version)
+
+
 def build_commit_doc(
     version: int,
     *,
@@ -605,6 +703,8 @@ class TableLog:
         checkpoint_interval: int = 10,
         stats_columns: list[str] | None = None,
         max_stats_columns: int = 8,
+        log_store: LogStore | None = None,
+        checkpoint_format: str = "json",
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -615,99 +715,53 @@ class TableLog:
         # driver metadata replicated into every checkpoint manifest
         self.stats_columns = stats_columns
         self.max_stats_columns = max_stats_columns
+        # ``log_store`` swaps the COMMIT protocol, not the data I/O:
+        # HadoopLogStore (default, HDFS/local rename-CAS) or
+        # ObjectStoreLogStore (S3-class conditional PUT) — data files
+        # are invisible until a manifest names them, so they need no
+        # atomic namespace ops on any store (see logstore module doc).
+        self._log: LogStore = log_store or HadoopLogStore(spark, self.path)
+        if checkpoint_format not in ("json", "parquet"):
+            raise ValueError(
+                f"checkpoint_format must be 'json' or 'parquet', got "
+                f"{checkpoint_format!r}"
+            )
+        # 'json' embeds the full live set in every Nth manifest (the
+        # original format — fine to ~10^4 commits / 10^4 files);
+        # 'parquet' writes Delta-style sidecar checkpoints + the
+        # _last_checkpoint pointer instead, keeping manifests O(delta)
+        # and version resolution O(tail) at 10^5-10^6 commits
+        # (measured: tools/tablelog_logscale_probe.py)
+        self.checkpoint_format = checkpoint_format
         self._fs, self._root, self._jvm = _fs(spark, self.path)
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._log_dir = self._Path(f"{self.path}/{LOG_DIR}")
 
-    # ---------- log primitives ----------
-
-    def _manifest_path(self, version: int):
-        return self._Path(
-            f"{self.path}/{LOG_DIR}/{version:0{_MANIFEST_DIGITS}d}.json"
-        )
+    # ---------- log primitives (delegated to the LogStore) ----------
 
     def _list_versions(self) -> list[int]:
-        if not self._fs.exists(self._log_dir):
-            return []
-        out = []
-        for st in self._fs.listStatus(self._log_dir):
-            name = st.getPath().getName()
-            if name.endswith(".json") and not name.startswith("."):
-                stem = name[: -len(".json")]
-                if stem.isdigit():
-                    out.append(int(stem))
-        return sorted(out)
+        """FULL manifest listing — maintenance paths only (history,
+        expire, vacuum, version_at). Hot paths use the pointer-seeded
+        ``fast_versions`` via latest_version/_replay."""
+        return self._log.versions()
 
     def latest_version(self) -> int:
-        """0 = empty table (no commits)."""
-        vs = self._list_versions()
+        """0 = empty table (no commits). One pointer read + O(tail)
+        existence probes once a checkpoint pointer exists; a full
+        listing before that."""
+        vs = self._log.fast_versions()
         return vs[-1] if vs else 0
 
     def _read_manifest(self, version: int) -> dict:
-        p = self._manifest_path(version)
-        stream = self._fs.open(p)
-        try:
-            ioutils = self._jvm.org.apache.commons.io.IOUtils
-            data = bytes(ioutils.toByteArray(stream))
-        finally:
-            stream.close()
-        return json.loads(data.decode("utf-8"))
+        return self._log.read(version)
 
     def _write_manifest(self, version: int, doc: dict) -> None:
-        """tmp-write + rename-commit with a version CAS. The rename is
-        the commit point; losing the race raises CommitConflict.
-
-        The CAS is serialized through an atomic lock file
-        (``createNewFile`` — atomic exclusive create on HDFS AND on
-        the local FS, where a bare exists-check+rename would race:
-        Linux rename(2) silently overwrites an existing destination,
-        so two same-version committers could clobber each other).
-        A lock orphaned by a crash is stolen after
-        ``_LOCK_STALE_SECONDS``."""
-        tmp = self._Path(
-            f"{self.path}/{LOG_DIR}/.tmp-{uuid.uuid4().hex}.json"
-        )
-        self._fs.mkdirs(self._log_dir)
-        out = self._fs.create(tmp, True)
-        try:
-            out.write(bytearray(json.dumps(doc).encode("utf-8")))
-        finally:
-            out.close()
-        dst = self._manifest_path(version)
-        lock = self._Path(f"{self.path}/{LOG_DIR}/.commit.lock")
-        deadline = time.time() + 30.0
-
-        def try_lock() -> bool:
-            # createNewFile's default impl is exists-then-create, so a
-            # lost race can surface as FileAlreadyExistsException
-            # instead of False — both mean "lock busy"
-            try:
-                return bool(self._fs.createNewFile(lock))
-            except Exception:
-                return False
-
-        while not try_lock():
-            try:
-                age = time.time() - self._fs.getFileStatus(
-                    lock
-                ).getModificationTime() / 1000.0
-                if age > _LOCK_STALE_SECONDS:
-                    self._fs.delete(lock, False)  # steal orphaned lock
-                    continue
-            except Exception:
-                continue  # lock released between create and stat
-            if time.time() > deadline:
-                self._fs.delete(tmp, False)
-                raise CommitConflict("commit lock held too long")
-            time.sleep(0.01)
-        try:
-            if self._fs.exists(dst) or not self._fs.rename(tmp, dst):
-                self._fs.delete(tmp, False)
-                raise CommitConflict(
-                    f"version {version} was committed concurrently"
-                )
-        finally:
-            self._fs.delete(lock, False)
+        """Publish manifest ``version`` exactly once (the commit
+        point); losing the race raises CommitConflict. The atomic
+        primitive is the LogStore's: tmp-write + rename under an
+        exclusive-create lock on HDFS/local, ONE conditional PUT on
+        S3-class object stores."""
+        self._log.write_atomic(version, doc)
 
     # ---------- state reconstruction ----------
 
@@ -722,14 +776,18 @@ class TableLog:
         retained log (expire_manifests gave up that history) is
         refused loudly — replaying it would silently yield an empty
         table."""
-        vs = self._list_versions()
+        vs = self._log.fast_versions()
         if vs and 0 < version < vs[0]:
-            raise ValueError(
-                f"version {version} predates the retained log (oldest "
-                f"manifest is {vs[0]}; expire_manifests removed older "
-                "history)"
-            )
-        return replay_from(vs, self._read_manifest, version)
+            # below the pointer: re-list in full (time travel), and
+            # only refuse if the manifest truly expired
+            vs = self._log.versions()
+            if vs and 0 < version < vs[0]:
+                raise ValueError(
+                    f"version {version} predates the retained log "
+                    f"(oldest manifest is {vs[0]}; expire_manifests "
+                    "removed older history)"
+                )
+        return resolve_state(self._log, version, vs)
 
     def snapshot_files(self, version: int | None = None) -> list[dict]:
         v = self.latest_version() if version is None else version
@@ -791,6 +849,7 @@ class TableLog:
             else expected_version
         )
         version = base + 1
+        on_boundary = version % self.checkpoint_interval == 0
         doc = build_commit_doc(
             version,
             added=added,
@@ -803,11 +862,30 @@ class TableLog:
             constraints=constraints,
             checkpoint_state=(
                 self._replay(base)
-                if version % self.checkpoint_interval == 0
+                if on_boundary and self.checkpoint_format == "json"
                 else None
             ),
         )
         self._write_manifest(version, doc)
+        if on_boundary:
+            # checkpoint bookkeeping is POST-commit and best-effort:
+            # a crash here only means replay walks to the previous
+            # checkpoint. JSON mode embedded the state in the manifest
+            # itself and just advances the pointer; parquet mode
+            # writes the sidecar (bounded re-read: <=interval JSON
+            # manifests above the previous checkpoint). Old sidecars
+            # are retired by expire_manifests together with the
+            # manifests they anchor (retiring them here would starve
+            # expire of an anchor at its cutoff).
+            try:
+                if self.checkpoint_format == "json":
+                    self._log.write_pointer(version, {"format": "json"})
+                else:
+                    write_checkpoint(
+                        self._log, version, *self._replay(version)
+                    )
+            except Exception:
+                pass  # derived state; the committed manifest stands
         return version
 
     def _commit_or_rebase(
@@ -2912,17 +2990,24 @@ class TableLog:
         if not vs:
             return []
         cutoff = vs[-1] - retain_versions + 1
+        # a checkpoint is a full-embed JSON manifest OR a readable
+        # parquet sidecar — either anchors replay of everything above
+        sidecars = set(checkpoint_versions(self._log))
         anchor = None  # newest checkpoint <= cutoff
         for v in vs:
             if v > cutoff:
                 break
-            if self._read_manifest(v).get("full") is not None:
+            if v in sidecars and read_checkpoint(self._log, v) is not None:
+                anchor = v
+            elif self._read_manifest(v).get("full") is not None:
                 anchor = v
         if anchor is None:
             return []
         expired = [v for v in vs if v < anchor]
         for v in expired:
-            self._fs.delete(self._manifest_path(v), False)
+            self._log.delete_version(v)
+            if v in sidecars:
+                self._log.delete_aux(checkpoint_name(v))
         return expired
 
     def vacuum(
@@ -3001,13 +3086,7 @@ class TableLog:
                     continue
                 self._fs.delete(st.getPath(), False)
                 deleted.append(rel)
-        if self._fs.exists(self._log_dir):
-            for st in self._fs.listStatus(self._log_dir):
-                n = st.getPath().getName()
-                if n.startswith(".tmp-") and (
-                    st.getModificationTime() / 1000.0 < now - min_age_seconds
-                ):
-                    self._fs.delete(st.getPath(), False)
+        self._log.sweep_tmp(min_age_seconds)
         # sweep abandoned hidden stage dirs (writer died pre-promote)
         if not self._fs.exists(self._root):
             return deleted
@@ -3291,3 +3370,142 @@ def apply_agg_delta(
             ],
         )
     return merged.filter(F.col(count_col) != 0)
+
+
+def apply_minmax_delta(
+    state: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    cols: list[str],
+    rescan,
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental keyed COUNT + MIN/MAX maintenance from one CDF
+    batch. MIN/MAX are not groupwise-invertible (deleting the current
+    extremum reveals an unknown runner-up), so the fold is hybrid:
+
+    - inserts merge for free: new_min = least(state, batch_min);
+    - a group is RE-DERIVED only when the batch DELETES a value that
+      ties its current extremum (``del_min <= state_min`` — values
+      come from the table, so <= means "could be the minimum"; a tie
+      is conservative under duplicates). ``rescan(keys_df)`` is the
+      caller's bounded re-aggregation of exactly those groups against
+      the CURRENT table (e.g. ``table.read().join(broadcast(keys_df),
+      keys).groupBy(keys).agg(...)``), so the cost is proportional to
+      extremum-touching groups, never the table.
+
+    State columns: keys, ``count_col``, and ``min_<c>``/``max_<c>``
+    per tracked column. Keys whose count reaches zero drop out.
+    Equivalence to a fresh groupBy after every DML kind is asserted in
+    tests/test_tablelog_txn.py."""
+    from pyspark.sql import functions as F
+
+    sign = (
+        F.when(F.col("_change_type") == "insert", F.lit(1))
+        .when(F.col("_change_type") == "delete", F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    ins = F.col("_change_type") == "insert"
+    dele = F.col("_change_type") == "delete"
+    aggs = [F.sum(sign).alias("__dn")]
+    for c in cols:
+        aggs += [
+            F.min(F.when(ins, F.col(c))).alias(f"__imin_{c}"),
+            F.max(F.when(ins, F.col(c))).alias(f"__imax_{c}"),
+            F.min(F.when(dele, F.col(c))).alias(f"__dmin_{c}"),
+            F.max(F.when(dele, F.col(c))).alias(f"__dmax_{c}"),
+        ]
+    delta = changes.groupBy(*keys).agg(*aggs)
+    if state is None:
+        fresh = delta.filter(F.col("__dn") != 0)
+        return fresh.select(
+            *keys,
+            F.col("__dn").alias(count_col),
+            *[
+                x
+                for c in cols
+                for x in (
+                    F.col(f"__imin_{c}").alias(f"min_{c}"),
+                    F.col(f"__imax_{c}").alias(f"max_{c}"),
+                )
+            ],
+        )
+    merged = state.join(delta, on=keys, how="full_outer")
+    n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    merged = merged.withColumn("__n_new", n_new).filter(
+        F.col("__n_new") != 0
+    )
+    # a delete touching a current extremum (or a delete against a
+    # group the state never saw) forces a bounded re-derive
+    flag = F.lit(False)
+    for c in cols:
+        flag = (
+            flag
+            | (F.col(f"__dmin_{c}") <= F.col(f"min_{c}"))
+            | (F.col(f"__dmax_{c}") >= F.col(f"max_{c}"))
+            | (
+                F.col(count_col).isNull()
+                & F.col(f"__dmin_{c}").isNotNull()
+            )
+        )
+    flag = F.coalesce(flag, F.lit(False))
+    ok = merged.filter(~flag).select(
+        *keys,
+        F.col("__n_new").alias(count_col),
+        *[
+            x
+            for c in cols
+            for x in (
+                F.least(F.col(f"min_{c}"), F.col(f"__imin_{c}")).alias(
+                    f"min_{c}"
+                ),
+                F.greatest(
+                    F.col(f"max_{c}"), F.col(f"__imax_{c}")
+                ).alias(f"max_{c}"),
+            )
+        ],
+    )
+    stale = merged.filter(flag).select(*keys)
+    return ok.unionByName(rescan(stale))
+
+
+def apply_hll_delta(
+    state: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    key_col: str,
+    rescan,
+    p: int = 6,
+) -> DataFrame:
+    """Incremental keyed DISTINCT-COUNT maintenance via the portable
+    HLL registers (operators/hll.py). Registers are max-mergeable, so
+    INSERT batches fold for free (register-wise MAX of the batch
+    sketch); HLL supports no deletion, so any group the batch DELETES
+    from is re-derived by ``rescan(keys_df)`` — the caller's bounded
+    re-sketch of exactly those groups against the current table.
+    Groups that vanish entirely return no rescan rows and drop out.
+
+    State: (keys, bucket, max_rho) register rows per group — feed to
+    ``operators.hll.hll_estimate(state, p, group_cols=keys)`` for the
+    estimates. Register-exact equality with a fresh sketch after
+    every DML kind is asserted in tests/test_tablelog_txn.py."""
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.operators.hll import hll_sketch
+
+    ins = changes.filter(F.col("_change_type") == "insert")
+    del_groups = (
+        changes.filter(F.col("_change_type") == "delete")
+        .select(*keys)
+        .distinct()
+    )
+    batch = hll_sketch(ins, key_col, p, group_cols=keys)
+    merged = batch if state is None else state.unionByName(batch)
+    merged = merged.groupBy(*keys, "bucket").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    # deletes invalidate the whole group register set: drop + re-derive
+    kept = merged.join(del_groups, on=keys, how="left_anti")
+    return kept.unionByName(rescan(del_groups))

@@ -81,13 +81,13 @@ def test_checkpoint_bounds_replay(spark, tmp_path):
     m6 = log._read_manifest(6)
     assert m6.get("full") is not None and m6.get("schema") is not None
     reads = []
-    orig = log._read_manifest
+    orig = log._log.read
 
     def counting(v):
         reads.append(v)
         return orig(v)
 
-    log._read_manifest = counting
+    log._log.read = counting
     files = log.snapshot_files(7)
     assert len(files) == sum(1 for _ in files)
     assert set(reads) == {6, 7}

@@ -22,9 +22,11 @@ def _read_rows(log):
     return sorted(tuple(r) for r in log.read().collect())
 
 
-def _run_sequence(spark, tmp_path, seed: str, n_ops: int) -> list[str]:
+def _run_sequence(
+    spark, tmp_path, seed: str, n_ops: int, **table_kw
+) -> list[str]:
     rng = random.Random(seed)
-    log = TableLog(spark, str(tmp_path / f"m{seed}"))
+    log = TableLog(spark, str(tmp_path / f"m{seed}"), **table_kw)
     model: list[tuple] = []  # logical rows (id, k, v)
     snapshots: dict[int, list[tuple]] = {}
     next_id = 0
@@ -160,3 +162,38 @@ def test_model_sequence_seed_a(spark, tmp_path):
 
 def test_model_sequence_seed_b(spark, tmp_path):
     _run_sequence(spark, tmp_path, "r8-model-b", 14)
+
+
+def test_model_sequence_parquet_checkpoints(spark, tmp_path):
+    """The same randomized DML model on the parquet-checkpoint log
+    (sidecar + _last_checkpoint pointer): every step and every
+    time-travel read must match the model exactly."""
+    _run_sequence(
+        spark,
+        tmp_path,
+        "r9-model-pq",
+        14,
+        checkpoint_interval=3,
+        checkpoint_format="parquet",
+    )
+
+
+def test_model_sequence_object_store_committer(spark, tmp_path):
+    """The model suite on the S3-semantics conditional-PUT committer
+    with parquet checkpoints — the full 100 TB storage posture."""
+    from aoseventstreamer_spark.logstore import (
+        LocalEmulatedObjectStore,
+        ObjectStoreLogStore,
+    )
+
+    _run_sequence(
+        spark,
+        tmp_path,
+        "r9-model-obj",
+        14,
+        checkpoint_interval=3,
+        checkpoint_format="parquet",
+        log_store=ObjectStoreLogStore(
+            LocalEmulatedObjectStore(str(tmp_path / "bucket"))
+        ),
+    )

@@ -508,3 +508,151 @@ def test_incremental_sum_view_tracks_batch_groupby(spark, tmp_path):
     log.delete_where([("v", "=", 2)], use_dv=True)
     fold()
     assert state.filter(F.col("n") <= 0).count() == 0
+
+
+def test_incremental_minmax_view_tracks_batch_groupby(spark, tmp_path):
+    """apply_minmax_delta folded over the CDF tail equals a fresh
+    groupBy COUNT/MIN/MAX after every DML kind; only extremum-deleting
+    batches trigger the bounded rescan."""
+    from aoseventstreamer_spark.tablelog import apply_minmax_delta
+
+    log = TableLog(spark, str(tmp_path / "mm"))
+    stream = TableLogChangeStream(spark, log.path, str(tmp_path / "mm_ckpt"))
+    state = None
+    rescans = []
+
+    def rescan(keys_df):
+        keys_df = spark.createDataFrame(keys_df.collect(), keys_df.schema)
+        rescans.append(keys_df.count())
+        return (
+            log.read()
+            .join(F.broadcast(keys_df), on=["v"])
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("amt").alias("min_amt"),
+                F.max("amt").alias("max_amt"),
+            )
+        )
+
+    def fold():
+        nonlocal state
+
+        def deliver(frm, to, df):
+            nonlocal state
+            state = apply_minmax_delta(state, df, ["v"], ["amt"], rescan)
+            state = spark.createDataFrame(state.collect(), state.schema)
+
+        stream.run_once(deliver)
+        want = _rows(
+            log.read()
+            .groupBy("v")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("amt").alias("min_amt"),
+                F.max("amt").alias("max_amt"),
+            )
+        )
+        got = _rows(state) if state is not None else []
+        assert got == want, f"state diverged: {got} != {want}"
+
+    log.append(
+        spark.range(100)
+        .select("id", (F.col("id") % 5).alias("v"), (F.col("id") * 3).alias("amt"))
+        .coalesce(1)
+    )
+    fold()
+    # insert-only batch: NO rescan fires
+    log.append(
+        spark.range(100, 120)
+        .select("id", (F.col("id") % 5).alias("v"), (F.col("id") * 3).alias("amt"))
+        .coalesce(1)
+    )
+    fold()
+    assert sum(rescans) == 0  # insert-only batches never rescan
+    # delete the global max rows: only touched groups rescan
+    log.delete_where([("id", ">=", 110)], use_dv=True)
+    fold()
+    assert 0 < rescans[-1] <= 5
+    # interior delete (amt strictly inside every group's range after a
+    # min-side guard): delete ids 40..49 — min ids are 0..4 per group
+    log.delete_where([("id", ">=", 40), ("id", "<", 50)])
+    fold()
+    # update = delete+insert pair; extremum-touching -> rescan
+    log.update_where([("id", "<", 5)], {"amt": "amt + 100000"}, use_dv=True)
+    fold()
+    # whole group disappears: state row drops
+    log.delete_where([("v", "=", 2)])
+    fold()
+    assert state.filter(F.col("n") <= 0).count() == 0
+
+
+def test_incremental_hll_view_matches_fresh_sketch(spark, tmp_path):
+    """apply_hll_delta keeps the per-group HLL registers REGISTER-EXACT
+    vs a fresh sketch of the table after every DML kind (insert-only
+    batches merge; delete-touching groups re-derive)."""
+    from aoseventstreamer_spark.operators.hll import hll_estimate, hll_sketch
+    from aoseventstreamer_spark.tablelog import apply_hll_delta
+
+    P = 5
+    log = TableLog(spark, str(tmp_path / "hv"))
+    stream = TableLogChangeStream(spark, log.path, str(tmp_path / "hv_ckpt"))
+    state = None
+
+    def rescan(keys_df):
+        keys_df = spark.createDataFrame(keys_df.collect(), keys_df.schema)
+        return hll_sketch(
+            log.read().join(F.broadcast(keys_df), on=["v"]),
+            "uid",
+            P,
+            group_cols=["v"],
+        )
+
+    def fold():
+        nonlocal state
+
+        def deliver(frm, to, df):
+            nonlocal state
+            state = apply_hll_delta(state, df, ["v"], "uid", rescan, p=P)
+            state = spark.createDataFrame(state.collect(), state.schema)
+
+        stream.run_once(deliver)
+        want = _rows(hll_sketch(log.read(), "uid", P, group_cols=["v"]))
+        got = _rows(state) if state is not None else []
+        assert got == want, f"registers diverged: {got} != {want}"
+
+    log.append(
+        spark.range(200)
+        .select(
+            "id",
+            (F.col("id") % 4).alias("v"),
+            (F.col("id") % 37).cast("string").alias("uid"),
+        )
+        .coalesce(1)
+    )
+    fold()
+    log.append(
+        spark.range(200, 260)
+        .select(
+            "id",
+            (F.col("id") % 4).alias("v"),
+            (F.col("id") % 53).cast("string").alias("uid"),
+        )
+        .coalesce(1)
+    )
+    fold()
+    log.delete_where([("id", ">=", 230)], use_dv=True)
+    fold()
+    log.update_where(
+        [("id", "<", 10)],
+        {"uid": "CAST(CAST(uid AS BIGINT) + 7 AS STRING)"},
+    )
+    fold()
+    log.delete_where([("v", "=", 3)])
+    fold()
+    # the maintained registers drive the same estimates as a fresh one
+    est_inc = _rows(hll_estimate(state, P, group_cols=["v"]))
+    est_new = _rows(
+        hll_estimate(hll_sketch(log.read(), "uid", P, group_cols=["v"]), P, group_cols=["v"])
+    )
+    assert est_inc == est_new

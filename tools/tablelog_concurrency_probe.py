@@ -21,6 +21,12 @@ C. OPTIMIZE UNDER APPEND FIRE: one thread compacts in a loop while
    re-runs on ConcurrentModification; the final row multiset must be
    unchanged by any number of compactions.
 
+All three probes run twice: on the default HDFS/local rename-CAS
+committer AND on the S3-semantics object-store committer
+(conditional-PUT CAS, no rename anywhere in the store API — see
+logstore.py) — proving the commit protocol refuses lost updates under
+BOTH storage families.
+
 Usage: python tools/tablelog_concurrency_probe.py [writers] [appends]
 """
 
@@ -35,11 +41,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aoseventstreamer_spark import get_spark  # noqa: E402
+from aoseventstreamer_spark.logstore import (  # noqa: E402
+    LocalEmulatedObjectStore,
+    ObjectStoreLogStore,
+)
 from aoseventstreamer_spark.tablelog import (  # noqa: E402
     CommitConflict,
     ConcurrentModification,
     TableLog,
 )
+
+
+def _mk_default(spark, path):
+    return TableLog(spark, path)
+
+
+def _mk_objectstore(spark, path):
+    """S3-semantics committer: manifests live in a sibling 'bucket'
+    (flat keys, conditional PUT as the only atomic primitive)."""
+    return TableLog(
+        spark,
+        path,
+        log_store=ObjectStoreLogStore(
+            LocalEmulatedObjectStore(path + "-objbucket")
+        ),
+    )
+
+
+MODES = {"hdfs-rename-cas": _mk_default, "s3-conditional-put": _mk_objectstore}
 
 
 class _CountingLog(TableLog):
@@ -58,14 +87,15 @@ class _CountingLog(TableLog):
             raise
 
 
-def probe_appends(spark, writers: int, appends: int) -> dict:
+def probe_appends(spark, writers: int, appends: int, mk=_mk_default) -> dict:
     path = tempfile.mkdtemp(prefix="tl_conc_a_")
     rows_per = 100
     errs: list[Exception] = []
     _CountingLog.conflicts = 0
 
     def work(w: int):
-        log = _CountingLog(spark, path)
+        base_log = mk(spark, path)
+        log = _CountingLog(spark, path, log_store=base_log._log)
         for k in range(appends):
             base = (w * appends + k) * rows_per
             df = spark.range(base, base + rows_per).selectExpr(
@@ -81,7 +111,7 @@ def probe_appends(spark, writers: int, appends: int) -> dict:
     [t.start() for t in ts]
     [t.join() for t in ts]
     wall = time.time() - t0
-    log = TableLog(spark, path)
+    log = mk(spark, path)
     n = log.read().count()
     distinct = log.read().select("id").distinct().count()
     expect = writers * appends * rows_per
@@ -103,10 +133,10 @@ def probe_appends(spark, writers: int, appends: int) -> dict:
     }
 
 
-def probe_disjoint_dml(spark, writers: int) -> dict:
+def probe_disjoint_dml(spark, writers: int, mk=_mk_default) -> dict:
     path = tempfile.mkdtemp(prefix="tl_conc_d_")
     total = writers * 200
-    log = TableLog(spark, path)
+    log = mk(spark, path)
     # interleaved layout: file j holds ids ≡ j (mod writers), so every
     # contiguous id-range delete touches EVERY file — all concurrent
     # deletes collide on their touched sets and losers MUST re-derive
@@ -122,7 +152,7 @@ def probe_disjoint_dml(spark, writers: int) -> dict:
     def work(w: int):
         # each writer deletes a disjoint id slice, but the interleaved
         # file layout makes every slice touch every file
-        lg = TableLog(spark, path)
+        lg = mk(spark, path)
         lo = w * 200 + 50
         try:
             lg.delete_where([("id", ">=", lo), ("id", "<", lo + 100)])
@@ -150,16 +180,18 @@ def probe_disjoint_dml(spark, writers: int) -> dict:
     }
 
 
-def probe_optimize_under_appends(spark, appenders: int, appends: int) -> dict:
+def probe_optimize_under_appends(
+    spark, appenders: int, appends: int, mk=_mk_default
+) -> dict:
     path = tempfile.mkdtemp(prefix="tl_conc_o_")
-    log = TableLog(spark, path)
+    log = mk(spark, path)
     log.append(spark.range(0, 50).selectExpr("id", "id % 7 AS v").coalesce(1))
     stop = threading.Event()
     opt_runs = {"ok": 0, "rederived": 0}
     errs: list[Exception] = []
 
     def optimizer():
-        lg = TableLog(spark, path)
+        lg = mk(spark, path)
         while not stop.is_set():
             try:
                 lg.optimize(min_files=2, small_file_bytes=1 << 30)
@@ -171,7 +203,7 @@ def probe_optimize_under_appends(spark, appenders: int, appends: int) -> dict:
             time.sleep(0.05)
 
     def appender(w: int):
-        lg = TableLog(spark, path)
+        lg = mk(spark, path)
         for k in range(appends):
             base = 1000 + (w * appends + k) * 100
             try:
@@ -212,9 +244,11 @@ if __name__ == "__main__":
     appends = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     spark = get_spark("tablelog-concurrency-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
-    print("A. blind appends:", probe_appends(spark, writers, appends))
-    print("B. disjoint DML :", probe_disjoint_dml(spark, 4))
-    print(
-        "C. optimize fire:",
-        probe_optimize_under_appends(spark, appenders=4, appends=3),
-    )
+    for mode, mk in MODES.items():
+        print(f"== committer: {mode} ==")
+        print("A. blind appends:", probe_appends(spark, writers, appends, mk))
+        print("B. disjoint DML :", probe_disjoint_dml(spark, 4, mk))
+        print(
+            "C. optimize fire:",
+            probe_optimize_under_appends(spark, appenders=4, appends=3, mk=mk),
+        )
