@@ -538,3 +538,69 @@ def q_tablelog_or_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = log.delete_where(pred, use_dv=True)
     assert res["rows_deleted"] > 0
     return log.read()
+
+
+@query(
+    "q_tablelog_sql",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars
+    FROM documents
+    WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    GROUP BY lang
+    """,
+)
+def q_tablelog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface over the table format
+    (tablelog.create_or_replace_view + spark.sql): the corpus lands in
+    the log, a DELETE rewrites a slice, the HEAD snapshot registers as
+    a session view, and a plain spark.sql aggregate over the view is
+    hash-exact against the relational complement. This is the
+    Delta-user idiom — ``SELECT ... FROM t`` with the manifest, not a
+    directory listing, deciding what the scan reads."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_sql_"))
+    log.append(docs.coalesce(2))
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    return log.sql(
+        """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        FROM tl_sql_head GROUP BY lang
+        """,
+        view="tl_sql_head",
+    )
+
+
+@query(
+    "q_tablelog_sql_time_travel",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    """,
+)
+def q_tablelog_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VERSION AS OF`` through the SQL surface: after a DELETE and
+    an UPDATE have rewritten files, a view registered AT the pre-DML
+    version aggregates the ORIGINAL corpus — hash-exact against the
+    plain scan. The view pins its snapshot (immutable data files), so
+    the later DML is invisible to it by construction."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_sqltt_"))
+    log.append(docs.coalesce(2))
+    v1 = log.latest_version()
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    log.update_where([("doc_id", "in", [1, 2, 3])], {"lang": "'xx'"})
+    log.create_or_replace_view("tl_sql_v1", version=v1)
+    return spark.sql(
+        "SELECT lang, COUNT(*) AS n_docs FROM tl_sql_v1 GROUP BY lang"
+    )

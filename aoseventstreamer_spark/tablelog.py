@@ -1763,6 +1763,40 @@ class TableLog:
             out = out.unionByName(p)
         return out
 
+    def create_or_replace_view(
+        self,
+        name: str,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        where: list | None = None,
+    ) -> str:
+        """SQL surface: register a SNAPSHOT of this table as a session
+        temp view, so ``spark.sql`` queries it like any table —
+        including time travel (``version=`` / ``as_of_timestamp_ms=``
+        are Delta's ``VERSION AS OF`` / ``TIMESTAMP AS OF`` idiom; see
+        docs/MIGRATION.md for worked examples). The view PINS the
+        snapshot resolved at registration: data files are immutable,
+        so later commits/OPTIMIZE/DML never change what the view
+        reads — re-register (same name) to follow the head. ``where``
+        pre-applies a predicate so manifest-stats file skipping runs
+        at registration and the SQL plan scans only surviving files.
+        Returns ``name`` for chaining into ``spark.sql``."""
+        df = self.read(
+            version=version,
+            as_of_timestamp_ms=as_of_timestamp_ms,
+            where=where,
+        )
+        df.createOrReplaceTempView(name)
+        return name
+
+    def sql(self, statement: str, view: str = "t", **view_kw) -> DataFrame:
+        """One-shot SQL over a snapshot: registers the view and runs
+        the statement (``log.sql("SELECT lang, count(*) FROM t GROUP
+        BY lang")``). ``view_kw`` forwards to create_or_replace_view
+        (version/as_of_timestamp_ms/where)."""
+        self.create_or_replace_view(view, **view_kw)
+        return self.spark.sql(statement)
+
     def history(self, limit: int | None = None) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit, newest first —
         version, commit timestamp, the operation that produced it
