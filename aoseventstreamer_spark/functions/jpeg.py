@@ -317,6 +317,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise JPEGError(f"malformed JPEG structure: {e}") from e
 
 
+def _check_sampling(comps) -> None:
+    """r9 fresh-eyes guards: a sampling factor of 0 (corrupt SOF)
+    previously crashed the MCU geometry with ZeroDivisionError instead
+    of a typed error, and NON-DIVISIBLE ratios (e.g. 3:2 — legal but
+    exotic; T.81 only bounds factors to 1..4) mis-shaped _assemble's
+    integer np.repeat upsampling. Both now raise typed errors so the
+    batch decode path degrades to its documented skip/stub behavior."""
+    for cid, hi, vi, _tq in comps:
+        if not (1 <= hi <= 4 and 1 <= vi <= 4):
+            raise JPEGError(f"component {cid}: sampling {hi}x{vi} out of range")
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    for cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise UnsupportedJPEGError(
+                f"non-integer sampling ratio ({hi}x{vi} vs max {hmax}x{vmax})"
+            )
+
+
 def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
@@ -361,6 +380,7 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _check_sampling(comps)
             frame = (h, w, comps, precision)
         elif marker == 0xC2:  # SOF2 — progressive: hand the rest of
             # the stream to the multi-scan coefficient decoder
@@ -377,6 +397,7 @@ def _parse_segments(b, pos, qtables, huff_dc, huff_ac, restart_interval, frame):
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            _check_sampling(comps)
             return _decode_progressive(
                 b, pos + 2 + seglen, (h, w, comps), qtables,
                 huff_dc, huff_ac, restart_interval,

@@ -44,6 +44,18 @@ Scale notes:
   lang-id / quality head has; for hundreds of classes, invert to a
   join on (token) against the model and pivot, which this module's
   model layout already supports.
+
+r9 fresh-eyes review (rounds 4-5 rotation): checked, sound — (1) docs
+with zero tokens produce no feature rows and therefore no score/
+prediction row in BOTH engines (the oracles build from the same
+exploded stream), a documented design choice, not a silent drop on
+one side; (2) the negate-before-integer-divide comment on
+nb_classify's score is load-bearing (Spark div truncates, DuckDB //
+floors; they agree only on non-negative operands); (3) gumbel_key_u's
++0.5/2^32 offset keeps u strictly inside (0,1) so -ln(-ln(u)) is
+always finite; (4) dsir_select's global selection is orderBy+limit
+(TakeOrderedAndProject — per-partition heaps), with the rank window
+over only the k survivors.
 """
 
 from __future__ import annotations

@@ -22,6 +22,18 @@ Hyperplanes have two derivation paths:
   known at plan-build time, plane components are hash-derived
   (xxhash64) per row, sized from the data itself so a wrong dim can
   never silently collapse every row into one bucket.
+
+r9 fresh-eyes review (rounds 4-5 rotation): (1) FIXED — zero-norm
+vectors produced NaN cosine, and NaN is the LARGEST double under
+Spark's desc ordering, so one all-zero embedding surfaced as every
+query's top neighbor in brute-force/LSH/IVF top-k; zero-norm rows are
+now excluded on both sides like dim-mismatched rows (near-dup pair
+paths were already safe: `sim >= threshold` is false for NaN).
+(2) Checked, sound: fused/join bucket formulas match (tested), fused
+per-partition pair dedup is globally correct (each candidate row in
+one partition), multiprobe XOR never touches the table prefix
+(flipped bits < n_planes), `cosine_near_dup_pairs(n_planes=None)`
+pays one corpus count() by documented design.
 """
 
 from __future__ import annotations
@@ -75,14 +87,26 @@ def brute_force_topk(
     from ..session import ensure_parallelism
 
     embeddings = ensure_parallelism(embeddings)
-    cand = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        as_double_vec(vec_col).alias("cand_vec"),
-    ).withColumn("cand_norm", l2_norm(F.col("cand_vec")))
-    qry = queries.select(
-        F.col(id_col).alias("query_id"),
-        as_double_vec(vec_col).alias("query_vec"),
-    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+    # zero-norm vectors are EXCLUDED like dim-mismatched ones: their
+    # cosine is 0/0 = NaN, and NaN is the LARGEST double under Spark's
+    # desc ordering — one all-zero embedding would otherwise surface
+    # as every query's top neighbor (r9 fresh-eyes finding)
+    cand = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            as_double_vec(vec_col).alias("cand_vec"),
+        )
+        .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
+        .filter(F.col("cand_norm") > 0)
+    )
+    qry = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("query_vec"),
+        )
+        .withColumn("query_norm", l2_norm(F.col("query_vec")))
+        .filter(F.col("query_norm") > 0)
+    )
 
     join_cond = (
         F.col("query_id") != F.col("cand_id") if exclude_self else F.lit(True)
@@ -299,19 +323,27 @@ def lsh_ann_topk(
             )
     else:
         buckets = _packed_buckets_udf(n_planes, n_tables, dim)
+        # zero-norm exclusion: same rationale as brute_force_topk
+        # (NaN sim would win the desc top-k window)
         cand = (
             ensure_parallelism(embeddings)
             .select(
                 F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
             )
-            .filter(F.size("cand_vec") == F.lit(dim))
+            .filter(
+                (F.size("cand_vec") == F.lit(dim))
+                & (l2_norm(F.col("cand_vec")) > 0)
+            )
             .withColumn("bucket", F.explode(buckets(F.col("cand_vec"))))
         )
         qry = (
             queries.select(
                 F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
             )
-            .filter(F.size("query_vec") == F.lit(dim))
+            .filter(
+                (F.size("query_vec") == F.lit(dim))
+                & (l2_norm(F.col("query_vec")) > 0)
+            )
             .withColumn("bucket", F.explode(buckets(F.col("query_vec"))))
         )
         cos = _cosine_udf()
@@ -364,6 +396,11 @@ def _fused_bucket_score(
     q_ids = q_pdf["query_id"].to_numpy()
     q_mat = np.vstack(q_pdf["query_vec"].to_numpy())  # (nq, dim)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    nz = q_norm > 0  # zero-norm queries: cosine is NaN — exclude
+    if not nz.all():
+        q_ids, q_mat, q_norm = q_ids[nz], q_mat[nz], q_norm[nz]
+        if len(q_ids) == 0:
+            return None
 
     planes = np.array(
         [
@@ -442,8 +479,16 @@ def _fused_bucket_score(
                 continue
             qi, ci, cand_ids = qi[keep], ci[keep], cand_ids[keep]
             mc = m[ci]
+            c_norm = np.linalg.norm(mc, axis=1)
+            nz_c = c_norm > 0  # zero-norm candidates: NaN sim — drop
+            if not nz_c.all():
+                qi, ci, cand_ids, mc, c_norm = (
+                    qi[nz_c], ci[nz_c], cand_ids[nz_c], mc[nz_c], c_norm[nz_c]
+                )
+                if len(qi) == 0:
+                    continue
             sims = np.einsum("ij,ij->i", q_mat[qi], mc) / (
-                q_norm[qi] * np.linalg.norm(mc, axis=1)
+                q_norm[qi] * c_norm
             )
             yield pd.DataFrame(
                 {"query_id": q_ids[qi], "cand_id": cand_ids, "sim": sims}
@@ -492,6 +537,7 @@ def ivf_topk(
         model.transform(with_features)
         .select("cand_id", "cand_vec", F.col("prediction").alias("cluster"))
         .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
+        .filter(F.col("cand_norm") > 0)  # NaN sim wins desc — exclude
     )
 
     spark = embeddings.sparkSession
@@ -500,9 +546,14 @@ def ivf_topk(
         "cluster int, centroid array<double>",
     )
 
-    qry = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("query_vec")
-    ).withColumn("query_norm", l2_norm(F.col("query_vec")))
+    qry = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_vec(vec_col).alias("query_vec"),
+        )
+        .withColumn("query_norm", l2_norm(F.col("query_vec")))
+        .filter(F.col("query_norm") > 0)
+    )
     # nearest n_probe centroids per query (centroid table is tiny)
     q_cluster = (
         qry.crossJoin(F.broadcast(centroids))

@@ -340,3 +340,35 @@ def test_12bit_baseline_sof0_still_rejected():
     data[i + 1] = 0xC0  # rewrite SOF1 -> SOF0, keep precision byte 12
     with pytest.raises(jpeg.UnsupportedJPEGError, match="12-bit"):
         jpeg.decode_jpeg(bytes(data))
+
+
+def test_corrupt_sampling_factors_raise_typed_errors():
+    """r9 fresh-eyes regression: sampling factor 0 (corrupt SOF) must
+    raise JPEGError, and a legal-but-exotic non-divisible ratio (3:2)
+    must raise UnsupportedJPEGError — neither may escape as
+    ZeroDivisionError / shape crash from the MCU geometry."""
+    import numpy as np
+    import pytest
+
+    from aoseventstreamer_spark.functions.jpeg import (
+        JPEGError,
+        UnsupportedJPEGError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = (np.arange(16 * 16 * 3) % 255).reshape(16, 16, 3).astype("uint8")
+    data = bytearray(encode_jpeg(img))
+    # find the SOF0 and patch component 0's sampling byte
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    hv_off = i + 4 + 6 + 1  # marker+len+prec+dims+ncomp, then cid, hv
+    orig = data[hv_off]
+    data[hv_off] = 0x00  # h=0, v=0
+    with pytest.raises(JPEGError):
+        decode_jpeg(bytes(data))
+    data[hv_off] = 0x32  # 3x2 against 1x1 chroma: non-divisible h
+    with pytest.raises((UnsupportedJPEGError, JPEGError)):
+        decode_jpeg(bytes(data))
+    data[hv_off] = orig
+    assert decode_jpeg(bytes(data)).shape == (16, 16, 3)

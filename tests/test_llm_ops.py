@@ -279,3 +279,31 @@ def test_portable_pq_structure_and_duplicate_is_nearest(spark):
         df, q, m_subspaces=4, n_clusters=4, k=10, dim=16
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_zero_norm_vectors_never_rank_as_neighbors(spark):
+    """r9 fresh-eyes regression: a zero vector's cosine is 0/0 = NaN,
+    and NaN is the LARGEST double under Spark's desc ordering — before
+    the fix, one all-zero embedding surfaced as EVERY query's top
+    neighbor in the float top-k paths. Zero-norm rows must be excluded
+    on both sides of brute-force, LSH (both strategies), and IVF."""
+    from aoseventstreamer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_ann_topk,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)])
+            for i in range(30)]
+    rows.append((99, [0.0] * 8))  # the zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for out in (
+        brute_force_topk(emb, emb, k=3),
+        lsh_ann_topk(emb, emb, k=3, n_planes=2, n_tables=2, strategy="fused"),
+        lsh_ann_topk(emb, emb, k=3, n_planes=2, n_tables=2, strategy="join"),
+        ivf_topk(emb, emb, k=3, n_clusters=2, n_probe=2),
+    ):
+        pdf = out.toPandas()
+        assert 99 not in set(pdf["neighbor_id"]), "zero vec ranked as neighbor"
+        assert 99 not in set(pdf["query_id"])
+        assert not pdf["sim"].isna().any()
