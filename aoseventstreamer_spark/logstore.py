@@ -374,12 +374,25 @@ class PythonFSLogStore(LogStore):
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, self._aux_path(name))  # atomic on POSIX
+        self._drop_crc(name)
+
+    def _drop_crc(self, name: str) -> None:
+        # mixed-committer interop: Hadoop's ChecksumFileSystem leaves a
+        # `.{name}.crc` sidecar when the JVM store wrote this aux file;
+        # a plain-Python overwrite would leave the stale checksum in
+        # place and every subsequent JVM read of the pointer would fail
+        # verification and read as "no pointer" (r9 test finding)
+        try:
+            os.unlink(os.path.join(self.log_dir, f".{name}.crc"))
+        except OSError:
+            pass
 
     def delete_aux(self, name: str) -> None:
         try:
             os.unlink(self._aux_path(name))
         except FileNotFoundError:
             pass
+        self._drop_crc(name)
 
     def list_aux(self, suffix: str) -> list[str]:
         if not os.path.isdir(self.log_dir):

@@ -97,6 +97,22 @@ class _LocalManifests:
     def versions(self) -> list[int]:
         return self.log.versions()
 
+    def latest(self) -> int:
+        """Head version via the checkpoint pointer (one aux read +
+        O(tail) probes) — the per-microbatch resolution cost at 10^5
+        commits, vs the O(commits) full listing."""
+        vs = self.log.fast_versions()
+        return vs[-1] if vs else 0
+
+    def versions_above(self, floor: int) -> list[int]:
+        """Versions > floor: pointer-seeded when the fast list covers
+        the range (stream tails — floor is recent), full listing for
+        deep catch-up from an old offset."""
+        vs = self.log.fast_versions()
+        if vs and vs[0] > floor + 1:
+            vs = self.log.versions()
+        return [v for v in vs if v > floor]
+
     def read(self, version: int) -> dict:
         return self.log.read(version)
 
@@ -145,8 +161,8 @@ class _LocalManifests:
         surviving rows (Delta's ignoreChanges contract; layout-only
         OPTIMIZE commits stay invisible)."""
         out = []
-        for v in self.versions():
-            if start_v < v <= end_v:
+        for v in self.versions_above(start_v):
+            if v <= end_v:
                 for a in self.read(v)["actions"]:
                     if a["op"] == "add" and a.get("data_change", True):
                         out.append(
@@ -284,31 +300,62 @@ class _StatsAgg:
 
 
 @dataclass
-class _StagedFile(WriterCommitMessage):
-    rel_path: str  # "" = empty task, nothing staged
+class _StagedFile:
+    rel_path: str  # within the hidden stage dir
     size: int
     stats: dict | None
+    part_dir: str = ""  # "a=v1/b=v2" hive prefix, "" for flat
+
+
+@dataclass
+class _TaskFiles(WriterCommitMessage):
+    files: list  # list[_StagedFile]; empty = empty task
 
 
 class TableLogBatchWriter(DataSourceArrowWriter):
     """df.write.format("tablelog").mode("append"|"overwrite"): each
-    task streams its Arrow batches straight into ONE staged parquet
-    file (stats computed inline), and commit() promotes the staged
-    files + writes the manifest through the shared commit protocol —
-    an all-or-nothing transactional write with a CAS retry against
-    concurrent committers. Refused on tables with CHECK constraints
-    (the plain-Python committer cannot evaluate SQL expressions) or a
-    partitioned live layout (the native writer writes flat files)."""
+    task streams its Arrow batches straight into staged parquet files
+    (stats computed inline), and commit() promotes the staged files +
+    writes the manifest through the shared commit protocol — an
+    all-or-nothing transactional write with a CAS retry against
+    concurrent committers. ``option("partitionBy", "a,b")`` writes a
+    hive layout (dynamic partitioning: one staged file per partition
+    value per task, values Spark-escaped, partition columns live in
+    the dir name and re-attach on read); appends to a partitioned
+    table must declare the SAME layout. Refused on tables with CHECK
+    constraints (the plain-Python committer cannot evaluate SQL
+    expressions — write through TableLog.append instead)."""
 
-    def __init__(self, path: str, schema: T.StructType, overwrite: bool):
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        overwrite: bool,
+        partition_by: list[str] | None = None,
+    ):
         self.path = _strip_scheme(path)
         self.schema_ = schema
         self.overwrite = overwrite
+        self.partition_by = list(partition_by or [])
+        missing = [c for c in self.partition_by if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"partitionBy columns {missing} not in the write schema"
+            )
         self.write_id = __import__("uuid").uuid4().hex
 
     # -- executor side --
 
-    def write(self, iterator) -> _StagedFile:
+    def _data_schema(self) -> T.StructType:
+        """The stored-file schema: partition columns live in the dir
+        name (hive), not the parquet data."""
+        if not self.partition_by:
+            return self.schema_
+        return T.StructType(
+            [f for f in self.schema_.fields if f.name not in self.partition_by]
+        )
+
+    def write(self, iterator) -> _TaskFiles:
         import uuid as _uuid
 
         import pyarrow as pa
@@ -316,25 +363,88 @@ class TableLogBatchWriter(DataSourceArrowWriter):
 
         stage_dir = os.path.join(self.path, f".dsstage-{self.write_id}")
         os.makedirs(stage_dir, exist_ok=True)
-        name = f"part-{_uuid.uuid4().hex}.parquet"
-        fpath = os.path.join(stage_dir, name)
-        writer = None
-        agg = _StatsAgg(self.schema_)
-        for batch in iterator:
+        if not self.partition_by:
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            fpath = os.path.join(stage_dir, name)
+            writer = None
+            agg = _StatsAgg(self.schema_)
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(fpath, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                agg.update(batch)
             if writer is None:
-                writer = pq.ParquetWriter(fpath, batch.schema)
-            writer.write_table(pa.Table.from_batches([batch]))
-            agg.update(batch)
-        if writer is None:
-            return _StagedFile("", 0, None)  # empty task
-        writer.close()
-        return _StagedFile(
-            f".dsstage-{self.write_id}/{name}",
-            os.path.getsize(fpath),
-            agg.result(),
-        )
+                return _TaskFiles([])  # empty task
+            writer.close()
+            return _TaskFiles(
+                [
+                    _StagedFile(
+                        f".dsstage-{self.write_id}/{name}",
+                        os.path.getsize(fpath),
+                        agg.result(),
+                    )
+                ]
+            )
+        # hive-partitioned: ONE staged file per partition value seen by
+        # this task (dynamic partitioning — Spark's own writer shape).
+        # Rows are grouped per batch with an Arrow-side key split; the
+        # partition columns are dropped from the data (they live in the
+        # dir name) and re-attach on read like any hive layout.
+        data_schema = self._data_schema()
+        open_files: dict[str, tuple] = {}  # part_dir -> (writer, path, agg)
+        pcols = self.partition_by
+        for batch in iterator:
+            tbl = pa.Table.from_batches([batch])
+            keys = list(
+                zip(*[tbl.column(c).to_pylist() for c in pcols])
+            )
+            by_key: dict[tuple, list[int]] = {}
+            for i, k in enumerate(keys):
+                by_key.setdefault(k, []).append(i)
+            data_tbl = tbl.drop_columns(pcols)
+            for k, idxs in by_key.items():
+                part_dir = _hive_dir(pcols, k)
+                slot = open_files.get(part_dir)
+                piece = data_tbl.take(idxs)
+                if slot is None:
+                    sub = os.path.join(stage_dir, part_dir)
+                    os.makedirs(sub, exist_ok=True)
+                    fpath = os.path.join(
+                        sub, f"part-{_uuid.uuid4().hex}.parquet"
+                    )
+                    slot = (
+                        pq.ParquetWriter(fpath, piece.schema),
+                        fpath,
+                        _StatsAgg(data_schema),
+                        part_dir,
+                    )
+                    open_files[part_dir] = slot
+                slot[0].write_table(piece)
+                for b in piece.to_batches():
+                    slot[2].update(b)
+        out = []
+        for writer, fpath, agg, part_dir in open_files.values():
+            writer.close()
+            out.append(
+                _StagedFile(
+                    os.path.relpath(fpath, self.path),
+                    os.path.getsize(fpath),
+                    agg.result(),
+                    part_dir,
+                )
+            )
+        return _TaskFiles(out)
 
     # -- driver side --
+
+    @staticmethod
+    def _live_pcols(live: dict) -> list[str]:
+        """Partition columns of the live layout (from any one path —
+        the layout is uniform by construction of the write paths)."""
+        for p in live:
+            segs = [seg.partition("=")[0] for seg in p.split("/")[:-1] if "=" in seg]
+            return segs
+        return []
 
     def _guards(self, live: dict, constraints: dict) -> None:
         if constraints:
@@ -342,35 +452,39 @@ class TableLogBatchWriter(DataSourceArrowWriter):
                 "table has CHECK constraints; the native writer cannot "
                 "validate them — write through TableLog.append instead"
             )
-        if not self.overwrite and any("=" in p.split("/")[0] for p in live):
-            raise ValueError(
-                "table has a hive-partitioned live layout; the native "
-                "writer writes flat files — append through "
-                "TableLog.append(partition_by=...) instead"
-            )
+        if not self.overwrite and live:
+            have = self._live_pcols(live)
+            if have != self.partition_by:
+                raise ValueError(
+                    f"table's live layout is partitioned by {have}; this "
+                    f"write declares partitionBy={self.partition_by} — "
+                    "match the layout (option('partitionBy', "
+                    f"{','.join(have)!r})) or overwrite"
+                )
 
     def _promote(self, messages) -> list[dict]:
+        import shutil as _shutil
         import uuid as _uuid
 
         entries = []
         for m in messages:
-            if not m or not m.rel_path:
+            if not m:
                 continue
-            final = f"part-{_uuid.uuid4().hex}.parquet"
-            os.rename(
-                os.path.join(self.path, m.rel_path),
-                os.path.join(self.path, final),
-            )
-            e = {"path": final, "size": int(m.size)}
-            if m.stats:
-                e["stats"] = m.stats
-            entries.append(e)
+            for f in m.files:
+                if not f.rel_path:
+                    continue
+                prefix = f"{f.part_dir}/" if f.part_dir else ""
+                final = f"{prefix}part-{_uuid.uuid4().hex}.parquet"
+                dst = os.path.join(self.path, final)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(self.path, f.rel_path), dst)
+                e = {"path": final, "size": int(f.size)}
+                if f.stats:
+                    e["stats"] = f.stats
+                entries.append(e)
         stage = os.path.join(self.path, f".dsstage-{self.write_id}")
         if os.path.isdir(stage):
-            try:
-                os.rmdir(stage)
-            except OSError:
-                pass  # a straggler file: vacuum sweeps the stage dir
+            _shutil.rmtree(stage, ignore_errors=True)
         return entries
 
     def _schema_for_commit(self, stored_json: dict | None) -> dict | None:
@@ -467,9 +581,13 @@ class TableLogStreamWriter(TableLogBatchWriter, DataSourceStreamArrowWriter):
     stable across restarts."""
 
     def __init__(
-        self, path: str, schema: T.StructType, txn_app: str | None
+        self,
+        path: str,
+        schema: T.StructType,
+        txn_app: str | None,
+        partition_by: list[str] | None = None,
     ):
-        super().__init__(path, schema, overwrite=False)
+        super().__init__(path, schema, overwrite=False, partition_by=partition_by)
         self.txn_app = txn_app or f"tablelog-native-sink:{self.path}"
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
@@ -524,6 +642,49 @@ class _ChangePartition(InputPartition):
         self.removes = removes
 
 
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]}') | {chr(c) for c in range(0x20)}
+
+
+def _escape_hive(v: str) -> str:
+    """Spark's escapePathName: %XX-encode the path-hostile chars so a
+    hive dir written here reads back identically through Spark's own
+    partition parsing."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in v
+    )
+
+
+def _unescape_hive(v: str) -> str:
+    """Spark's unescapePathName (%XX sequences only)."""
+    out = []
+    i = 0
+    while i < len(v):
+        if v[i] == "%" and i + 2 < len(v) + 1 and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(v[i])
+        i += 1
+    return "".join(out)
+
+
+def _hive_dir(pcols: list[str], key) -> str:
+    """'a=v1/b=v2' for one partition-value tuple (Spark conventions:
+    None -> __HIVE_DEFAULT_PARTITION__; values escaped)."""
+    parts = []
+    for c, v in zip(pcols, key):
+        sv = (
+            "__HIVE_DEFAULT_PARTITION__"
+            if v is None
+            else _escape_hive(str(v))
+        )
+        parts.append(f"{c}={sv}")
+    return "/".join(parts)
+
+
 def _dv_positions(root: str, dv_rel: str):
     """Deleted row positions of one data file: its dv sidecar is a
     parquet dir of ``pos`` values (``_dv/<commit>/__f=<key>/``)."""
@@ -552,7 +713,11 @@ def _read_file_batches(
     for seg in rel_path.split("/")[:-1]:
         if "=" in seg:
             k, _, v = seg.partition("=")
-            part_vals[k] = v
+            # Spark-written dirs %XX-escape path-hostile chars; decode
+            # so native reads match TableLog.read (r9)
+            part_vals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else _unescape_hive(v)
+            )
     table = pq.read_table(os.path.join(root, rel_path))
     if dv_rel is not None:
         dead = _dv_positions(root, dv_rel)
@@ -773,8 +938,8 @@ class TableLogStreamReader(DataSourceStreamReader):
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
-        vs = _LocalManifests(self.path).versions()
-        return {"version": vs[-1] if vs else self.starting}
+        v = _LocalManifests(self.path).latest()
+        return {"version": v if v else self.starting}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         entries = _LocalManifests(self.path).adds_between(
@@ -821,14 +986,14 @@ class TableLogCDFStreamReader(DataSourceStreamReader):
         return {"version": self.starting}
 
     def latestOffset(self) -> dict:
-        vs = _LocalManifests(self.path).versions()
-        return {"version": vs[-1] if vs else self.starting}
+        v = _LocalManifests(self.path).latest()
+        return {"version": v if v else self.starting}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         man = _LocalManifests(self.path)
         out: list[InputPartition] = []
-        for v in man.versions():
-            if not (int(start["version"]) < v <= int(end["version"])):
+        for v in man.versions_above(int(start["version"])):
+            if v > int(end["version"]):
                 continue
             adds, removes = [], []
             for a in man.read(v)["actions"]:
@@ -926,8 +1091,16 @@ class TableLogDataSource(DataSource):
             str(self.options.get("ignorechanges", "false")).lower() == "true",
         )
 
+    def _partition_by_opt(self) -> list[str] | None:
+        raw = self.options.get("partitionby")
+        if raw is None:
+            return None
+        return [c.strip() for c in str(raw).split(",") if c.strip()]
+
     def writer(self, schema: T.StructType, overwrite: bool):
-        return TableLogBatchWriter(self._path(), schema, overwrite)
+        return TableLogBatchWriter(
+            self._path(), schema, overwrite, self._partition_by_opt()
+        )
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         if overwrite:
@@ -935,7 +1108,10 @@ class TableLogDataSource(DataSource):
                 "the tablelog stream sink supports append mode only"
             )
         return TableLogStreamWriter(
-            self._path(), schema, self.options.get("txnapp")
+            self._path(),
+            schema,
+            self.options.get("txnapp"),
+            self._partition_by_opt(),
         )
 
 

@@ -555,3 +555,201 @@ def test_native_and_jvm_committers_interoperate(registered, tmp_path):
         + [x for i in (1, 2, 3) for x in range(1000 * i, 1000 * i + 10)]
     )
     assert got == want
+
+
+def test_stream_tails_parquet_checkpoint_table_across_optimize(
+    registered, tmp_path
+):
+    """Native stream over a checkpoint_format='parquet' table: the
+    pointer-seeded offset resolution and sidecar replay must deliver
+    every append exactly once, and an OPTIMIZE of the consumed region
+    must stay invisible across a restart — the r9 storage posture
+    (pointer + sidecars) under Spark's own offsets."""
+    spark = registered
+    log = TableLog(
+        spark,
+        str(tmp_path / "pq_t"),
+        checkpoint_interval=3,
+        checkpoint_format="parquet",
+    )
+    for i in range(5):
+        log.append(spark.range(i * 10, i * 10 + 10).select("id").coalesce(1))
+    ck = str(tmp_path / "pq_ck")
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(r.id for r in batch_df.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("tablelog")
+            .load(log.path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(got) == list(range(50))
+    rep = log.optimize(min_files=2)
+    assert rep["files_removed"] > 0
+    log.append(spark.range(50, 60).select("id").coalesce(1))
+    run_once()
+    assert sorted(got) == list(range(60)) and len(got) == 60
+
+
+def test_mixed_committers_keep_pointer_coherent(spark, tmp_path):
+    """A table written by BOTH the JVM TableLog (parquet checkpoints)
+    and the plain-Python committer (JSON full-embed checkpoints):
+    whichever checkpoint is NEWEST wins the pointer, and replay is
+    correct through either kind (replay_seeded folds actions over a
+    sidecar seed; replay_from stops at a full embed)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from aoseventstreamer_spark.sources.tablelog_source import _LocalCommitter
+
+    path = str(tmp_path / "mixed")
+    log = TableLog(
+        spark, path, checkpoint_interval=2, checkpoint_format="parquet"
+    )
+    for i in range(4):  # sidecars at v2, v4; pointer format=parquet
+        log.append(spark.range(i * 5, i * 5 + 5).select("id").coalesce(1))
+    assert log._log.read_pointer()["format"] == "parquet"
+    # native committer appends v5, v6 (JSON checkpoint at v6)
+    committer = _LocalCommitter(path, checkpoint_interval=2)
+    schema_json = _json.loads(spark.range(1).select("id").schema.json())
+    for k in range(2):
+        spark.range(100 + k * 5, 105 + k * 5).select("id").coalesce(
+            1
+        ).write.parquet(f"{path}/stage{k}")
+        part = next(
+            f
+            for f in _os.listdir(f"{path}/stage{k}")
+            if f.endswith(".parquet")
+        )
+        final = f"native-{k}.parquet"
+        _shutil.move(f"{path}/stage{k}/{part}", f"{path}/{final}")
+        _shutil.rmtree(f"{path}/stage{k}")
+        committer.commit(
+            added=[{"path": final, "size": _os.path.getsize(f"{path}/{final}")}],
+            removed=[],
+            schema_json=schema_json,
+            txn=None,
+            operation="APPEND",
+            op_metrics={},
+            expected_version=4 + k,
+        )
+    ptr = log._log.read_pointer()
+    assert ptr["version"] == 6 and ptr["format"] == "json"
+    # both readers agree on the full row set at head and at v4
+    want = sorted(list(range(20)) + list(range(100, 110)))
+    assert sorted(r.id for r in log.read().collect()) == want
+    assert sorted(r.id for r in log.read(version=4).collect()) == list(range(20))
+    native = spark.read.format("tablelog")
+    # (format() read needs the registering thread; spark fixture is it)
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+
+    register_tablelog_source(spark)
+    got = sorted(
+        r.id for r in spark.read.format("tablelog").load(path).collect()
+    )
+    assert got == want
+
+
+def test_native_writer_hive_partitioned(registered, tmp_path):
+    """df.write.format('tablelog').option('partitionBy', ...) writes a
+    hive layout: one file per partition value per task, partition
+    columns stored in the dir name (dropped from the parquet), values
+    escaped Spark-style — and both the native reader and TableLog.read
+    reproduce the rows exactly, including partition pruning."""
+    spark = registered
+    path = str(tmp_path / "npart")
+    df = spark.range(40).select(
+        "id",
+        (F.col("id") % 3).alias("p"),
+        F.concat(F.lit("v "), (F.col("id") % 2).cast("string")).alias("s"),
+    )
+    (
+        df.coalesce(2)
+        .write.format("tablelog")
+        .option("partitionBy", "p,s")
+        .mode("append")
+        .save(path)
+    )
+    log = TableLog(spark, path)
+    files = log.snapshot_files()
+    # spaces are legal in hive dirs (Spark leaves them raw)
+    assert all("p=" in e["path"] and "s=v " in e["path"] for e in files)
+    assert _rows(log.read().select("id", "p", "s")) == _rows(df)
+    native = spark.read.format("tablelog").load(path)
+    assert _rows(native.select("id", "p", "s")) == _rows(df)
+    # append must declare the SAME layout
+    with pytest.raises(Exception, match="partitioned by"):
+        df.coalesce(1).write.format("tablelog").mode("append").save(path)
+    (
+        spark.range(40, 50)
+        .select(
+            "id",
+            (F.col("id") % 3).alias("p"),
+            F.concat(F.lit("v "), (F.col("id") % 2).cast("string")).alias("s"),
+        )
+        .coalesce(1)
+        .write.format("tablelog")
+        .option("partitionBy", "p,s")
+        .mode("append")
+        .save(path)
+    )
+    assert log.read().count() == 50
+    # null partition values take the hive default dir and read back null
+    spark.createDataFrame(
+        [(100, None, "v 0")], "id long, p long, s string"
+    ).coalesce(1).write.format("tablelog").option("partitionBy", "p,s").mode(
+        "append"
+    ).save(path)
+    row = log.read().filter(F.col("id") == 100).collect()[0]
+    assert row.p is None and row.s == "v 0"
+    # path-hostile partition values %XX-escape and round-trip exactly
+    spark.createDataFrame(
+        [(101, 1, "a/b=c%d")], "id long, p long, s string"
+    ).coalesce(1).write.format("tablelog").option("partitionBy", "p,s").mode(
+        "append"
+    ).save(path)
+    assert any("s=a%2Fb%3Dc%25d" in e["path"] for e in TableLog(spark, path).snapshot_files())
+    row = log.read().filter(F.col("id") == 101).collect()[0]
+    assert row.s == "a/b=c%d"
+    native_row = (
+        spark.read.format("tablelog").load(path).filter(F.col("id") == 101).collect()[0]
+    )
+    assert native_row.s == "a/b=c%d"
+
+
+def test_native_stream_sink_partitioned(registered, tmp_path):
+    """The exactly-once stream sink with option('partitionBy', ...):
+    micro-batches land hive-partitioned with the txn stamp intact."""
+    spark = registered
+    src = str(tmp_path / "src_p")
+    dst = str(tmp_path / "dst_p")
+    TableLog(spark, src).append(
+        spark.range(30).select("id", (F.col("id") % 3).alias("p")).coalesce(1)
+    )
+    q = (
+        spark.readStream.format("tablelog")
+        .load(src)
+        .writeStream.format("tablelog")
+        .option("checkpointLocation", str(tmp_path / "ck_p"))
+        .option("partitionBy", "p")
+        .option("txnApp", "psink")
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    q.awaitTermination(120)
+    out = TableLog(spark, dst)
+    assert out.read().count() == 30
+    assert all("p=" in e["path"] for e in out.snapshot_files())
+    assert out.last_txn_version("psink") >= 0
