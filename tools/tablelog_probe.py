@@ -60,17 +60,17 @@ def main() -> None:
         head = log.latest_version()
 
         reads = []
-        orig = log._read_manifest
+        orig = log._log.read
 
         def counting(v):
             reads.append(v)
             return orig(v)
 
-        log._read_manifest = counting
+        log._log.read = counting
         t0 = time.time()
         files = log.snapshot_files()
         resolve_ms = (time.time() - t0) * 1000
-        log._read_manifest = orig
+        log._log.read = orig
         manifests_read = len(reads)
 
         t0 = time.time()
