@@ -604,3 +604,109 @@ def q_tablelog_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT lang, COUNT(*) AS n_docs FROM tl_sql_v1 GROUP BY lang"
     )
+
+
+@query(
+    "q_ivm_minmax",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 31 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents
+      WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    )
+    SELECT lang, COUNT(*) AS n,
+           MIN(n_chars) AS min_n_chars,
+           MAX(n_chars) AS max_n_chars
+    FROM post GROUP BY lang
+    """,
+)
+def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MIN/MAX view maintenance
+    (tablelog.apply_minmax_delta): the corpus lands in the log, a
+    DELETE and an UPDATE land as further commits, and the keyed
+    COUNT/MIN/MAX state is maintained by folding EACH commit's CDF
+    batch in sequence — inserts merge free, only batches deleting a
+    group's current extremum re-derive those groups against the
+    snapshot AT that commit (bounded rescan). The folded state is
+    hash-exact against a fresh relational aggregate of the post-DML
+    table — the invariant that makes the view trustworthy as a
+    freshness dashboard at 100 TB (one partial-agg shuffle per CDF
+    batch, never a base-table rescan)."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog, apply_minmax_delta
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_ivm_minmax_"))
+    log.append(docs.coalesce(2))
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    # the where grammar has no modulo: enumerate the %31==0 ids up to
+    # the corpus max (one scalar agg — same convention as the other
+    # tablelog queries' id-offset derivation)
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    log.update_where(
+        [("doc_id", "in", list(range(0, hi, 31)))],
+        {"n_chars": "n_chars + 1000"},
+    )
+    state = None
+    for v in range(1, log.latest_version() + 1):
+        changes = log.read_changes(v - 1, v)
+
+        def rescan(keys_df, _v=v):
+            return (
+                log.read(version=_v)
+                .join(F.broadcast(keys_df), on=["lang"])
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("n_chars").alias("min_n_chars"),
+                    F.max("n_chars").alias("max_n_chars"),
+                )
+            )
+
+        state = apply_minmax_delta(state, changes, ["lang"], ["n_chars"], rescan)
+        # pin the fold (a real consumer checkpoints state per batch)
+        state = spark.createDataFrame(state.collect(), state.schema)
+    return state.select(
+        "lang",
+        "n",
+        F.col("min_n_chars"),
+        F.col("max_n_chars"),
+    )
+
+
+@query(
+    "q_ivm_agg",
+    oracle="""
+    WITH post AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    )
+    SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+    FROM post GROUP BY lang
+    """,
+)
+def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT+SUM view maintenance
+    (tablelog.apply_agg_delta) folded per commit over the CDF — the
+    DELETE's pre-image rows subtract exactly, and the folded state is
+    hash-exact against the fresh relational aggregate (no rescan
+    anywhere: COUNT/SUM are fully invertible)."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog, apply_agg_delta
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_ivm_agg_"))
+    log.append(docs.coalesce(2))
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    state = None
+    for v in range(1, log.latest_version() + 1):
+        changes = log.read_changes(v - 1, v)
+        state = apply_agg_delta(
+            state, changes, ["lang"], {"n_chars": "sum_chars"}
+        )
+        state = spark.createDataFrame(state.collect(), state.schema)
+    return state
