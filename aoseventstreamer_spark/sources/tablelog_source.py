@@ -142,13 +142,17 @@ class _LocalManifests:
 
     def version_at(self, timestamp_ms: int) -> int:
         """Newest version committed at or before ``timestamp_ms``
-        (commit timestamps are monotone under the commit lock)."""
-        best = 0
-        for v in self.versions():
-            if self.read(v).get("timestamp_ms", 0) <= timestamp_ms:
-                best = v
+        (commit timestamps are monotone under the commit CAS). Binary
+        search — O(log N) manifest reads, same as TableLog.version_at."""
+        vs = self.versions()
+        lo, hi, best = 0, len(vs) - 1, 0
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.read(vs[mid]).get("timestamp_ms", 0) <= timestamp_ms:
+                best = vs[mid]
+                lo = mid + 1
             else:
-                break
+                hi = mid - 1
         return best
 
     def adds_between(
