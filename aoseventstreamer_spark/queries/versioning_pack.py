@@ -710,3 +710,34 @@ def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = spark.createDataFrame(state.collect(), state.schema)
     return state
+
+
+@query(
+    "q_tablelog_timestamp_travel",
+    oracle="""
+    SELECT doc_id, text, lang FROM documents
+    """,
+)
+def q_tablelog_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF time travel (tablelog.read(as_of_timestamp_ms)
+    via the binary-searched version_at): a timestamp taken between the
+    corpus load and the DML reads back the original corpus bit-exact
+    after a DELETE and an UPDATE rewrote files — the timestamp resolves
+    to the pre-DML version because commit timestamps are monotone
+    under the commit CAS. Hash-exact against the plain corpus scan."""
+    import tempfile
+    import time as _time
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_ts_"))
+    log.append(docs.coalesce(2))
+    # manifest timestamps have millisecond granularity: ensure the
+    # probe timestamp strictly separates the load from the DML
+    _time.sleep(0.05)
+    t_mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    log.update_where([("doc_id", "in", [1, 2, 3])], {"lang": "'xx'"})
+    return log.read(as_of_timestamp_ms=t_mid)
