@@ -258,8 +258,14 @@ class LogStore:
             return None  # torn/garbage pointer: advice only, fall back
 
     def write_pointer(self, version: int, extra: dict | None = None) -> None:
-        """Advance the checkpoint pointer (monotone: never regress a
-        newer one — two committers may checkpoint out of order)."""
+        """Advance the checkpoint pointer (monotone guard: never
+        regress a newer one — two committers may checkpoint out of
+        order). The read-then-write is NOT atomic, so a narrow
+        interleaving can still land an older version; that is safe by
+        construction — the pointer is resolution ADVICE, a stale value
+        only means fast_versions probes a longer tail (or falls back
+        to the listing), never a wrong answer, and the next checkpoint
+        re-advances it (r9 self-review note)."""
         cur = self.read_pointer()
         if cur and cur["version"] >= version:
             return
