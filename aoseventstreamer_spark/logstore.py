@@ -95,7 +95,11 @@ class ObjectStore:
     def get(self, key: str) -> bytes:  # KeyError when absent
         raise NotImplementedError
 
-    def list(self, prefix: str) -> list[str]:
+    def list(self, prefix: str, start_after: str | None = None) -> list[str]:
+        """Keys under ``prefix``, sorted; ``start_after`` maps to S3
+        ListObjectsV2's start-after (strictly greater keys only) —
+        the one-request alternative to N existence HEADs when a
+        caller knows a lower bound."""
         raise NotImplementedError
 
     def delete(self, key: str) -> None:  # absent key is a no-op (S3)
@@ -128,9 +132,15 @@ class MemoryObjectStore(ObjectStore):
         with self._mu:
             return self._objects[key]
 
-    def list(self, prefix):
+    def list(self, prefix, start_after=None):
         with self._mu:
-            return sorted(k for k in self._objects if k.startswith(prefix))
+            self.list_calls = getattr(self, "list_calls", 0) + 1
+            return sorted(
+                k
+                for k in self._objects
+                if k.startswith(prefix)
+                and (start_after is None or k > start_after)
+            )
 
     def delete(self, key):
         with self._mu:
@@ -178,14 +188,16 @@ class LocalEmulatedObjectStore(ObjectStore):
         except FileNotFoundError:
             raise KeyError(key) from None
 
-    def list(self, prefix):
+    def list(self, prefix, start_after=None):
         out = []
         for dirpath, _dirs, files in os.walk(self.root):
             for name in files:
                 key = os.path.relpath(
                     os.path.join(dirpath, name), self.root
                 ).replace(os.sep, "/")
-                if key.startswith(prefix):
+                if key.startswith(prefix) and (
+                    start_after is None or key > start_after
+                ):
                     out.append(key)
         return sorted(out)
 
@@ -488,6 +500,27 @@ class ObjectStoreLogStore(LogStore):
 
     def sweep_tmp(self, min_age_seconds: float) -> None:
         pass  # the conditional-PUT protocol writes no tmp objects
+
+    def fast_versions(self) -> list[int]:
+        """Object-store override: the tail above the pointer comes
+        from ONE ListObjectsV2 request (start-after = the pointer's
+        key) instead of per-version existence HEADs — manifest keys
+        are zero-padded, so lexicographic order IS numeric order."""
+        ptr = self.read_pointer()
+        if ptr:
+            v0 = int(ptr["version"])
+            if self.exists(v0):
+                plen = len(self.prefix)
+                tail = [v0]
+                for key in self.store.list(
+                    self.prefix, start_after=self._key(v0)
+                ):
+                    name = key[plen:]
+                    stem, _, ext = name.partition(".")
+                    if ext == "json" and stem.isdigit():
+                        tail.append(int(stem))
+                return sorted(tail)
+        return self.versions()
 
 
 class HadoopLogStore(LogStore):

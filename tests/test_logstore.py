@@ -446,3 +446,26 @@ def test_parquet_mode_on_object_store(spark, tmp_path):
     assert log.read().count() == 65
     assert log._log.read_pointer()["format"] == "parquet"
     assert log.read(version=3).count() == 30
+
+
+def test_object_store_fast_versions_single_list(tmp_path):
+    """On an object store, the tail above the pointer must come from
+    ONE ListObjectsV2 request (start-after), not per-version HEADs —
+    at a 10^5-commit log that is 1 request vs N round-trips."""
+    store = MemoryObjectStore()
+    log = ObjectStoreLogStore(store)
+    for v in range(1, 26):
+        log.write_atomic(v, {"version": v, "actions": []})
+    log.write_pointer(20, {"format": "json"})
+    store.list_calls = 0
+    assert log.fast_versions() == list(range(20, 26))
+    assert store.list_calls == 1
+    # no pointer: falls back to the full listing (still one request)
+    log.delete_aux("_last_checkpoint")
+    store.list_calls = 0
+    assert log.fast_versions() == list(range(1, 26))
+    assert store.list_calls == 1
+    # start_after semantics are strictly-greater (S3 contract)
+    assert log._key(20) not in store.list(
+        log.prefix, start_after=log._key(20)
+    )
