@@ -27,6 +27,12 @@ per-doc average divides as positive integers (Spark ``div`` truncates
 toward zero, DuckDB ``//`` floors — they agree only on non-negative
 operands, so the negated log-prob sum is divided, not the raw one);
 only then does one exp land back in float space.
+
+r9 fresh-eyes review: checked, sound — the sequence(1, 0)-descending
+trap (Spark fabricates a reversed pair on 1-token docs) is guarded by
+the documented size >= 2 filter at every _bigrams() call site; the
+pruned-vocab broadcast bound and the c1-from-c2 derivation (no second
+corpus pass) hold as documented.
 """
 
 from __future__ import annotations

@@ -2,6 +2,13 @@
 ID (stopword heuristic), quality scoring, token counting, and document
 fingerprinting. All built-in expressions — identical SQL is runnable by
 the DuckDB oracle, and at scale everything stays in codegen.
+
+r9 fresh-eyes review: checked, sound. One convention worth knowing:
+``split('', '\\s+')`` yields [''] (one empty-string token) in BOTH
+Spark and DuckDB, so an empty document carries a single '' token
+through vocab/LM/simhash on both engines identically — a quirk, not a
+divergence. lang_id's when-chain priority (en before de/fr/es) is the
+tie-break and is mirrored by its oracles.
 """
 
 from __future__ import annotations
