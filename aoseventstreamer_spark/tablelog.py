@@ -3089,13 +3089,24 @@ class TableLog:
         # (round-9 ADVICE finding). Superseded generations (present in
         # some retained manifest's actions) are committed history and
         # sweep under the caller's age policy as before.
+        #
+        # The reference scan is BOUNDED: it only changes the verdict
+        # for generations YOUNGER than the stale window (older ones
+        # sweep regardless), and a young generation's referencing
+        # commit is equally recent — so walk manifests newest-first
+        # and stop once commit timestamps fall behind the window
+        # (plus slack), instead of reading all O(history) manifests.
         referenced_in_log: set[str] = set()
-        for v in self._list_versions():
-            for a in self._read_manifest(v).get("actions", []):
+        horizon_ms = (now - 2 * _LOCK_STALE_SECONDS) * 1000
+        for v in reversed(self._list_versions()):
+            m = self._read_manifest(v)
+            for a in m.get("actions", []):
                 if a.get("dv"):
                     referenced_in_log.add(
                         a["dv"]["path"].rsplit("/", 1)[0]
                     )
+            if m.get("timestamp_ms", 0) < horizon_ms:
+                break
         dv_root = self._Path(f"{self.path}/{DV_DIR}")
         if self._fs.exists(dv_root):
             for st in self._fs.listStatus(dv_root):
