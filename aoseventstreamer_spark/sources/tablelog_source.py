@@ -646,7 +646,7 @@ class _ChangePartition(InputPartition):
         self.removes = removes
 
 
-_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]}') | {chr(c) for c in range(0x20)}
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^}') | {chr(c) for c in range(0x20)}
 
 
 def _escape_hive(v: str) -> str:

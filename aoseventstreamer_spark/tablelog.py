@@ -585,7 +585,26 @@ def resolve_state(
     # fast list may START at the pointer, whose manifest carries no
     # full embed in parquet mode — the unseeded walk needs the whole
     # retained log
-    return replay_from(log.versions(), log.read, version)
+    full_vs = [v for v in log.versions() if v <= version]
+    if full_vs and full_vs[0] > 1:
+        # expire_manifests dropped history below full_vs[0]; in
+        # parquet mode the retained JSON manifests carry no 'full'
+        # embed, so an unseeded fold would SILENTLY start from an
+        # empty base and return a wrong, near-empty live set (r9
+        # ADVICE). Refuse loudly unless some retained manifest is a
+        # replayable anchor — mirror the 'predates the retained log'
+        # refusal.
+        if not any(
+            log.read(v).get("full") is not None for v in reversed(full_vs)
+        ):
+            raise ValueError(
+                f"no replayable checkpoint anchor for version {version}: "
+                f"every parquet checkpoint sidecar is unreadable and the "
+                f"retained manifests (oldest {full_vs[0]}) carry no "
+                "'full' embed — replay would silently yield a wrong "
+                "(near-empty) table"
+            )
+    return replay_from(full_vs, log.read, version)
 
 
 def build_commit_doc(

@@ -1,0 +1,190 @@
+"""The commit protocol through EXTERNALLY MAINTAINED filesystem
+implementations (r9 verdict item 1: both shipped object-store
+emulations are in-repo and could encode the same wrong assumption
+twice — list ordering after overwrite, ``start_after`` edge
+semantics, list-after-write visibility). ``PyArrowFSObjectStore``
+binds the 5-method ``ObjectStore`` client to ``pyarrow.fs`` (always
+available); ``FsspecObjectStore`` binds it to fsspec when importable
+(skipped otherwise — fsspec is absent from the pinned environment).
+
+Every semantic the in-repo emulations are probed for runs here too:
+conditional-PUT create-if-absent + 64-thread single-winner race,
+last-writer-wins unconditional PUT, list-after-write/overwrite/delete
+visibility, strictly-greater ``start_after``, ``fast_versions``
+single-LIST resolution, full TableLog DML + parquet-checkpoint mode,
+and concurrent same-table appends with exactly-once rows.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from aoseventstreamer_spark.logstore import (
+    CommitConflict,
+    ObjectStoreLogStore,
+    PreconditionFailed,
+    PyArrowFSObjectStore,
+)
+from aoseventstreamer_spark.tablelog import TableLog
+
+
+def _makers():
+    out = [
+        ("pyarrow-local", PyArrowFSObjectStore.local),
+        ("pyarrow-subtree", PyArrowFSObjectStore.subtree),
+    ]
+    try:
+        import fsspec  # noqa: F401
+
+        from aoseventstreamer_spark.logstore import FsspecObjectStore
+
+        out.append(("fsspec-local", FsspecObjectStore.local))
+    except ImportError:
+        pass
+    return out
+
+
+MAKERS = _makers()
+IDS = [m[0] for m in MAKERS]
+
+
+@pytest.fixture(params=MAKERS, ids=IDS)
+def store(request, tmp_path):
+    return request.param[1](str(tmp_path / "bucket"))
+
+
+def test_client_semantics(store):
+    """The contract test_conditional_put_is_create_if_absent runs on
+    the emulations, now against an external FS."""
+    store.put("k", b"a", if_none_match=True)
+    with pytest.raises(PreconditionFailed):
+        store.put("k", b"b", if_none_match=True)
+    assert store.get("k") == b"a"  # loser wrote nothing
+    store.put("k", b"c")  # unconditional = last-writer-wins
+    assert store.get("k") == b"c"
+    assert store.list("k") == ["k"]  # overwrite didn't fork the key
+    store.delete("k")
+    assert not store.head("k")
+    store.delete("k")  # absent delete is a no-op
+    with pytest.raises(KeyError):
+        store.get("k")
+
+
+def test_list_ordering_and_start_after(store):
+    keys = [f"p/{i:020d}.json" for i in (3, 1, 10, 2)]
+    for k in keys:
+        store.put(k, b"x")
+    got = store.list("p/")
+    assert got == sorted(keys)  # lexicographic == numeric (zero-pad)
+    # strictly-greater: the anchor key itself is excluded (S3 contract)
+    after = store.list("p/", start_after=f"p/{2:020d}.json")
+    assert after == [f"p/{i:020d}.json" for i in (3, 10)]
+    # overwrite must not perturb listing order or membership
+    store.put(f"p/{1:020d}.json", b"y")
+    assert store.list("p/") == got
+
+
+def test_conditional_put_race_single_winner(store):
+    """The 64-thread probe the in-repo emulations pass, through the
+    external FS binding — the claim primitive must hand the key to
+    exactly one thread."""
+    wins, errs = [], []
+    barrier = threading.Barrier(64)
+
+    def race(i):
+        barrier.wait()
+        try:
+            store.put("same-key", f"{i}".encode(), if_none_match=True)
+            wins.append(i)
+        except PreconditionFailed:
+            errs.append(i)
+
+    ts = [threading.Thread(target=race, args=(i,)) for i in range(64)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(wins) == 1 and len(errs) == 63
+    assert store.get("same-key") == f"{wins[0]}".encode()
+
+
+def test_commit_cas_and_fast_versions(store):
+    log = ObjectStoreLogStore(store)
+    for v in range(1, 12):
+        log.write_atomic(v, {"version": v, "actions": []})
+    with pytest.raises(CommitConflict):
+        log.write_atomic(5, {"version": 5, "actions": []})
+    assert log.versions() == list(range(1, 12))
+    log.write_pointer(8, {"format": "json"})
+    assert log.fast_versions() == list(range(8, 12))
+
+
+def test_tablelog_dml_roundtrip(spark, tmp_path, store):
+    """Full DML sequence committing through the external FS."""
+    log = TableLog(
+        spark,
+        str(tmp_path / "t"),
+        log_store=ObjectStoreLogStore(store),
+        checkpoint_interval=3,
+        checkpoint_format="parquet",
+    )
+    for i in range(5):
+        log.append(
+            spark.range(i * 10, i * 10 + 10).select(
+                "id", (F.col("id") % 7).alias("v")
+            )
+        )
+    log.delete_where([("id", "<", 5)])
+    log.update_where([("id", ">=", 45)], {"v": "99"})
+    assert log.read().count() == 45
+    assert log.read().filter("v = 99").count() == 5
+    assert log.read(version=3).count() == 30  # time travel
+    assert log._log.read_pointer()["format"] == "parquet"
+
+
+def test_concurrent_appends_exactly_once(spark, tmp_path, store):
+    """4 writer threads × 3 appends through the external binding:
+    every commit lands, every row exactly once (probe A shape)."""
+    path = str(tmp_path / "t")
+
+    def mk():
+        return TableLog(spark, path, log_store=ObjectStoreLogStore(store))
+
+    errs = []
+
+    def work(w):
+        lg = mk()
+        for k in range(3):
+            base = (w * 3 + k) * 50
+            try:
+                lg.append(
+                    spark.range(base, base + 50)
+                    .selectExpr("id", "id % 7 AS v")
+                    .coalesce(1)
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(w,)) for w in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    log = mk()
+    assert not errs
+    assert log.latest_version() == 12
+    assert log.read().count() == 600
+    assert log.read().select("id").distinct().count() == 600
+
+
+def test_refuses_conditional_put_without_atomic_backing():
+    """A backend with no local claim path must REFUSE conditional PUT
+    rather than silently emulate it non-atomically."""
+    from pyarrow.fs import LocalFileSystem
+
+    s = PyArrowFSObjectStore(LocalFileSystem(), "/tmp/x", local_root=None)
+    with pytest.raises(NotImplementedError):
+        s.put("k", b"v", if_none_match=True)

@@ -54,14 +54,29 @@ def _commit_n(log: TableLog, n: int, live_cap: int = 16) -> None:
         log.commit(added=added, removed=removed, data_change=True)
 
 
-def probe_commit_curve(spark, sizes: list[int], fmt: str) -> list[dict]:
+def _objectstore(path: str):
+    """Conditional-PUT committer over pyarrow.fs (externally backed):
+    the pointer/expiry fast paths take the ObjectStoreLogStore code
+    branch (single-LIST start_after tail, no rename) — the family the
+    r9 table did NOT measure."""
+    from aoseventstreamer_spark.logstore import (
+        ObjectStoreLogStore,
+        PyArrowFSObjectStore,
+    )
+
+    return ObjectStoreLogStore(PyArrowFSObjectStore.subtree(path + "-bucket"))
+
+
+def probe_commit_curve(
+    spark, sizes: list[int], fmt: str, mk_store=PythonFSLogStore
+) -> list[dict]:
     path = tempfile.mkdtemp(prefix=f"tl_scale_{fmt}_")
     log = TableLog(
         spark,
         path,
         checkpoint_interval=10,
         checkpoint_format=fmt,
-        log_store=PythonFSLogStore(path),
+        log_store=mk_store(path),
     )
     rows = []
     reached = 0
@@ -179,6 +194,8 @@ if __name__ == "__main__":
     spark.sparkContext.setLogLevel("ERROR")
     print("== commit/resolve curve, parquet checkpoints ==")
     probe_commit_curve(spark, sizes, "parquet")
+    print("== commit/resolve curve, parquet ckpts, object store ==")
+    probe_commit_curve(spark, sizes, "parquet", mk_store=_objectstore)
     print("== commit/resolve curve, json checkpoints ==")
     probe_commit_curve(spark, [s for s in sizes if s <= 10_000], "json")
     print("== state-size: 10k live files ==")
