@@ -101,10 +101,19 @@ def _acquire_excl_lock(lock: str, *, timeout: float = 30.0) -> None:
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SECONDS:
-                    os.unlink(lock)  # steal orphaned lock
+                    # steal by RENAME, not unlink: with unlink, a
+                    # second stealer's stat-then-unlink can remove the
+                    # FIRST stealer's freshly re-created lock and hand
+                    # the lock to two callers. rename(2) is atomic and
+                    # moves the stale file exactly once — every other
+                    # stealer's rename fails and loops back to the
+                    # O_EXCL create (r10 fresh-eyes finding)
+                    grave = f"{lock}.stale-{uuid.uuid4().hex}"
+                    os.rename(lock, grave)
+                    os.unlink(grave)
                     continue
             except OSError:
-                continue  # released between create and stat
+                continue  # released/stolen between create and stat
             if time.time() > deadline:
                 raise CommitConflict("commit lock held too long")
             time.sleep(0.01)
@@ -850,7 +859,16 @@ class HadoopLogStore(LogStore):
                     lock
                 ).getModificationTime() / 1000.0
                 if age > _LOCK_STALE_SECONDS:
-                    self._fs.delete(lock, False)  # steal orphaned lock
+                    # steal by atomic rename (not delete) for the same
+                    # two-stealers reason as _acquire_excl_lock: only
+                    # one rename of the stale lock can succeed, so no
+                    # stealer can remove another's fresh lock
+                    grave = self._Path(
+                        f"{self.table_path}/{LOG_DIR}/"
+                        f".commit.lock.stale-{uuid.uuid4().hex}"
+                    )
+                    if self._fs.rename(lock, grave):
+                        self._fs.delete(grave, False)
                     continue
             except Exception:
                 continue  # lock released between create and stat

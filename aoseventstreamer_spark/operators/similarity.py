@@ -812,30 +812,61 @@ def portable_lsh_pairs(
 
     Scale shape: same as lsh_ann_topk — bucket equi-join, query side
     broadcast, candidates never pair outside a shared bucket."""
+    cand = portable_band_frame(
+        embeddings, "cand", n_planes, n_tables, dim, id_col, vec_col
+    )
+    qry = portable_band_frame(
+        queries, "query", n_planes, n_tables, dim, id_col, vec_col
+    )
+    return portable_pairs_join(cand, qry)
 
-    def sig(qv: Column) -> Column:
-        cells = []
-        for t in range(n_tables):
-            bucket = F.lit(0)
-            for p in range(n_planes):
-                w = F.array(*[F.lit(v) for v in _int_plane(t, p, dim)])
-                bit = (int_dot(qv, w) >= 0).cast("int")
-                bucket = bucket + bit * (1 << p)
-            cells.append(
-                F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("bucket"))
-            )
-        return F.array(*cells)
 
-    def prep(df: DataFrame, prefix: str) -> DataFrame:
-        q = df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            quantize_vec(vec_col).alias(f"{prefix}_q"),
-        ).where(F.size(f"{prefix}_q") == dim)
-        return q.withColumn(f"{prefix}_normsq", int_dot(F.col(f"{prefix}_q"), F.col(f"{prefix}_q"))) \
-                .withColumn("tb", F.explode(sig(F.col(f"{prefix}_q"))))
+def _portable_sig(
+    qv: Column, n_planes: int, n_tables: int, dim: int
+) -> Column:
+    """array<struct<t,bucket>> of the n_tables portable LSH cells for
+    one quantized vector — md5-derived integer planes, exact int64."""
+    cells = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            w = F.array(*[F.lit(v) for v in _int_plane(t, p, dim)])
+            bit = (int_dot(qv, w) >= 0).cast("int")
+            bucket = bucket + bit * (1 << p)
+        cells.append(
+            F.struct(F.lit(t).alias("t"), bucket.cast("long").alias("bucket"))
+        )
+    return F.array(*cells)
 
-    cand = prep(embeddings, "cand")
-    qry = prep(queries, "query")
+
+def portable_band_frame(
+    df: DataFrame,
+    prefix: str,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per (vector, table): ({prefix}_id, {prefix}_q,
+    {prefix}_normsq, tb=struct<t,bucket>). SHARED by the from-scratch
+    join (portable_lsh_pairs) and the persisted index builder
+    (operators/ann_index.py) so the two paths are hash-identical by
+    construction, not by parallel maintenance."""
+    q = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        quantize_vec(vec_col).alias(f"{prefix}_q"),
+    ).where(F.size(f"{prefix}_q") == dim)
+    return q.withColumn(
+        f"{prefix}_normsq", int_dot(F.col(f"{prefix}_q"), F.col(f"{prefix}_q"))
+    ).withColumn(
+        "tb", F.explode(_portable_sig(F.col(f"{prefix}_q"), n_planes, n_tables, dim))
+    )
+
+
+def portable_pairs_join(cand: DataFrame, qry: DataFrame) -> DataFrame:
+    """Bucket equi-join + per-pair integer evidence over two band
+    frames (cand_* big side, query_* broadcast side)."""
     pairs = cand.join(
         F.broadcast(qry),
         (cand["tb"] == qry["tb"]) & (F.col("query_id") != F.col("cand_id")),

@@ -239,9 +239,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=3, dim=64)
 
 
-@query(
-    "q_ann_lsh_portable",
-    oracle="""
+# shared by q_ann_lsh_portable (from-scratch) and q_ann_lsh_persisted
+# (prebuilt index): the two Spark paths are hash-identical by shared
+# construction (similarity.portable_band_frame / portable_pairs_join),
+# so ONE oracle covers both
+_PORTABLE_LSH_ORACLE = """
     WITH q AS (SELECT vec_id,
                       list_transform(embedding,
                         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
@@ -274,8 +276,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN q q1 ON q1.vec_id = h.query_id
     JOIN q q2 ON q2.vec_id = h.cand_id
     GROUP BY h.query_id, h.cand_id, dot_scaled, qnormsq, cnormsq
-    """,
-)
+    """
+
+
+@query("q_ann_lsh_portable", oracle=_PORTABLE_LSH_ORACLE)
 def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first HASH-EXACT member of the ANN family: multi-table
     random-hyperplane LSH over integer-quantized embeddings
@@ -289,6 +293,50 @@ def q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine the way q_hll_sketch proves the HLL registers."""
     emb = t(spark, sf_dir, "embeddings")
     return SIM.portable_lsh_pairs(emb, emb.filter(F.col("vec_id") < 10), dim=64)
+
+
+@query("q_ann_lsh_persisted", oracle=_PORTABLE_LSH_ORACLE)
+def q_ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_lsh_portable answered from a PERSISTED index (VERDICT r9
+    item 3): the band table is materialized ONCE as a tablelog table
+    pinned to the corpus fingerprint (operators/ann_index.py), then
+    the query computes signatures only for the broadcast query side
+    and joins the prebuilt buckets. Same oracle as the from-scratch
+    path — the two must be hash-identical. The index build is cached
+    per (sf_dir, corpus mtime): repeat calls skip the build (the
+    staleness pin makes the skip safe, and a corpus change triggers a
+    rebuild)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aoseventstreamer_spark.operators import ann_index as AI
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    corpus_version = (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
+    ident = os.path.abspath(emb_path)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"aos_ann_idx_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    AI.build_or_refresh_lsh_index(
+        spark,
+        emb,
+        cache,
+        corpus_ident=ident,
+        corpus_version=corpus_version,
+        dim=64,
+    )
+    return AI.query_lsh_index(
+        spark,
+        cache,
+        emb.filter(F.col("vec_id") < 10),
+        corpus_ident=ident,
+        corpus_version=corpus_version,
+        dim=64,
+    )
 
 
 @query("q_ann_ivf")  # rows-only: KMeans centroids are engine-specific

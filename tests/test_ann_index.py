@@ -1,0 +1,150 @@
+"""Persisted ANN index (operators/ann_index.py, VERDICT r9 item 3):
+build-once LSH band table as a tablelog table, version-pinned to the
+corpus snapshot; queries from the prebuilt index must be bit-identical
+to the from-scratch portable path, and a stale pin must refuse."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aoseventstreamer_spark.operators import ann_index as AI
+from aoseventstreamer_spark.operators.similarity import portable_lsh_pairs
+from aoseventstreamer_spark.tablelog import TableLog
+
+DIM = 8
+
+
+def _vecs(spark, n, offset=0):
+    rows = [
+        (
+            offset + i,
+            [((offset + i) * 31 + d * 7) % 13 - 6.0 for d in range(DIM)],
+        )
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    log = TableLog(spark, str(tmp_path / "corpus"))
+    log.append(_vecs(spark, 40))
+    return log
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_equals_from_scratch(spark, tmp_path, corpus):
+    v = corpus.latest_version()
+    snap = corpus.read(version=v)
+    idx = str(tmp_path / "idx")
+    AI.build_lsh_index(
+        spark, snap, idx, corpus_ident="c", corpus_version=v, dim=DIM
+    )
+    queries = snap.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v, dim=DIM
+    )
+    want = portable_lsh_pairs(snap, queries, dim=DIM)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0  # the fixture actually collides
+
+
+def test_stale_pin_refuses(spark, tmp_path, corpus):
+    v = corpus.latest_version()
+    idx = str(tmp_path / "idx")
+    AI.build_lsh_index(
+        spark,
+        corpus.read(version=v),
+        idx,
+        corpus_ident="c",
+        corpus_version=v,
+        dim=DIM,
+    )
+    corpus.append(_vecs(spark, 10, offset=1000))  # corpus moves to N+1
+    v2 = corpus.latest_version()
+    assert v2 == v + 1
+    with pytest.raises(AI.StaleIndexError, match="pinned to corpus"):
+        AI.query_lsh_index(
+            spark,
+            idx,
+            corpus.read().filter(F.col("vec_id") < 5),
+            corpus_ident="c",
+            corpus_version=v2,
+            dim=DIM,
+        )
+    # the pinned snapshot itself is still answerable
+    AI.query_lsh_index(
+        spark,
+        idx,
+        corpus.read(version=v).filter(F.col("vec_id") < 5),
+        corpus_ident="c",
+        corpus_version=v,
+        dim=DIM,
+    ).collect()
+
+
+def test_refresh_rebuilds_and_noop(spark, tmp_path, corpus):
+    v = corpus.latest_version()
+    idx = str(tmp_path / "idx")
+    assert AI.build_or_refresh_lsh_index(
+        spark,
+        corpus.read(version=v),
+        idx,
+        corpus_ident="c",
+        corpus_version=v,
+        dim=DIM,
+    )
+    # same version: no-op
+    assert not AI.build_or_refresh_lsh_index(
+        spark,
+        corpus.read(version=v),
+        idx,
+        corpus_ident="c",
+        corpus_version=v,
+        dim=DIM,
+    )
+    corpus.append(_vecs(spark, 10, offset=1000))
+    v2 = corpus.latest_version()
+    snap2 = corpus.read(version=v2)
+    assert AI.build_or_refresh_lsh_index(
+        spark, snap2, idx, corpus_ident="c", corpus_version=v2, dim=DIM
+    )
+    queries = snap2.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v2, dim=DIM
+    )
+    want = portable_lsh_pairs(snap2, queries, dim=DIM)
+    assert _rows(got) == _rows(want)
+
+
+def test_param_mismatch_reads_as_unpinned(spark, tmp_path, corpus):
+    """An index built with different LSH parameters must not answer:
+    the parameter set is part of the pin's app id."""
+    v = corpus.latest_version()
+    idx = str(tmp_path / "idx")
+    AI.build_lsh_index(
+        spark,
+        corpus.read(version=v),
+        idx,
+        corpus_ident="c",
+        corpus_version=v,
+        dim=DIM,
+        n_tables=2,
+    )
+    assert (
+        AI.pinned_corpus_version(
+            spark, idx, corpus_ident="c", dim=DIM, n_tables=4
+        )
+        == -1
+    )
