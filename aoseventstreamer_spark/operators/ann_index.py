@@ -34,8 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aoseventstreamer_spark.operators.similarity import (
+    _ivf_assign,
+    _lloyd_rounds,
+    int_dot,
+    ivf_probe_join,
     portable_band_frame,
     portable_pairs_join,
+    pq_adc_rank,
+    quantize_vec,
 )
 from aoseventstreamer_spark.tablelog import TableLog
 
@@ -197,3 +203,238 @@ def build_or_refresh_lsh_index(
         **params,
     )
     return True
+
+
+# --------------------------------------------------------------------
+# IVF tier: persisted coarse-quantizer assignments + centroids
+# --------------------------------------------------------------------
+
+
+def _ivf_app_id(
+    corpus_ident: str, n_clusters: int, rounds: int, dim: int
+) -> str:
+    return (
+        f"ann_ivf_index|corpus={corpus_ident}|k={n_clusters}"
+        f"|rounds={rounds}|dim={dim}"
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    corpus_ident: str,
+    corpus_version: int,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the portable-IVF coarse quantizer: the ASSIGNMENTS
+    table (cand_id, qv, cnormsq, cluster — the expensive Lloyd output
+    over the whole corpus) and the CENTROIDS table (cluster, cv —
+    K·dim ints, the driver-bounded state), both under ``index_path``
+    and both pinned to ``corpus_version``. Query-time work is then a
+    driver-side probe-list pick plus one cluster equi-join — no Lloyd
+    rounds, no corpus re-scan beyond the index."""
+    cand = corpus.select(
+        F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("qv")
+    ).where(F.size("qv") == dim)
+    cents = _lloyd_rounds(cand, "cand_id", n_clusters, rounds, dim)
+    assigned = _ivf_assign(cand, cents).withColumn(
+        "cnormsq", int_dot(F.col("qv"), F.col("qv"))
+    )
+    app = _ivf_app_id(corpus_ident, n_clusters, rounds, dim)
+    at = TableLog(spark, f"{index_path}/assignments")
+    at.overwrite(assigned, operation="ANN_IVF_BUILD")
+    at.commit(
+        added=[], removed=[], data_change=False,
+        txn=(app, corpus_version), operation="ANN_INDEX_PIN",
+    )
+    ct = TableLog(spark, f"{index_path}/centroids")
+    ct.overwrite(
+        spark.createDataFrame(
+            [(int(c), [int(x) for x in v]) for c, v in sorted(cents.items())],
+            "cluster int, cv array<long>",
+        ),
+        operation="ANN_IVF_BUILD",
+    )
+    ct.commit(
+        added=[], removed=[], data_change=False,
+        txn=(app, corpus_version), operation="ANN_INDEX_PIN",
+    )
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    corpus_ident: str,
+    corpus_version: int,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """portable_ivf_pairs answered from the prebuilt assignments +
+    centroids (hash-identical by shared ``ivf_probe_join``). BOTH
+    tables must carry the pin — centroids and assignments are written
+    in separate commits, so a crash between them must read as stale,
+    not as a half-index."""
+    app = _ivf_app_id(corpus_ident, n_clusters, rounds, dim)
+    at = TableLog(spark, f"{index_path}/assignments")
+    ct = TableLog(spark, f"{index_path}/centroids")
+    for name, tl in (("assignments", at), ("centroids", ct)):
+        pinned = (
+            tl.last_txn_version(app) if tl.latest_version() > 0 else -1
+        )
+        if pinned != corpus_version:
+            raise StaleIndexError(
+                f"IVF index {name} at {index_path} pinned to corpus "
+                f"version {pinned}, query is against {corpus_version}"
+            )
+    cents = {
+        int(r["cluster"]): [int(x) for x in r["cv"]]
+        for r in ct.read().collect()
+    }
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("qv")
+    ).where(F.size("qv") == dim)
+    return ivf_probe_join(at.read(), cents, qry, n_probe)
+
+
+# --------------------------------------------------------------------
+# PQ tier: persisted codes + per-subspace codebooks
+# --------------------------------------------------------------------
+
+
+def _pq_app_id(
+    corpus_ident: str, m_subspaces: int, n_clusters: int, rounds: int,
+    dim: int,
+) -> str:
+    return (
+        f"ann_pq_index|corpus={corpus_ident}|m={m_subspaces}"
+        f"|k={n_clusters}|rounds={rounds}|dim={dim}"
+    )
+
+
+def build_pq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    corpus_ident: str,
+    corpus_version: int,
+    m_subspaces: int = 4,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the portable-PQ state: the CODES table (cand_id,
+    code_0..code_{m-1} — m small ints per vector, the PQ bandwidth
+    win made durable) and the CODEBOOKS table (m, cluster, cv — the
+    m·K·(dim/m) ints of driver-bounded training state), both pinned
+    to ``corpus_version``. Query time is then an ADC table build over
+    the stored codebooks plus one broadcast join against codes — no
+    Lloyd training, no full-vector corpus scan."""
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m_subspaces}")
+    sub = dim // m_subspaces
+    cand = corpus.select(
+        F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("full")
+    ).where(F.size("full") == dim)
+    codebooks: list[dict[int, list[int]]] = []
+    for m in range(m_subspaces):
+        sliced = cand.select(
+            "cand_id", F.slice(F.col("full"), m * sub + 1, sub).alias("qv")
+        )
+        codebooks.append(
+            _lloyd_rounds(sliced, "cand_id", n_clusters, rounds, sub)
+        )
+    encoded = cand
+    for m in range(m_subspaces):
+        encoded = _ivf_assign(
+            encoded.withColumn(
+                "qv", F.slice(F.col("full"), m * sub + 1, sub)
+            ),
+            codebooks[m],
+            out=f"code_{m}",
+        )
+    encoded = encoded.select(
+        "cand_id", *[F.col(f"code_{m}") for m in range(m_subspaces)]
+    )
+    app = _pq_app_id(corpus_ident, m_subspaces, n_clusters, rounds, dim)
+    codes_t = TableLog(spark, f"{index_path}/codes")
+    codes_t.overwrite(encoded, operation="ANN_PQ_BUILD")
+    codes_t.commit(
+        added=[], removed=[], data_change=False,
+        txn=(app, corpus_version), operation="ANN_INDEX_PIN",
+    )
+    books_t = TableLog(spark, f"{index_path}/codebooks")
+    books_t.overwrite(
+        spark.createDataFrame(
+            [
+                (m, int(c), [int(x) for x in v])
+                for m, cb in enumerate(codebooks)
+                for c, v in sorted(cb.items())
+            ],
+            "m int, cluster int, cv array<long>",
+        ),
+        operation="ANN_PQ_BUILD",
+    )
+    books_t.commit(
+        added=[], removed=[], data_change=False,
+        txn=(app, corpus_version), operation="ANN_INDEX_PIN",
+    )
+
+
+def query_pq_index(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    *,
+    corpus_ident: str,
+    corpus_version: int,
+    m_subspaces: int = 4,
+    n_clusters: int = 8,
+    rounds: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """portable_pq_topk answered from the prebuilt codes + codebooks
+    (hash-identical by shared ``pq_adc_rank``); both tables must
+    carry the pin (a crash between the two build commits reads as
+    stale, never as a half-index)."""
+    sub = dim // m_subspaces
+    app = _pq_app_id(corpus_ident, m_subspaces, n_clusters, rounds, dim)
+    codes_t = TableLog(spark, f"{index_path}/codes")
+    books_t = TableLog(spark, f"{index_path}/codebooks")
+    for name, tl in (("codes", codes_t), ("codebooks", books_t)):
+        pinned = (
+            tl.last_txn_version(app) if tl.latest_version() > 0 else -1
+        )
+        if pinned != corpus_version:
+            raise StaleIndexError(
+                f"PQ index {name} at {index_path} pinned to corpus "
+                f"version {pinned}, query is against {corpus_version}"
+            )
+    codebooks: list[dict[int, list[int]]] = [
+        {} for _ in range(m_subspaces)
+    ]
+    for r in books_t.read().collect():
+        codebooks[int(r["m"])][int(r["cluster"])] = [int(x) for x in r["cv"]]
+    qry = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col).alias("full")
+    ).where(F.size("full") == dim)
+    return pq_adc_rank(
+        codes_t.read(), qry, codebooks, n_clusters, k, sub
+    )

@@ -1026,6 +1026,20 @@ def portable_ivf_pairs(
     )
 
     qry = prep(queries, "query")
+    return ivf_probe_join(assigned, cents, qry, n_probe)
+
+
+def ivf_probe_join(
+    assigned: DataFrame,
+    cents: dict[int, list[int]],
+    qry: DataFrame,
+    n_probe: int,
+) -> DataFrame:
+    """Probe-list selection + candidate equi-join over an ALREADY
+    ASSIGNED corpus frame (cand_id, qv, cnormsq, cluster) and the
+    final centroids. SHARED by the from-scratch path above and the
+    persisted-index query path (operators/ann_index.py), so both are
+    hash-identical by construction."""
     qq = int_dot(F.col("qv"), F.col("qv"))
     probe_cells = F.array(
         *[
@@ -1243,14 +1257,31 @@ def portable_pq_topk(
     encoded = encoded.select(
         "cand_id", *[F.col(f"code_{m}") for m in range(m_subspaces)]
     )
+    return pq_adc_rank(encoded, qry, codebooks, n_clusters, k, sub)
 
-    # per-query ADC lookup tables: dist2(query slice, centroid c) for
-    # every (subspace, c) — arrays ordered by cluster id so the
-    # candidate's code indexes them directly
+
+def pq_adc_rank(
+    encoded: DataFrame,
+    qry: DataFrame,
+    codebooks: list[dict[int, list[int]]],
+    n_clusters: int,
+    k: int,
+    sub: int,
+) -> DataFrame:
+    """ADC scoring + deterministic top-k over an ALREADY ENCODED
+    corpus frame (cand_id, code_0..code_{m-1}) and queries carrying
+    their quantized full vector (query_id, full). SHARED by
+    portable_pq_topk and the persisted-index query path
+    (operators/ann_index.py) — hash-identical by construction.
+
+    Per-query ADC lookup tables: dist2(query slice, centroid c) for
+    every (subspace, c) — arrays ordered by cluster id so the
+    candidate's code indexes them directly."""
+    m_subspaces = len(codebooks)
     qtabs = qry
     adc = F.lit(0).cast("long")
     for m in range(m_subspaces):
-        sl = slice_m(m)
+        sl = F.slice(F.col("full"), m * sub + 1, sub)
         qq = int_dot(sl, sl)
         tab = F.array(
             *[

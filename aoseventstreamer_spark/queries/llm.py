@@ -361,6 +361,92 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.portable_ivf_pairs(emb, emb.filter(F.col("vec_id") < 10))
 
 
+@query("q_ann_ivf_persisted", oracle=SIM.portable_ivf_oracle_sql())
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf_portable answered from PERSISTED coarse-quantizer
+    state (VERDICT r9 item 3, IVF tier): Lloyd assignments and
+    centroids live as version-pinned tablelog tables
+    (operators/ann_index.py build_ivf_index); the query does a
+    driver-side probe pick over the stored centroids plus one cluster
+    equi-join on the stored assignments — no Lloyd rounds at query
+    time. Same oracle as the from-scratch path (shared
+    ivf_probe_join ⇒ hash-identical)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aoseventstreamer_spark.operators import ann_index as AI
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    corpus_version = (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
+    ident = os.path.abspath(emb_path)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"aos_ivf_idx_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    try:
+        return AI.query_ivf_index(
+            spark,
+            cache,
+            emb.filter(F.col("vec_id") < 10),
+            corpus_ident=ident,
+            corpus_version=corpus_version,
+        )
+    except AI.StaleIndexError:
+        AI.build_ivf_index(
+            spark,
+            emb,
+            cache,
+            corpus_ident=ident,
+            corpus_version=corpus_version,
+        )
+        return AI.query_ivf_index(
+            spark,
+            cache,
+            emb.filter(F.col("vec_id") < 10),
+            corpus_ident=ident,
+            corpus_version=corpus_version,
+        )
+
+
+@query("q_ann_pq_persisted", oracle=SIM.portable_pq_oracle_sql())
+def q_ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_pq_portable answered from PERSISTED PQ state (VERDICT r9
+    item 3, final tier): codes and per-subspace codebooks live as
+    version-pinned tablelog tables (operators/ann_index.py
+    build_pq_index); query time is an ADC table build over the stored
+    codebooks plus one broadcast join against the stored codes — no
+    Lloyd training, no full-vector corpus scan. Same oracle as the
+    from-scratch path (shared pq_adc_rank ⇒ hash-identical)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aoseventstreamer_spark.operators import ann_index as AI
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    corpus_version = (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
+    ident = os.path.abspath(emb_path)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"aos_pq_idx_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    kw = dict(corpus_ident=ident, corpus_version=corpus_version)
+    try:
+        return AI.query_pq_index(
+            spark, cache, emb.filter(F.col("vec_id") < 10), **kw
+        )
+    except AI.StaleIndexError:
+        AI.build_pq_index(spark, emb, cache, **kw)
+        return AI.query_pq_index(
+            spark, cache, emb.filter(F.col("vec_id") < 10), **kw
+        )
+
+
 @query("q_ann_pq_portable", oracle=SIM.portable_pq_oracle_sql())
 def q_ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HASH-EXACT twin of q_ann_pq: product quantization with

@@ -128,6 +128,88 @@ def test_refresh_rebuilds_and_noop(spark, tmp_path, corpus):
     assert _rows(got) == _rows(want)
 
 
+def test_ivf_persisted_equals_from_scratch(spark, tmp_path, corpus):
+    from aoseventstreamer_spark.operators.similarity import (
+        portable_ivf_pairs,
+    )
+
+    v = corpus.latest_version()
+    snap = corpus.read(version=v)
+    idx = str(tmp_path / "ivf")
+    AI.build_ivf_index(
+        spark, snap, idx, corpus_ident="c", corpus_version=v,
+        n_clusters=4, dim=DIM,
+    )
+    queries = snap.filter(F.col("vec_id") < 5)
+    got = AI.query_ivf_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v,
+        n_clusters=4, dim=DIM,
+    )
+    want = portable_ivf_pairs(snap, queries, n_clusters=4, dim=DIM)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_ivf_stale_pin_refuses(spark, tmp_path, corpus):
+    v = corpus.latest_version()
+    idx = str(tmp_path / "ivf")
+    AI.build_ivf_index(
+        spark, corpus.read(version=v), idx, corpus_ident="c",
+        corpus_version=v, n_clusters=4, dim=DIM,
+    )
+    corpus.append(_vecs(spark, 10, offset=1000))
+    with pytest.raises(AI.StaleIndexError, match="pinned to corpus"):
+        AI.query_ivf_index(
+            spark, idx,
+            corpus.read().filter(F.col("vec_id") < 5),
+            corpus_ident="c",
+            corpus_version=corpus.latest_version(),
+            n_clusters=4, dim=DIM,
+        )
+
+
+def test_pq_persisted_equals_from_scratch(spark, tmp_path, corpus):
+    from aoseventstreamer_spark.operators.similarity import (
+        portable_pq_topk,
+    )
+
+    v = corpus.latest_version()
+    snap = corpus.read(version=v)
+    idx = str(tmp_path / "pq")
+    AI.build_pq_index(
+        spark, snap, idx, corpus_ident="c", corpus_version=v,
+        m_subspaces=2, n_clusters=4, dim=DIM,
+    )
+    queries = snap.filter(F.col("vec_id") < 5)
+    got = AI.query_pq_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v,
+        m_subspaces=2, n_clusters=4, k=3, dim=DIM,
+    )
+    want = portable_pq_topk(
+        snap, queries, m_subspaces=2, n_clusters=4, k=3, dim=DIM
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_pq_stale_pin_refuses(spark, tmp_path, corpus):
+    v = corpus.latest_version()
+    idx = str(tmp_path / "pq")
+    AI.build_pq_index(
+        spark, corpus.read(version=v), idx, corpus_ident="c",
+        corpus_version=v, m_subspaces=2, n_clusters=4, dim=DIM,
+    )
+    corpus.append(_vecs(spark, 10, offset=1000))
+    with pytest.raises(AI.StaleIndexError, match="pinned to corpus"):
+        AI.query_pq_index(
+            spark, idx,
+            corpus.read().filter(F.col("vec_id") < 5),
+            corpus_ident="c",
+            corpus_version=corpus.latest_version(),
+            m_subspaces=2, n_clusters=4, dim=DIM,
+        )
+
+
 def test_param_mismatch_reads_as_unpinned(spark, tmp_path, corpus):
     """An index built with different LSH parameters must not answer:
     the parameter set is part of the pin's app id."""
