@@ -752,6 +752,11 @@ class TableLog:
         # and version resolution O(tail) at 10^5-10^6 commits
         # (measured: tools/tablelog_logscale_probe.py)
         self.checkpoint_format = checkpoint_format
+        # version THIS instance committed last: an optimistic CAS base
+        # for the next bare commit (None = resolve from the log). A
+        # stale value only costs one CommitConflict + re-resolve; it
+        # can never be ahead of the true head.
+        self._head_cache: int | None = None
         self._fs, self._root, self._jvm = _fs(spark, self.path)
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._log_dir = self._Path(f"{self.path}/{LOG_DIR}")
@@ -861,31 +866,58 @@ class TableLog:
         ``(app_id, txn_version)`` pair recorded in the manifest (and
         folded into every checkpoint manifest's ``txns`` map).
         ``operation``/``op_metrics`` label the commit for ``history()``
-        (Delta's DESCRIBE HISTORY operation + operationMetrics)."""
-        base = (
-            self.latest_version()
-            if expected_version is None
-            else expected_version
-        )
-        version = base + 1
-        on_boundary = version % self.checkpoint_interval == 0
-        doc = build_commit_doc(
-            version,
-            added=added,
-            removed=removed,
-            data_change=data_change,
-            schema_json=schema.jsonValue() if schema is not None else None,
-            txn=txn,
-            operation=operation,
-            op_metrics=op_metrics,
-            constraints=constraints,
-            checkpoint_state=(
-                self._replay(base)
-                if on_boundary and self.checkpoint_format == "json"
-                else None
-            ),
-        )
-        self._write_manifest(version, doc)
+        (Delta's DESCRIBE HISTORY operation + operationMetrics).
+
+        Head resolution: with ``expected_version=None`` the base is
+        the version THIS instance last committed when known (the CAS
+        makes a stale guess safe — losing it re-resolves the real
+        head and retries), else one resolution round-trip. On an
+        object store that skips the pointer GET + HEAD + LIST every
+        sequential commit paid (r10: 5.82 → ~2.8 requests/commit);
+        an explicit ``expected_version`` still raises on loss — that
+        is the serializability contract _commit_or_rebase builds on."""
+        attempts = 0
+        while True:
+            base = (
+                expected_version
+                if expected_version is not None
+                else (
+                    self._head_cache
+                    if self._head_cache is not None
+                    else self.latest_version()
+                )
+            )
+            version = base + 1
+            on_boundary = version % self.checkpoint_interval == 0
+            doc = build_commit_doc(
+                version,
+                added=added,
+                removed=removed,
+                data_change=data_change,
+                schema_json=schema.jsonValue() if schema is not None else None,
+                txn=txn,
+                operation=operation,
+                op_metrics=op_metrics,
+                constraints=constraints,
+                checkpoint_state=(
+                    self._replay(base)
+                    if on_boundary and self.checkpoint_format == "json"
+                    else None
+                ),
+            )
+            try:
+                self._write_manifest(version, doc)
+                break
+            except CommitConflict:
+                # a stale optimistic base is OUR bookkeeping, not a
+                # caller-visible race: drop the cache and re-resolve.
+                # Explicit expected_version keeps raising (the caller
+                # pinned the snapshot deliberately).
+                self._head_cache = None
+                attempts += 1
+                if expected_version is not None or attempts > 20:
+                    raise
+        self._head_cache = version
         if on_boundary:
             # checkpoint bookkeeping is POST-commit and best-effort:
             # a crash here only means replay walks to the previous
