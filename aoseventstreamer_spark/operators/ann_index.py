@@ -205,6 +205,106 @@ def build_or_refresh_lsh_index(
     return True
 
 
+def refresh_lsh_index_incremental(
+    spark: SparkSession,
+    corpus_log: "TableLog",
+    index_path: str,
+    *,
+    corpus_ident: str,
+    to_version: int | None = None,
+    max_delete_ids: int = 100_000,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Advance the LSH index from its pinned corpus version to
+    ``to_version`` by CHANGE DATA FEED instead of a full rebuild —
+    the 100 TB shape: a daily 0.1% corpus append costs O(delta) band
+    rows, not a corpus re-hash. EXACT for LSH because band rows are
+    per-vector independent (no trained state): delete the removed
+    ids' bands, append the inserted ids' bands, re-pin — the result
+    is the same multiset a from-scratch build at ``to_version``
+    produces (asserted in tests/test_ann_index.py). IVF/PQ have no
+    exact incremental path (their centroids/codebooks are trained on
+    the corpus — new vectors would be coded against stale training),
+    so those tiers rebuild; that asymmetry is the documented reason
+    LSH is the default index family for append-heavy corpora.
+
+    Returns "noop" | "incremental" | "full" (full when no index
+    exists yet, the CDF window expired, or the delete set exceeds
+    ``max_delete_ids`` — the IN-list delete is driver-sized, and a
+    delta that deletes more than that deserves a rebuild anyway)."""
+    to = (
+        corpus_log.latest_version() if to_version is None else to_version
+    )
+    pinned = pinned_corpus_version(
+        spark,
+        index_path,
+        corpus_ident=corpus_ident,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+    )
+    if pinned == to:
+        return "noop"
+
+    def full() -> str:
+        build_lsh_index(
+            spark,
+            corpus_log.read(version=to),
+            index_path,
+            corpus_ident=corpus_ident,
+            corpus_version=to,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return "full"
+
+    if pinned < 1:
+        return full()
+    try:
+        changes = corpus_log.read_changes(pinned, to)
+    except ValueError:
+        return full()  # CDF window expired: give up delta, not truth
+    idx = TableLog(spark, index_path)
+    deleted = (
+        changes.filter(F.col("_change_type") == "delete")
+        .select(F.col(id_col))
+        .distinct()
+    )
+    del_ids = [r[0] for r in deleted.limit(max_delete_ids + 1).collect()]
+    if len(del_ids) > max_delete_ids:
+        return full()
+    if del_ids:
+        idx.delete_where([("cand_id", "in", del_ids)])
+    inserted = changes.filter(F.col("_change_type") == "insert").select(
+        id_col, vec_col
+    )
+    band = portable_band_frame(
+        inserted, "cand", n_planes, n_tables, dim, id_col, vec_col
+    ).select(
+        "cand_id",
+        "cand_q",
+        "cand_normsq",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    idx.append(band)
+    idx.commit(
+        added=[],
+        removed=[],
+        data_change=False,
+        txn=(_app_id(corpus_ident, n_planes, n_tables, dim), to),
+        operation="ANN_INDEX_PIN",
+    )
+    return "incremental"
+
+
 # --------------------------------------------------------------------
 # IVF tier: persisted coarse-quantizer assignments + centroids
 # --------------------------------------------------------------------

@@ -210,6 +210,83 @@ def test_pq_stale_pin_refuses(spark, tmp_path, corpus):
         )
 
 
+def test_incremental_refresh_appends(spark, tmp_path, corpus):
+    """Append-only delta: incremental refresh must produce query
+    results identical to a from-scratch build at the new version."""
+    v1 = corpus.latest_version()
+    idx = str(tmp_path / "idx")
+    AI.build_lsh_index(
+        spark, corpus.read(version=v1), idx, corpus_ident="c",
+        corpus_version=v1, dim=DIM,
+    )
+    corpus.append(_vecs(spark, 15, offset=1000))
+    v2 = corpus.latest_version()
+    mode = AI.refresh_lsh_index_incremental(
+        spark, corpus, idx, corpus_ident="c", dim=DIM
+    )
+    assert mode == "incremental"
+    snap2 = corpus.read(version=v2)
+    queries = snap2.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v2, dim=DIM
+    )
+    want = portable_lsh_pairs(snap2, queries, dim=DIM)
+    assert _rows(got) == _rows(want)
+    # new vectors are actually visible through the index
+    assert any(r[1] >= 1000 for r in _rows(got))
+
+
+def test_incremental_refresh_handles_deletes_and_noop(spark, tmp_path, corpus):
+    v1 = corpus.latest_version()
+    idx = str(tmp_path / "idx")
+    AI.build_lsh_index(
+        spark, corpus.read(version=v1), idx, corpus_ident="c",
+        corpus_version=v1, dim=DIM,
+    )
+    corpus.delete_where([("vec_id", ">=", 30)])
+    corpus.append(_vecs(spark, 5, offset=2000))
+    v2 = corpus.latest_version()
+    assert (
+        AI.refresh_lsh_index_incremental(
+            spark, corpus, idx, corpus_ident="c", dim=DIM
+        )
+        == "incremental"
+    )
+    snap2 = corpus.read(version=v2)
+    queries = snap2.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v2, dim=DIM
+    )
+    want = portable_lsh_pairs(snap2, queries, dim=DIM)
+    assert _rows(got) == _rows(want)
+    # deleted ids never surface as candidates
+    assert all(not (30 <= r[1] < 1000) for r in _rows(got))
+    # already-pinned: refresh is a no-op
+    assert (
+        AI.refresh_lsh_index_incremental(
+            spark, corpus, idx, corpus_ident="c", dim=DIM
+        )
+        == "noop"
+    )
+
+
+def test_incremental_refresh_falls_back_to_full(spark, tmp_path, corpus):
+    """No index yet → full build; expired CDF window → full build."""
+    idx = str(tmp_path / "idx")
+    assert (
+        AI.refresh_lsh_index_incremental(
+            spark, corpus, idx, corpus_ident="c", dim=DIM
+        )
+        == "full"
+    )
+    v = corpus.latest_version()
+    queries = corpus.read(version=v).filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v, dim=DIM
+    )
+    assert len(_rows(got)) > 0
+
+
 def test_param_mismatch_reads_as_unpinned(spark, tmp_path, corpus):
     """An index built with different LSH parameters must not answer:
     the parameter set is part of the pin's app id."""
