@@ -305,6 +305,136 @@ def refresh_lsh_index_incremental(
     return "incremental"
 
 
+def attach_lsh_index_maintenance(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    corpus_ident: str,
+    max_delete_ids: int = 100_000,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+):
+    """CONTINUOUS index maintenance: tail the corpus tablelog's
+    change-data-feed stream and fold every micro-batch into the LSH
+    index as an incremental band update, so the index follows the
+    corpus without anyone scheduling rebuilds — the serving shape at
+    100 TB (the batch `refresh_lsh_index_incremental` is its
+    run-once sibling).
+
+    Exactly-once under replay: the band APPEND carries an
+    idempotent-writer stamp ``(maintenance app, batch_id)`` — a
+    redelivered batch sees its own stamp and skips straight to
+    re-advancing the PIN commit if the crash landed between the two
+    (bands updated, pin not yet moved). A delete set over
+    ``max_delete_ids`` falls back to a full rebuild of the
+    batch-end snapshot inside the batch. Readers are never wrong
+    during lag: the pin trails the corpus head and
+    ``query_lsh_index`` refuses a version the index has not reached.
+    """
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+
+    register_tablelog_source(spark)
+    app = _app_id(corpus_ident, n_planes, n_tables, dim)
+    maint_app = app + "|maint"
+    start = pinned_corpus_version(
+        spark,
+        index_path,
+        corpus_ident=corpus_ident,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx = TableLog(spark, index_path)
+        batch_df.persist()
+        try:
+            max_v = batch_df.agg(
+                F.max("_commit_version").alias("v")
+            ).collect()[0]["v"]
+            if max_v is None:
+                return  # layout-only range: nothing to fold or pin
+            max_v = int(max_v)
+            if idx.last_txn_version(maint_app) >= batch_id:
+                # replayed batch: bands landed; re-advance the pin if
+                # the crash hit between the two commits
+                if idx.last_txn_version(app) < max_v:
+                    idx.commit(
+                        added=[], removed=[], data_change=False,
+                        txn=(app, max_v), operation="ANN_INDEX_PIN",
+                    )
+                return
+            deleted = (
+                batch_df.filter(F.col("_change_type") == "delete")
+                .select(F.col(id_col))
+                .distinct()
+            )
+            del_ids = [
+                r[0] for r in deleted.limit(max_delete_ids + 1).collect()
+            ]
+            if len(del_ids) > max_delete_ids:
+                build_lsh_index(
+                    spark,
+                    TableLog(spark, corpus_path).read(version=max_v),
+                    index_path,
+                    corpus_ident=corpus_ident,
+                    corpus_version=max_v,
+                    n_planes=n_planes,
+                    n_tables=n_tables,
+                    dim=dim,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+                return
+            if del_ids:
+                idx.delete_where([("cand_id", "in", del_ids)])
+            band = portable_band_frame(
+                batch_df.filter(F.col("_change_type") == "insert").select(
+                    id_col, vec_col
+                ),
+                "cand",
+                n_planes,
+                n_tables,
+                dim,
+                id_col,
+                vec_col,
+            ).select(
+                "cand_id",
+                "cand_q",
+                "cand_normsq",
+                F.col("tb.t").alias("t"),
+                F.col("tb.bucket").alias("bucket"),
+            )
+            idx.append(band, txn_app=maint_app, txn_version=batch_id)
+            idx.commit(
+                added=[], removed=[], data_change=False,
+                txn=(app, max_v), operation="ANN_INDEX_PIN",
+            )
+        finally:
+            batch_df.unpersist()
+
+    stream = (
+        spark.readStream.format("tablelog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(max(start, 0)))
+        .load(corpus_path)
+    )
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"processingTime": "10 seconds"}))
+        .start()
+    )
+
+
 # --------------------------------------------------------------------
 # IVF tier: persisted coarse-quantizer assignments + centroids
 # --------------------------------------------------------------------

@@ -799,8 +799,12 @@ def _read_change_batches(
     plain Python on the executor. Memory is bounded by ONE commit's
     touched files (a selective DML rewrites MBs, not the table);
     one-sided commits (pure appends / retention deletes) skip the
-    diff entirely. Requires hashable (atomic-typed) columns — the
-    event log's shape; array columns would need canonicalization."""
+    diff entirely. Array/map/struct columns are canonicalized to
+    hashable tuples for the multiset keys (r10: a DML commit on a
+    table with an array column — e.g. an embedding corpus feeding
+    the ANN index maintenance stream — crashed the diff with
+    'unhashable type: list'); a representative ORIGINAL row per key
+    preserves the arrow-native value shapes for the output batches."""
     from collections import Counter
 
     import pyarrow as pa
@@ -816,28 +820,40 @@ def _read_change_batches(
     names = [f.name for f in base_schema.fields]
     arrow_out = to_arrow_schema(schema)
 
-    def rows_of(entries: list[dict]) -> Counter:
+    def canon(v):
+        if isinstance(v, list):
+            return tuple(canon(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        return v
+
+    def rows_of(entries: list[dict]) -> tuple[Counter, dict]:
         c: Counter = Counter()
+        rep: dict = {}
         for e in entries:
             dv_rel = (e.get("dv") or {}).get("path")
             for batch in _read_file_batches(
                 root, e["path"], base_schema, dv_rel
             ):
                 for row in batch.to_pylist():
-                    c[tuple(row[n] for n in names)] += 1
-        return c
+                    key = tuple(canon(row[n]) for n in names)
+                    c[key] += 1
+                    rep.setdefault(key, row)
+        return c, rep
 
-    adds = rows_of(part.adds)
-    removes = rows_of(part.removes) if part.removes else Counter()
+    adds, add_rep = rows_of(part.adds)
+    removes, rem_rep = (
+        rows_of(part.removes) if part.removes else (Counter(), {})
+    )
     out_rows: list[dict] = []
-    for kind, this, other in (
-        ("insert", adds, removes),
-        ("delete", removes, adds),
+    for kind, this, other, rep in (
+        ("insert", adds, removes, add_rep),
+        ("delete", removes, adds, rem_rep),
     ):
         for key, n in this.items():
             extra = n - other.get(key, 0)
             for _ in range(max(0, extra)):
-                row = dict(zip(names, key))
+                row = dict(rep[key])
                 row["_change_type"] = kind
                 row["_commit_version"] = part.version
                 out_rows.append(row)

@@ -287,6 +287,56 @@ def test_incremental_refresh_falls_back_to_full(spark, tmp_path, corpus):
     assert len(_rows(got)) > 0
 
 
+def _run_maintenance(spark, corpus, idx, ck):
+    q = AI.attach_lsh_index_maintenance(
+        spark,
+        corpus.path,
+        idx,
+        ck,
+        corpus_ident="c",
+        dim=DIM,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+
+def test_streaming_maintenance_follows_corpus(spark, tmp_path, corpus):
+    """The CDF-driven maintenance stream must bring the index to the
+    corpus head from nothing, absorb append+delete batches on rerun,
+    and leave the band multiset identical to a from-scratch build."""
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    _run_maintenance(spark, corpus, idx, ck)
+    v1 = corpus.latest_version()
+    queries = corpus.read(version=v1).filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v1, dim=DIM
+    )
+    assert _rows(got) == _rows(
+        portable_lsh_pairs(corpus.read(version=v1), queries, dim=DIM)
+    )
+
+    corpus.append(_vecs(spark, 12, offset=1000))
+    corpus.delete_where([("vec_id", ">=", 35), ("vec_id", "<", 40)])
+    _run_maintenance(spark, corpus, idx, ck)
+    v2 = corpus.latest_version()
+    snap2 = corpus.read(version=v2)
+    queries2 = snap2.filter(F.col("vec_id") < 5)
+    got2 = AI.query_lsh_index(
+        spark, idx, queries2, corpus_ident="c", corpus_version=v2, dim=DIM
+    )
+    assert _rows(got2) == _rows(portable_lsh_pairs(snap2, queries2, dim=DIM))
+
+    # no new commits: rerun must not duplicate bands
+    bands_before = TableLog(spark, idx).read().count()
+    _run_maintenance(spark, corpus, idx, ck)
+    assert TableLog(spark, idx).read().count() == bands_before
+    assert (
+        AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
+        == v2
+    )
+
+
 def test_param_mismatch_reads_as_unpinned(spark, tmp_path, corpus):
     """An index built with different LSH parameters must not answer:
     the parameter set is part of the pin's app id."""

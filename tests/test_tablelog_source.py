@@ -753,3 +753,44 @@ def test_native_stream_sink_partitioned(registered, tmp_path):
     assert out.read().count() == 30
     assert all("p=" in e["path"] for e in out.snapshot_files())
     assert out.last_txn_version("psink") >= 0
+
+
+def test_cdf_stream_handles_array_columns(registered, tmp_path):
+    """DML on a table with an ARRAY column must stream its change
+    feed instead of crashing ('unhashable type: list' in the
+    copy-on-write diff, r10 finding — hit by the ANN maintenance
+    stream over an embedding corpus). Values round-trip arrow-native
+    through the canonicalized multiset keys."""
+    spark = registered
+    log = TableLog(spark, str(tmp_path / "arr"))
+    df = spark.range(20).select(
+        "id", F.array(F.col("id") * 2, F.col("id") * 3).alias("emb")
+    )
+    log.append(df.coalesce(1))
+    log.delete_where([("id", ">=", 15)])
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r.id, tuple(r.emb), r._change_type, r._commit_version)
+            for r in batch_df.collect()
+        )
+
+    q = (
+        spark.readStream.format("tablelog")
+        .option("readChangeFeed", "true")
+        .load(log.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckarr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        (r.id, tuple(r.emb), r._change_type, r._commit_version)
+        for r in log.read_changes(0).collect()
+    )
+    assert sorted(got) == want
+    dels = [g for g in got if g[2] == "delete"]
+    assert sorted(g[0] for g in dels) == [15, 16, 17, 18, 19]
+    assert all(g[1] == (g[0] * 2, g[0] * 3) for g in got)
