@@ -82,14 +82,26 @@ def bm25_scores(
     dl = docs.select(
         F.col(id_col), F.size(_tokens(text_col)).cast("long").alias("dl")
     )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
     tf = (
         toks.filter(F.col("token").isin(terms))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return _bm25_score(tf, dl, k1, b, id_col)
+
+
+def _bm25_score(
+    tf: DataFrame, dl: DataFrame, k1: float, b: float, id_col: str
+) -> DataFrame:
+    """BM25 given per-(doc, matching-term) counts + ALL doc lengths —
+    SHARED by the per-call path above and the persisted inverted
+    index (``bm25_from_index``), so the two are hash-identical by
+    construction. ``df`` per term is computed from the already
+    term-filtered ``tf`` (distinct docs carrying the term — the same
+    value whether tf came from a fresh tokenize or stored postings)."""
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     df_t = tf.groupBy("token").agg(F.count_distinct(id_col).cast("long").alias("df"))
     contrib = (
@@ -175,3 +187,98 @@ def bm25_oracle_sql(
     FROM contrib GROUP BY {id_col}
     HAVING (SUM(part_u) // 100) / 10000.0 > 0
     """
+
+
+# --------------------------------------------------------------------
+# Persisted inverted index (the lexical sibling of operators/
+# ann_index.py): postings + doc lengths as version-pinned tablelog
+# tables, so BM25 serves many queries without re-tokenizing the
+# corpus. Same pin discipline: an idempotent-writer txn carries the
+# corpus version; both tables must agree or the query refuses.
+# --------------------------------------------------------------------
+
+
+def _lex_app_id(corpus_ident: str, text_col: str, id_col: str) -> str:
+    return f"lexical_index|corpus={corpus_ident}|text={text_col}|id={id_col}"
+
+
+def build_lexical_index(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    corpus_ident: str,
+    corpus_version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the full postings table (doc, token, tf) and the
+    doc-length table under ``index_path``, pinned to
+    ``corpus_version``. Postings are the classic inverted-index
+    working set: one row per distinct (doc, token), partitionable by
+    token — a query term's rows are one partition-pruned slice, never
+    a corpus re-tokenize."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    app = _lex_app_id(corpus_ident, text_col, id_col)
+    postings = (
+        corpus.select(
+            F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    pt = TableLog(spark, f"{index_path}/postings")
+    pt.overwrite(postings, operation="LEX_INDEX_BUILD")
+    pt.commit(
+        added=[], removed=[], data_change=False,
+        txn=(app, corpus_version), operation="LEX_INDEX_PIN",
+    )
+    dl = corpus.select(
+        F.col(id_col), F.size(_tokens(text_col)).cast("long").alias("dl")
+    )
+    dt = TableLog(spark, f"{index_path}/doclen")
+    dt.overwrite(dl, operation="LEX_INDEX_BUILD")
+    dt.commit(
+        added=[], removed=[], data_change=False,
+        txn=(app, corpus_version), operation="LEX_INDEX_PIN",
+    )
+
+
+class StaleLexicalIndexError(Exception):
+    """The persisted lexical index was built from an older corpus
+    snapshot than the one being queried."""
+
+
+def bm25_from_index(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    *,
+    corpus_ident: str,
+    corpus_version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """``bm25_scores`` answered from the prebuilt postings + doc
+    lengths (hash-identical via the shared ``_bm25_score``); refuses
+    a pin that does not match ``corpus_version`` on EITHER table."""
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    app = _lex_app_id(corpus_ident, text_col, id_col)
+    pt = TableLog(spark, f"{index_path}/postings")
+    dt = TableLog(spark, f"{index_path}/doclen")
+    for name, tl in (("postings", pt), ("doclen", dt)):
+        pinned = tl.last_txn_version(app) if tl.latest_version() > 0 else -1
+        if pinned != corpus_version:
+            raise StaleLexicalIndexError(
+                f"lexical index {name} at {index_path} pinned to corpus "
+                f"version {pinned}, query is against {corpus_version}"
+            )
+    terms = [t.lower() for t in query_terms]
+    tf = pt.read().filter(F.col("token").isin(terms))
+    return _bm25_score(tf, dt.read(), k1, b, id_col)

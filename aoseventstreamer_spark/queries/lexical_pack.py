@@ -53,6 +53,40 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bm25_persisted",
+    oracle=LX.bm25_oracle_sql(_BM25_TERMS),
+)
+def q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bm25_scores answered from a PERSISTED inverted index: the
+    postings (doc, token, tf) and doc-length tables live as
+    version-pinned tablelog tables (operators/lexical.py
+    build_lexical_index) — query time filters the stored postings by
+    the term bag instead of re-tokenizing the corpus. Same oracle as
+    the per-call path (shared _bm25_score ⇒ hash-identical); a stale
+    pin refuses (StaleLexicalIndexError)."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(docs_path)
+    corpus_version = (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
+    ident = os.path.abspath(docs_path)
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"aos_lex_idx_{hashlib.md5(ident.encode()).hexdigest()[:12]}",
+    )
+    kw = dict(corpus_ident=ident, corpus_version=corpus_version)
+    try:
+        return LX.bm25_from_index(spark, cache, _BM25_TERMS, **kw)
+    except LX.StaleLexicalIndexError:
+        LX.build_lexical_index(
+            spark, t(spark, sf_dir, "documents"), cache, **kw
+        )
+        return LX.bm25_from_index(spark, cache, _BM25_TERMS, **kw)
+
+
+@query(
     "q_vocab_topk",
     oracle="""
     WITH tok AS (

@@ -145,8 +145,20 @@ class DemuxRunner:
         """A shared checkpoint means a group added on restart starts at
         the committed offsets — it silently misses all prior history
         (unlike per-group StreamGroupManager queries, which replay from
-        the start). Detect that and make it explicit."""
-        manifest = os.path.join(self.checkpoint, "demux_groups.json")
+        the start). Detect that and make it explicit. The manifest
+        lives next to the Spark checkpoint; ``file:`` URIs are
+        normalized, other schemes skip the guard (the checkpoint store
+        is then not locally addressable — the added-group hazard still
+        holds, so deployments on remote checkpoints should keep their
+        own group manifest)."""
+        ck = self.checkpoint
+        if "://" in ck and not ck.startswith("file:"):
+            return
+        if ck.startswith("file:"):
+            ck = ck[len("file:"):]
+            while ck.startswith("//"):
+                ck = ck[1:]
+        manifest = os.path.join(ck, "demux_groups.json")
         previous: list[str] = []
         if os.path.exists(manifest):
             with open(manifest) as f:
@@ -159,7 +171,7 @@ class DemuxRunner:
                 "history; replay them via StreamGroupManager first, or "
                 "pass allow_missed_history=True to accept the gap"
             )
-        os.makedirs(self.checkpoint, exist_ok=True)
+        os.makedirs(ck, exist_ok=True)
         # persist only the CURRENT set (not the historical union): a
         # group that was removed and later re-registered ALSO missed
         # the in-between batches, and must trip the guard above just

@@ -102,3 +102,62 @@ def test_pretokenize_pieces_reconstruct_text(spark):
     rows = df.select("id", "text", pretokenize("text").alias("p")).collect()
     for r in rows:
         assert "".join(r.p) == r.text
+
+
+def test_lexical_index_persisted_equals_per_call(spark, tmp_path):
+    from aoseventstreamer_spark.operators import lexical as LX
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 7} " * (1 + i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    corpus = TableLog(spark, str(tmp_path / "corpus"))
+    corpus.append(docs)
+    v = corpus.latest_version()
+    idx = str(tmp_path / "lexidx")
+    LX.build_lexical_index(
+        spark, corpus.read(version=v), idx,
+        corpus_ident="c", corpus_version=v,
+    )
+    terms = ["alpha", "doc1", "doc2"]
+    got = sorted(
+        tuple(r)
+        for r in LX.bm25_from_index(
+            spark, idx, terms, corpus_ident="c", corpus_version=v
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in LX.bm25_scores(corpus.read(version=v), terms).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_lexical_index_stale_pin_refuses(spark, tmp_path):
+    import pytest as _pytest
+
+    from aoseventstreamer_spark.operators import lexical as LX
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    corpus = TableLog(spark, str(tmp_path / "corpus"))
+    corpus.append(docs)
+    v = corpus.latest_version()
+    idx = str(tmp_path / "lexidx")
+    LX.build_lexical_index(
+        spark, corpus.read(version=v), idx,
+        corpus_ident="c", corpus_version=v,
+    )
+    corpus.append(
+        spark.createDataFrame(
+            [(100, "alpha alpha")], "doc_id long, text string"
+        )
+    )
+    with _pytest.raises(LX.StaleLexicalIndexError, match="pinned to corpus"):
+        LX.bm25_from_index(
+            spark, idx, ["alpha"], corpus_ident="c",
+            corpus_version=corpus.latest_version(),
+        )
