@@ -198,6 +198,9 @@ def bm25_oracle_sql(
 # --------------------------------------------------------------------
 
 
+_N_TOKEN_BUCKETS = 64
+
+
 def _lex_app_id(corpus_ident: str, text_col: str, id_col: str) -> str:
     return f"lexical_index|corpus={corpus_ident}|text={text_col}|id={id_col}"
 
@@ -227,9 +230,20 @@ def build_lexical_index(
         )
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # hive-partition by a token-hash bucket: a query's terms map
+        # to a handful of buckets, and bm25_from_index's where=
+        # IN-filter prunes whole partitions via manifest stats — at
+        # corpus scale a term lookup reads |terms| buckets of
+        # postings, never the full index
+        .withColumn(
+            "tok_bucket",
+            F.pmod(F.xxhash64("token"), F.lit(_N_TOKEN_BUCKETS)).cast("int"),
+        )
     )
     pt = TableLog(spark, f"{index_path}/postings")
-    pt.overwrite(postings, operation="LEX_INDEX_BUILD")
+    pt.overwrite(
+        postings, partition_by=["tok_bucket"], operation="LEX_INDEX_BUILD"
+    )
     pt.commit(
         added=[], removed=[], data_change=False,
         txn=(app, corpus_version), operation="LEX_INDEX_PIN",
@@ -280,5 +294,26 @@ def bm25_from_index(
                 f"version {pinned}, query is against {corpus_version}"
             )
     terms = [t.lower() for t in query_terms]
-    tf = pt.read().filter(F.col("token").isin(terms))
+    # the terms' buckets (one tiny local job), pushed as a where=
+    # conjunct so the manifest prunes postings FILES before any scan
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "token string"
+            )
+            .select(
+                F.pmod(F.xxhash64("token"), F.lit(_N_TOKEN_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    tf = (
+        pt.read(where=[("tok_bucket", "in", buckets)])
+        .filter(F.col("token").isin(terms))
+        .drop("tok_bucket")
+    )
     return _bm25_score(tf, dt.read(), k1, b, id_col)

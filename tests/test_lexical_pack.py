@@ -161,3 +161,55 @@ def test_lexical_index_stale_pin_refuses(spark, tmp_path):
             spark, idx, ["alpha"], corpus_ident="c",
             corpus_version=corpus.latest_version(),
         )
+
+
+def test_lexical_index_prunes_postings_partitions(spark, tmp_path):
+    """The token-bucket hive layout must let a term query scan a
+    strict subset of the postings files (manifest-stats pruning via
+    the where= IN-filter), not the whole index."""
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.operators import lexical as LX
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i, i + 30))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    corpus = TableLog(spark, str(tmp_path / "corpus"))
+    corpus.append(docs)
+    v = corpus.latest_version()
+    idx = str(tmp_path / "lexidx")
+    LX.build_lexical_index(
+        spark, corpus.read(version=v), idx,
+        corpus_ident="c", corpus_version=v,
+    )
+    pt = TableLog(spark, f"{idx}/postings")
+    all_files = len(pt.read().inputFiles())
+    terms = ["tok3", "tok7"]
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(t,) for t in terms], "token string")
+            .select(
+                F.pmod(F.xxhash64("token"), F.lit(LX._N_TOKEN_BUCKETS))
+                .cast("int").alias("b")
+            ).collect()
+        }
+    )
+    pruned = len(
+        pt.read(where=[("tok_bucket", "in", buckets)]).inputFiles()
+    )
+    assert 0 < pruned < all_files
+    # and the pruned read still answers identically
+    got = sorted(
+        tuple(r)
+        for r in LX.bm25_from_index(
+            spark, idx, terms, corpus_ident="c", corpus_version=v
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in LX.bm25_scores(corpus.read(version=v), terms).collect()
+    )
+    assert got == want and got
