@@ -204,9 +204,10 @@ class LocalEmulatedObjectStore(ObjectStore):
     """S3-semantics store backed by a local directory: the API exposes
     ONLY put/get/list/delete/head — no rename — so a protocol that
     passes against it provably never needed one. Conditional PUT is
-    implemented with ``O_CREAT|O_EXCL`` (exactly create-if-absent,
-    the guarantee S3's ``If-None-Match: *`` gives); unconditional PUT
-    is last-writer-wins like S3."""
+    staged-write + ``link(2)`` (atomic create-if-absent WITH content —
+    both halves of the guarantee S3's ``If-None-Match: *`` gives: one
+    winner AND the object visible only fully formed); unconditional
+    PUT is staged-write + ``replace(2)`` (atomic last-writer-wins)."""
 
     def __init__(self, root: str):
         self.root = root.rstrip("/")
@@ -218,17 +219,27 @@ class LocalEmulatedObjectStore(ObjectStore):
         return p
 
     def put(self, key, data, *, if_none_match=False):
+        # S3 visibility semantics: an object appears ATOMICALLY with
+        # its content. Creating the key first and writing after (the
+        # pre-r10 shape) let a concurrent reader observe an empty
+        # manifest (JSONDecodeError under the 8-writer race). Stage
+        # the bytes, then publish: link(2) is atomic create-if-absent
+        # WITH content; replace(2) is atomic last-writer-wins.
         p = self._path(key)
+        tmp = os.path.join(
+            os.path.dirname(p), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
         if if_none_match:
             try:
-                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, p)
             except FileExistsError:
                 raise PreconditionFailed(key) from None
-            with os.fdopen(fd, "wb") as f:
-                f.write(data)
+            finally:
+                os.unlink(tmp)
         else:
-            with open(p, "wb") as f:
-                f.write(data)
+            os.replace(tmp, p)
 
     def get(self, key):
         try:
@@ -241,6 +252,8 @@ class LocalEmulatedObjectStore(ObjectStore):
         out = []
         for dirpath, _dirs, files in os.walk(self.root):
             for name in files:
+                if name.startswith(".tmp-"):
+                    continue  # emulator staging, not part of the key space
                 key = os.path.relpath(
                     os.path.join(dirpath, name), self.root
                 ).replace(os.sep, "/")
@@ -323,23 +336,40 @@ class PyArrowFSObjectStore(ObjectStore):
             self.fs.create_dir(parent, recursive=True)
 
     def put(self, key, data, *, if_none_match=False):
+        # S3 visibility: the object appears ATOMICALLY with its
+        # content (a claim-then-write emulation let concurrent
+        # readers see an empty manifest, r10 suite flake). Stage the
+        # bytes through the pyarrow stream under a hidden key, then
+        # publish: link(2) for conditional create-with-content,
+        # fs.move (rename) for last-writer-wins overwrite. Hidden
+        # staging keys are excluded from list() — they are the
+        # emulator's internal area, not key space.
         full = self._full(key)
         self._ensure_parent(full)
+        stage_key = f"{key}.staging-{uuid.uuid4().hex}"
+        stage_full = self._full(stage_key)
         if if_none_match:
             if self.local_root is None:
                 raise NotImplementedError(
                     "backing filesystem exposes no atomic conditional "
                     "create; refusing a non-atomic emulation"
                 )
+            with self.fs.open_output_stream(stage_full) as out:
+                out.write(bytes(data))
             claim = os.path.join(self.local_root, *key.split("/"))
-            os.makedirs(os.path.dirname(claim), exist_ok=True)
+            stage_local = os.path.join(
+                self.local_root, *stage_key.split("/")
+            )
             try:
-                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                os.link(stage_local, claim)
             except FileExistsError:
                 raise PreconditionFailed(key) from None
-        with self.fs.open_output_stream(full) as out:
-            out.write(bytes(data))
+            finally:
+                os.unlink(stage_local)
+        else:
+            with self.fs.open_output_stream(stage_full) as out:
+                out.write(bytes(data))
+            self.fs.move(stage_full, full)
 
     def get(self, key):
         try:
@@ -362,6 +392,8 @@ class PyArrowFSObjectStore(ObjectStore):
                 continue
             key = info.path[plen:] if plen else info.path
             key = key.lstrip("/")
+            if ".staging-" in key:
+                continue  # emulator staging, not part of the key space
             if key.startswith(prefix) and (
                 start_after is None or key > start_after
             ):
@@ -387,7 +419,12 @@ class FsspecObjectStore(ObjectStore):
     Conditional PUT uses exclusive-create open mode ``"xb"``, which
     fsspec's LocalFileSystem maps to ``O_CREAT|O_EXCL``; backends
     whose ``"xb"`` is not a true atomic create-if-absent must not be
-    used for the commit log."""
+    used for the commit log. Caveat vs the pyarrow adapter: ``"xb"``
+    makes the key visible BEFORE its bytes land, so a concurrent
+    reader can observe a partially-written object — acceptable only
+    where commits and reads don't race (the pyarrow adapter's
+    staged-link publish has full S3 visibility semantics and is the
+    recommended local binding)."""
 
     def __init__(self, fs, root: str):
         self.fs = fs
