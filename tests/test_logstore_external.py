@@ -188,3 +188,33 @@ def test_refuses_conditional_put_without_atomic_backing():
     s = PyArrowFSObjectStore(LocalFileSystem(), "/tmp/x", local_root=None)
     with pytest.raises(NotImplementedError):
         s.put("k", b"v", if_none_match=True)
+
+
+def test_maintenance_cycle_through_external_fs(spark, tmp_path, store):
+    """OPTIMIZE + expire_manifests + vacuum with the commit log bound
+    to the external FS (r9 item 4's second family): parquet
+    checkpoints anchor expiry, vacuum's keep-set walk reads manifests
+    through the external binding, and reads stay exact throughout."""
+    log = TableLog(
+        spark,
+        str(tmp_path / "t"),
+        log_store=ObjectStoreLogStore(store),
+        checkpoint_interval=3,
+        checkpoint_format="parquet",
+    )
+    for i in range(9):
+        log.append(
+            spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id % 7 AS v"
+            ).coalesce(1)
+        )
+    log.delete_where([("id", "<", 15)])
+    log.optimize(min_files=2, small_file_bytes=1 << 30)
+    assert log.read().count() == 75
+    expired = log.expire_manifests(retain_versions=4)
+    assert expired  # history below the anchor actually dropped
+    swept = log.vacuum(retain_versions=1, min_age_seconds=0.0)
+    assert swept  # pre-optimize fragments actually reclaimed
+    assert sorted(r[0] for r in log.read().select("id").collect()) == list(
+        range(15, 90)
+    )
