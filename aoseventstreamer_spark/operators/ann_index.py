@@ -305,6 +305,99 @@ def refresh_lsh_index_incremental(
     return "incremental"
 
 
+def fold_cdf_batch_into_lsh_index(
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    corpus_ident: str,
+    max_delete_ids: int = 100_000,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One CDF micro-batch folded into the LSH index — the body of
+    ``attach_lsh_index_maintenance``'s foreachBatch, module-level so
+    the replay path is DIRECTLY testable: calling it twice with the
+    same (batch, batch_id) must change nothing the second time except
+    re-advancing a lagging pin (the crash-between-commits recovery).
+    Idempotence rests on the ``(maint app, batch_id)`` stamp carried
+    by the band append; the delete half is naturally idempotent
+    (deleting already-absent ids is a no-op)."""
+    app = _app_id(corpus_ident, n_planes, n_tables, dim)
+    maint_app = app + "|maint"
+    idx = TableLog(spark, index_path)
+    batch_df.persist()
+    try:
+        max_v = batch_df.agg(
+            F.max("_commit_version").alias("v")
+        ).collect()[0]["v"]
+        if max_v is None:
+            return  # layout-only range: nothing to fold or pin
+        max_v = int(max_v)
+        if idx.last_txn_version(maint_app) >= batch_id:
+            # replayed batch: bands landed; re-advance the pin if
+            # the crash hit between the two commits
+            if idx.last_txn_version(app) < max_v:
+                idx.commit(
+                    added=[], removed=[], data_change=False,
+                    txn=(app, max_v), operation="ANN_INDEX_PIN",
+                )
+            return
+        deleted = (
+            batch_df.filter(F.col("_change_type") == "delete")
+            .select(F.col(id_col))
+            .distinct()
+        )
+        del_ids = [
+            r[0] for r in deleted.limit(max_delete_ids + 1).collect()
+        ]
+        if len(del_ids) > max_delete_ids:
+            build_lsh_index(
+                spark,
+                TableLog(spark, corpus_path).read(version=max_v),
+                index_path,
+                corpus_ident=corpus_ident,
+                corpus_version=max_v,
+                n_planes=n_planes,
+                n_tables=n_tables,
+                dim=dim,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            return
+        if del_ids:
+            idx.delete_where([("cand_id", "in", del_ids)])
+        band = portable_band_frame(
+            batch_df.filter(F.col("_change_type") == "insert").select(
+                id_col, vec_col
+            ),
+            "cand",
+            n_planes,
+            n_tables,
+            dim,
+            id_col,
+            vec_col,
+        ).select(
+            "cand_id",
+            "cand_q",
+            "cand_normsq",
+            F.col("tb.t").alias("t"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+        idx.append(band, txn_app=maint_app, txn_version=batch_id)
+        idx.commit(
+            added=[], removed=[], data_change=False,
+            txn=(app, max_v), operation="ANN_INDEX_PIN",
+        )
+    finally:
+        batch_df.unpersist()
+
+
 def attach_lsh_index_maintenance(
     spark: SparkSession,
     corpus_path: str,
@@ -342,8 +435,6 @@ def attach_lsh_index_maintenance(
     )
 
     register_tablelog_source(spark)
-    app = _app_id(corpus_ident, n_planes, n_tables, dim)
-    maint_app = app + "|maint"
     start = pinned_corpus_version(
         spark,
         index_path,
@@ -354,72 +445,20 @@ def attach_lsh_index_maintenance(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        idx = TableLog(spark, index_path)
-        batch_df.persist()
-        try:
-            max_v = batch_df.agg(
-                F.max("_commit_version").alias("v")
-            ).collect()[0]["v"]
-            if max_v is None:
-                return  # layout-only range: nothing to fold or pin
-            max_v = int(max_v)
-            if idx.last_txn_version(maint_app) >= batch_id:
-                # replayed batch: bands landed; re-advance the pin if
-                # the crash hit between the two commits
-                if idx.last_txn_version(app) < max_v:
-                    idx.commit(
-                        added=[], removed=[], data_change=False,
-                        txn=(app, max_v), operation="ANN_INDEX_PIN",
-                    )
-                return
-            deleted = (
-                batch_df.filter(F.col("_change_type") == "delete")
-                .select(F.col(id_col))
-                .distinct()
-            )
-            del_ids = [
-                r[0] for r in deleted.limit(max_delete_ids + 1).collect()
-            ]
-            if len(del_ids) > max_delete_ids:
-                build_lsh_index(
-                    spark,
-                    TableLog(spark, corpus_path).read(version=max_v),
-                    index_path,
-                    corpus_ident=corpus_ident,
-                    corpus_version=max_v,
-                    n_planes=n_planes,
-                    n_tables=n_tables,
-                    dim=dim,
-                    id_col=id_col,
-                    vec_col=vec_col,
-                )
-                return
-            if del_ids:
-                idx.delete_where([("cand_id", "in", del_ids)])
-            band = portable_band_frame(
-                batch_df.filter(F.col("_change_type") == "insert").select(
-                    id_col, vec_col
-                ),
-                "cand",
-                n_planes,
-                n_tables,
-                dim,
-                id_col,
-                vec_col,
-            ).select(
-                "cand_id",
-                "cand_q",
-                "cand_normsq",
-                F.col("tb.t").alias("t"),
-                F.col("tb.bucket").alias("bucket"),
-            )
-            idx.append(band, txn_app=maint_app, txn_version=batch_id)
-            idx.commit(
-                added=[], removed=[], data_change=False,
-                txn=(app, max_v), operation="ANN_INDEX_PIN",
-            )
-        finally:
-            batch_df.unpersist()
+        fold_cdf_batch_into_lsh_index(
+            spark,
+            corpus_path,
+            index_path,
+            batch_df,
+            batch_id,
+            corpus_ident=corpus_ident,
+            max_delete_ids=max_delete_ids,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
 
     stream = (
         spark.readStream.format("tablelog")

@@ -357,3 +357,78 @@ def test_param_mismatch_reads_as_unpinned(spark, tmp_path, corpus):
         )
         == -1
     )
+
+
+def test_maintenance_fold_replay_is_idempotent(spark, tmp_path, corpus):
+    """The stamp-guarded fold: applying the SAME CDF batch twice must
+    not duplicate bands, and a replay whose first attempt crashed
+    between the band append and the pin commit must re-advance ONLY
+    the pin."""
+    idx = str(tmp_path / "idx")
+    v1 = corpus.latest_version()
+    AI.build_lsh_index(
+        spark, corpus.read(version=v1), idx, corpus_ident="c",
+        corpus_version=v1, dim=DIM,
+    )
+    corpus.append(_vecs(spark, 8, offset=1000))
+    v2 = corpus.latest_version()
+    batch = corpus.read_changes(v1, v2)
+    AI.fold_cdf_batch_into_lsh_index(
+        spark, corpus.path, idx, batch, 1, corpus_ident="c", dim=DIM
+    )
+    bands = TableLog(spark, idx).read().count()
+    pin = AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
+    assert pin == v2
+    # full replay: nothing changes
+    AI.fold_cdf_batch_into_lsh_index(
+        spark, corpus.path, idx, batch, 1, corpus_ident="c", dim=DIM
+    )
+    assert TableLog(spark, idx).read().count() == bands
+    assert (
+        AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
+        == v2
+    )
+    # crash-between-commits: bands + stamp landed at a NEWER batch but
+    # the pin lags (simulated by folding the next delta with the pin
+    # commit suppressed via a pre-stamped append)
+    corpus.append(_vecs(spark, 4, offset=2000))
+    v3 = corpus.latest_version()
+    batch2 = corpus.read_changes(v2, v3)
+    it = TableLog(spark, idx)
+    from aoseventstreamer_spark.operators.similarity import (
+        portable_band_frame,
+    )
+    from pyspark.sql import functions as SF
+
+    band2 = portable_band_frame(
+        batch2.filter(SF.col("_change_type") == "insert").select(
+            "vec_id", "embedding"
+        ),
+        "cand", 4, 4, DIM, "vec_id", "embedding",
+    ).select(
+        "cand_id", "cand_q", "cand_normsq",
+        SF.col("tb.t").alias("t"), SF.col("tb.bucket").alias("bucket"),
+    )
+    app = AI._app_id("c", 4, 4, DIM)
+    it.append(band2, txn_app=app + "|maint", txn_version=2)  # no pin
+    assert (
+        AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
+        == v2  # pin lags: the simulated crash window
+    )
+    bands2 = TableLog(spark, idx).read().count()
+    AI.fold_cdf_batch_into_lsh_index(
+        spark, corpus.path, idx, batch2, 2, corpus_ident="c", dim=DIM
+    )
+    # recovery: pin advanced, bands untouched
+    assert (
+        AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
+        == v3
+    )
+    assert TableLog(spark, idx).read().count() == bands2
+    # and the recovered index answers exactly like a fresh build
+    snap3 = corpus.read(version=v3)
+    queries = snap3.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v3, dim=DIM
+    )
+    assert _rows(got) == _rows(portable_lsh_pairs(snap3, queries, dim=DIM))
