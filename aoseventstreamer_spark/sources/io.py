@@ -138,9 +138,15 @@ def write_stream(
 
         app = txn_app or f"tablelog-sink:{checkpoint.rstrip('/')}"
         pby = list(partition_by) if partition_by else None
+        # ONE TableLog across batches: its optimistic commit base
+        # (last committed version) then skips the per-batch head
+        # resolution — on an object-store log that is 3 fewer
+        # round-trips per micro-batch; a concurrent writer just costs
+        # one CAS loss + re-resolve
+        log = TableLog(df.sparkSession, path)
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            TableLog(batch_df.sparkSession, path).append(
+            log.append(
                 batch_df, partition_by=pby, txn_app=app, txn_version=batch_id
             )
 
