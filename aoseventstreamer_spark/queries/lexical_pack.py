@@ -86,6 +86,82 @@ def q_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         return LX.bm25_from_index(spark, cache, _BM25_TERMS, **kw)
 
 
+def _hybrid_rrf_oracle() -> str:
+    """RRF of the BM25 leg (the existing oracle, nested) and an
+    integer-dot semantic leg (quantized embeddings vs vec 0) —
+    rank-truncate each leg to 100, fuse with exact integer
+    reciprocals, top-20."""
+    bm = LX.bm25_oracle_sql(_BM25_TERMS)
+    return f"""
+    WITH bm_all AS (SELECT * FROM ({bm}) t),
+    bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm_all QUALIFY r <= 100
+    ),
+    qe AS (SELECT list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+    sem_all AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(list_dot_product(
+               list_transform(e.embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)),
+               qe.qv) AS BIGINT) AS dot
+      FROM embeddings e, qe WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r
+      FROM sem_all QUALIFY r <= 100
+    ),
+    legs AS (
+      SELECT doc_id, 1000000000000 // (60 + r) AS rrf FROM bm
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + r) AS rrf FROM sem
+    )
+    SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_u,
+           CAST(COUNT(*) AS BIGINT) AS n_legs
+    FROM legs GROUP BY doc_id
+    ORDER BY rrf_u DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("q_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the lexical (BM25)
+    and semantic (integer-dot, quantized embeddings vs vec 0) legs —
+    the documents and embeddings tables share one id space, so this
+    is the search stack's merge step over its two persisted indexes
+    (operators/fusion.py). Exact integer reciprocals + explicit id
+    tie-breaks make the fused top-20 hash-exact cross-engine."""
+    from aoseventstreamer_spark.operators import fusion as FU
+    from aoseventstreamer_spark.operators.similarity import (
+        int_dot,
+        quantize_vec,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    bm = LX.bm25_scores(docs, _BM25_TERMS)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        quantize_vec("embedding").alias("qv")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            int_dot(quantize_vec("embedding"), F.col("qv")).alias("dot"),
+        )
+    )
+    return FU.rrf_fuse(
+        [
+            (bm, [F.desc("score"), F.asc("doc_id")]),
+            (sem, [F.desc("dot"), F.asc("doc_id")]),
+        ]
+    )
+
+
 @query(
     "q_vocab_topk",
     oracle="""

@@ -213,3 +213,36 @@ def test_lexical_index_prunes_postings_partitions(spark, tmp_path):
         for r in LX.bm25_scores(corpus.read(version=v), terms).collect()
     )
     assert got == want and got
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: a doc in both legs sums both reciprocals; single-leg docs
+    contribute once; ordering is (rrf_u desc, id asc); leg_top
+    truncation applies before ranking contributions."""
+    from pyspark.sql import functions as F
+
+    from aoseventstreamer_spark.operators.fusion import RRF_UNIT, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(2, 100), (4, 90)], "doc_id long, d long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_u"], r["n_legs"])
+        for r in rrf_fuse(
+            [
+                (a, [F.desc("s"), F.asc("doc_id")]),
+                (b, [F.desc("d"), F.asc("doc_id")]),
+            ],
+            leg_top=2,  # doc 3 (rank 3 in leg a) must be truncated out
+        ).collect()
+    }
+    r1 = RRF_UNIT // 61
+    r2 = RRF_UNIT // 62
+    assert got == {
+        2: (r2 + r1, 2),  # rank 2 in leg a + rank 1 in leg b
+        1: (r1, 1),
+        4: (r2, 1),
+    }
