@@ -162,6 +162,85 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_hybrid_rrf_persisted", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_hybrid_rrf served ENTIRELY from persisted indexes: the BM25
+    leg reads the pinned postings/doclen tables (bm25_from_index) and
+    the semantic leg reads the quantized vectors STORED in the pinned
+    IVF assignments table (no corpus re-quantize) — the whole hybrid
+    query touches only index tables, the serving shape at 100 TB.
+    Same oracle as q_hybrid_rrf: stored qv ≡ quantize_vec(embedding)
+    and the shared scorer/fuser make the paths hash-identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aoseventstreamer_spark.operators import ann_index as AI
+    from aoseventstreamer_spark.operators import fusion as FU
+    from aoseventstreamer_spark.operators.similarity import int_dot
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    def _fingerprint(p):
+        st = os.stat(p)
+        return (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
+
+    # lexical leg from the persisted inverted index
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    lex_v = _fingerprint(docs_path)
+    lex_ident = os.path.abspath(docs_path)
+    lex_cache = os.path.join(
+        tempfile.gettempdir(),
+        f"aos_lex_idx_{hashlib.md5(lex_ident.encode()).hexdigest()[:12]}",
+    )
+    lex_kw = dict(corpus_ident=lex_ident, corpus_version=lex_v)
+    try:
+        bm = LX.bm25_from_index(spark, lex_cache, _BM25_TERMS, **lex_kw)
+    except LX.StaleLexicalIndexError:
+        LX.build_lexical_index(
+            spark, t(spark, sf_dir, "documents"), lex_cache, **lex_kw
+        )
+        bm = LX.bm25_from_index(spark, lex_cache, _BM25_TERMS, **lex_kw)
+
+    # semantic leg from the persisted IVF assignments' stored qv
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ann_v = _fingerprint(emb_path)
+    ann_ident = os.path.abspath(emb_path)
+    ann_cache = os.path.join(
+        tempfile.gettempdir(),
+        f"aos_ivf_idx_{hashlib.md5(ann_ident.encode()).hexdigest()[:12]}",
+    )
+    app = AI._ivf_app_id(ann_ident, 8, 2, 64)
+    at = TableLog(spark, f"{ann_cache}/assignments")
+    pinned = at.last_txn_version(app) if at.latest_version() > 0 else -1
+    if pinned != ann_v:
+        AI.build_ivf_index(
+            spark,
+            t(spark, sf_dir, "embeddings"),
+            ann_cache,
+            corpus_ident=ann_ident,
+            corpus_version=ann_v,
+        )
+        at = TableLog(spark, f"{ann_cache}/assignments")
+    stored = at.read().select("cand_id", "qv")
+    q = stored.filter(F.col("cand_id") == 0).select(
+        F.col("qv").alias("query_qv")
+    )
+    sem = (
+        stored.filter(F.col("cand_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("cand_id").alias("doc_id"),
+            int_dot(F.col("qv"), F.col("query_qv")).alias("dot"),
+        )
+    )
+    return FU.rrf_fuse(
+        [
+            (bm, [F.desc("score"), F.asc("doc_id")]),
+            (sem, [F.desc("dot"), F.asc("doc_id")]),
+        ]
+    )
+
+
 @query(
     "q_vocab_topk",
     oracle="""
