@@ -13,10 +13,18 @@ every ordering carries an explicit id tie-break, so the fused list
 hash-compares against a DuckDB oracle.
 
 Scale shape: each leg is truncated to its own top-``leg_top`` FIRST
-(rank-then-filter equals truncate-then-rank for row_number), so the
-single-partition rank windows run over bounded candidate lists —
-never the corpus; the fuse is a union + one id-keyed sum over
-|legs|·leg_top rows.
+via ``orderBy(...).limit(leg_top)`` — which plans as
+TakeOrderedAndProject (per-partition top-k heaps + one k-row merge),
+NOT a single-partition sort — and only the ≤leg_top survivors see a
+rank window. An unpartitioned ``row_number().over(orderBy)`` with a
+post-filter is NOT equivalent at scale: Spark 4.1.2 fires neither
+WindowGroupLimit nor a limit pushdown for empty-partitionBy windows
+(same trap documented at operators/kmv.py:58-64), so the window
+would funnel the whole corpus through one task. Truncate-then-rank
+equals rank-then-filter for row_number over a total order, so the
+result is unchanged — only the plan is. The fuse itself is a union +
+one id-keyed sum over |legs|·leg_top rows, and the final fused-top
+window ranks ≤ |legs|·leg_top aggregated rows.
 """
 
 from __future__ import annotations
@@ -44,10 +52,13 @@ def rrf_fuse(
         raise ValueError("at least one leg required")
     parts = []
     for df, order in legs:
+        # Bound the leg BEFORE any window: sort+limit plans as
+        # TakeOrderedAndProject (parallel per-partition heaps), then
+        # the rank window runs over <= leg_top rows only.
+        survivors = df.orderBy(*order).limit(leg_top)
         w = Window.orderBy(*order)
         parts.append(
-            df.withColumn("__rank", F.row_number().over(w))
-            .filter(F.col("__rank") <= leg_top)
+            survivors.withColumn("__rank", F.row_number().over(w))
             .select(
                 F.col(id_col),
                 F.expr(f"{RRF_UNIT} div ({k} + __rank)").alias("__rrf"),
@@ -56,6 +67,8 @@ def rrf_fuse(
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionByName(p)
+    # The fused frame has <= |legs| * leg_top distinct ids, so this
+    # final rank window is bounded by construction.
     w_top = Window.orderBy(F.desc("rrf_u"), F.asc(id_col))
     return (
         allp.groupBy(id_col)

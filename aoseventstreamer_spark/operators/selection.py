@@ -273,18 +273,24 @@ def nb_train(
     )
     tok = toks.select("cls", F.explode("__t").alias("w"))
     ctk = tok.groupBy("cls", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    # priors without a driver-side count(): the total is a window sum
-    # over the (num_classes)-row class frame, so the fit stays one
-    # lazy plan (persist the three frames for train-once/score-many)
-    w_all = Window.partitionBy()
+    # priors without a driver-side count(): the all-classes doc total
+    # is a 1-row aggregate broadcast back onto the (num_classes)-row
+    # class frame, so the fit stays one lazy plan (persist the three
+    # frames for train-once/score-many). A Window.partitionBy() sum
+    # would be value-identical here (the frame is class-cardinality)
+    # but the broadcast form keeps the registry-wide unpartitioned-
+    # window gate (tests/test_window_gate.py) allowlist-free for NB.
+    per_cls = toks.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_c")
+    )
+    n_all = per_cls.agg(F.sum("n_docs_c").alias("__n_docs_all"))
     cls = (
-        toks.groupBy("cls")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs_c"))
-        .join(ctk.groupBy("cls").agg(F.sum("c").alias("n_tok_c")), "cls")
+        per_cls.join(ctk.groupBy("cls").agg(F.sum("c").alias("n_tok_c")), "cls")
+        .crossJoin(F.broadcast(n_all))
         .select(
             "cls",
             "n_tok_c",
-            _lnu(F.col("n_docs_c") / F.sum("n_docs_c").over(w_all)).alias("prior_u"),
+            _lnu(F.col("n_docs_c") / F.col("__n_docs_all")).alias("prior_u"),
         )
     )
     vstats = tok.agg(F.count_distinct("w").cast("long").alias("v"))

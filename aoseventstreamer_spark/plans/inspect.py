@@ -43,3 +43,91 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"codegen id : (\d+)", formatted_plan(df))))
+
+
+# ---------------------------------------------------------------------
+# Global-window gate: no unpartitioned Window may sit on a corpus-sized
+# frame. An empty-partitionBy window funnels ALL its input through one
+# task (WindowExec "Moving all data to a single partition"), so its
+# subtree must cardinality-bound every path to a scan with a limit-like
+# node FIRST (orderBy+limit → TakeOrderedAndProject is the sanctioned
+# pattern, operators/kmv.py:58-64 / operators/fusion.py). Round 10
+# shipped exactly this defect in operators/fusion.py — the discipline
+# existed in kmv but was forgotten in fusion — so the check is now
+# mechanical (tests/test_window_gate.py walks every registry query).
+# ---------------------------------------------------------------------
+
+# Nodes that bound the row count flowing upward: anything above them
+# sees at most k / broadcast-threshold rows regardless of corpus size.
+_BOUNDING = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "WindowGroupLimitExec",
+}
+# Leaf scans that are corpus-sized unless bounded on the way up.
+_SCANS = {
+    "FileSourceScanExec",
+    "RowDataSourceScanExec",
+    "BatchScanExec",
+    "InMemoryTableScanExec",
+    "ExternalRDDScanExec",
+    "RDDScanExec",
+}
+
+
+def _unwrap(node):
+    """Peel AQE / codegen / reuse wrappers to the semantic node."""
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return _unwrap(node.initialPlan())
+    if name in ("WholeStageCodegenExec", "InputAdapter"):
+        return _unwrap(node.child())
+    if name == "ReusedExchangeExec":
+        return _unwrap(node.child())
+    return node
+
+
+def _subtree_has_unbounded_scan(node) -> bool:
+    node = _unwrap(node)
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING:
+        return False  # everything below is cardinality-capped here
+    if name in _SCANS:
+        return True
+    return any(
+        _subtree_has_unbounded_scan(node.children().apply(i))
+        for i in range(node.children().size())
+    )
+
+
+def unbounded_global_window_sites(df: DataFrame) -> list[str]:
+    """Every WindowExec with an EMPTY partitionSpec whose subtree
+    reaches a scan with no intervening limit-like bound — i.e. a
+    single-task sort over a corpus-sized frame. Returns one
+    description string per offending site ([] = plan is clean).
+    Windows partitioned by anything, and global windows over
+    already-bounded frames (post-limit ranks), pass."""
+    plan = _unwrap(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+    sites: list[str] = []
+
+    def visit(node):
+        node = _unwrap(node)
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec") and (
+            node.partitionSpec().size() == 0
+        ):
+            if any(
+                _subtree_has_unbounded_scan(node.children().apply(i))
+                for i in range(node.children().size())
+            ):
+                sites.append(
+                    f"unpartitioned {name} over unbounded frame: "
+                    + node.toString().splitlines()[0].strip()[:160]
+                )
+        for i in range(node.children().size()):
+            visit(node.children().apply(i))
+
+    visit(plan)
+    return sites

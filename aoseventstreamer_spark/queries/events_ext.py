@@ -164,18 +164,23 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lifetime-value deciles: per-user totals (exact cents), NTILE
     into 10 buckets (user_id tiebreak makes the split engine-
-    deterministic), per-decile stats. The global NTILE runs over the
+    deterministic), per-decile stats. The NTILE runs over the
     AGGREGATED per-user frame — 4-5 orders of magnitude smaller than
-    the event log — so the single-ordering window is fine up to
-    ~10^8 users; past that, swap the exact NTILE for bucket bounds
-    from approx_percentile (a broadcastable 9-value table) and keep
-    the rest of the plan unchanged."""
+    the event log — and uses operators/ranking.ntile_exact (two-phase
+    distributed global rank), so even at 10^9+ users no single task
+    ever sees the whole per-user frame; the plan gate
+    (tests/test_window_gate.py) holds the query to that shape."""
+    from aoseventstreamer_spark.operators.ranking import ntile_exact
+
     ev = t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.sum(cents("value")).alias("total_c")
     )
-    ranked = per_user.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("total_c", "user_id"))
+    ranked = ntile_exact(
+        per_user,
+        10,
+        [F.asc("total_c"), F.asc("user_id")],
+        bucket_col="decile",
     )
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n_users"),

@@ -162,46 +162,47 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hybrid_rrf_persisted", oracle=_hybrid_rrf_oracle())
-def q_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q_hybrid_rrf served ENTIRELY from persisted indexes: the BM25
-    leg reads the pinned postings/doclen tables (bm25_from_index) and
-    the semantic leg reads the quantized vectors STORED in the pinned
-    IVF assignments table (no corpus re-quantize) — the whole hybrid
-    query touches only index tables, the serving shape at 100 TB.
-    Same oracle as q_hybrid_rrf: stored qv ≡ quantize_vec(embedding)
-    and the shared scorer/fuser make the paths hash-identical."""
+def _fingerprint(p: str) -> int:
+    import os
+
+    st = os.stat(p)
+    return (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
+
+
+def _pinned_bm25_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 leg served from the persisted inverted index
+    (build-on-miss, version-pinned — shared by q_bm25_persisted and
+    the hybrid serving queries)."""
     import hashlib
     import os
     import tempfile
 
-    from aoseventstreamer_spark.operators import ann_index as AI
-    from aoseventstreamer_spark.operators import fusion as FU
-    from aoseventstreamer_spark.operators.similarity import int_dot
-    from aoseventstreamer_spark.tablelog import TableLog
-
-    def _fingerprint(p):
-        st = os.stat(p)
-        return (st.st_size << 20) ^ (st.st_mtime_ns & ((1 << 20) - 1))
-
-    # lexical leg from the persisted inverted index
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    lex_v = _fingerprint(docs_path)
     lex_ident = os.path.abspath(docs_path)
     lex_cache = os.path.join(
         tempfile.gettempdir(),
         f"aos_lex_idx_{hashlib.md5(lex_ident.encode()).hexdigest()[:12]}",
     )
-    lex_kw = dict(corpus_ident=lex_ident, corpus_version=lex_v)
+    kw = dict(corpus_ident=lex_ident, corpus_version=_fingerprint(docs_path))
     try:
-        bm = LX.bm25_from_index(spark, lex_cache, _BM25_TERMS, **lex_kw)
+        return LX.bm25_from_index(spark, lex_cache, _BM25_TERMS, **kw)
     except LX.StaleLexicalIndexError:
         LX.build_lexical_index(
-            spark, t(spark, sf_dir, "documents"), lex_cache, **lex_kw
+            spark, t(spark, sf_dir, "documents"), lex_cache, **kw
         )
-        bm = LX.bm25_from_index(spark, lex_cache, _BM25_TERMS, **lex_kw)
+        return LX.bm25_from_index(spark, lex_cache, _BM25_TERMS, **kw)
 
-    # semantic leg from the persisted IVF assignments' stored qv
+
+def _pinned_ivf_index(spark: SparkSession, sf_dir: str):
+    """(index_path, corpus_ident, corpus_version) of the build-on-miss
+    version-pinned IVF index over the embeddings table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from aoseventstreamer_spark.operators import ann_index as AI
+    from aoseventstreamer_spark.tablelog import TableLog
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     ann_v = _fingerprint(emb_path)
     ann_ident = os.path.abspath(emb_path)
@@ -220,7 +221,29 @@ def q_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus_ident=ann_ident,
             corpus_version=ann_v,
         )
-        at = TableLog(spark, f"{ann_cache}/assignments")
+    return ann_cache, ann_ident, ann_v
+
+
+@query("q_hybrid_rrf_persisted", oracle=_hybrid_rrf_oracle())
+def q_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_hybrid_rrf served ENTIRELY from persisted indexes: the BM25
+    leg reads the pinned postings/doclen tables (bm25_from_index) and
+    the semantic leg reads the quantized vectors STORED in the pinned
+    IVF assignments table (no corpus re-quantize). Same oracle as
+    q_hybrid_rrf: stored qv ≡ quantize_vec(embedding) and the shared
+    scorer/fuser make the paths hash-identical. NOTE this variant
+    still exhaustively dot-products every stored vector (exact
+    semantic leg); the nprobe-bounded serving shape — the plan you'd
+    actually run at 100 TB — is q_hybrid_rrf_ann below."""
+    from aoseventstreamer_spark.operators import fusion as FU
+    from aoseventstreamer_spark.operators.similarity import int_dot
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    bm = _pinned_bm25_leg(spark, sf_dir)
+
+    # semantic leg from the persisted IVF assignments' stored qv
+    ann_cache, _, _ = _pinned_ivf_index(spark, sf_dir)
+    at = TableLog(spark, f"{ann_cache}/assignments")
     stored = at.read().select("cand_id", "qv")
     q = stored.filter(F.col("cand_id") == 0).select(
         F.col("qv").alias("query_qv")
@@ -232,6 +255,80 @@ def q_hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cand_id").alias("doc_id"),
             int_dot(F.col("qv"), F.col("query_qv")).alias("dot"),
         )
+    )
+    return FU.rrf_fuse(
+        [
+            (bm, [F.desc("score"), F.asc("doc_id")]),
+            (sem, [F.desc("dot"), F.asc("doc_id")]),
+        ]
+    )
+
+
+def _hybrid_rrf_ann_oracle() -> str:
+    """RRF of the BM25 leg and the nprobe-BOUNDED IVF semantic leg:
+    the semantic candidates are only the vectors assigned to the
+    query's 2 nearest (of 8) coarse clusters — the DuckDB side replays
+    the full portable-IVF pipeline (same md5 seeding, Lloyd rounds,
+    probe tie rules), so the approximation itself is hash-checked, not
+    just the fusion."""
+    from aoseventstreamer_spark.operators.similarity import (
+        portable_ivf_oracle_sql,
+    )
+
+    bm = LX.bm25_oracle_sql(_BM25_TERMS)
+    ivf = portable_ivf_oracle_sql(query_pred="vec_id = 0")
+    return f"""
+    WITH bm_all AS (SELECT * FROM ({bm}) t),
+    bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm_all QUALIFY r <= 100
+    ),
+    ivf AS (SELECT * FROM ({ivf}) t),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r
+      FROM (SELECT cand_id AS doc_id, dot_scaled AS dot FROM ivf)
+      QUALIFY r <= 100
+    ),
+    legs AS (
+      SELECT doc_id, 1000000000000 // (60 + r) AS rrf FROM bm
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + r) AS rrf FROM sem
+    )
+    SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_u,
+           CAST(COUNT(*) AS BIGINT) AS n_legs
+    FROM legs GROUP BY doc_id
+    ORDER BY rrf_u DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("q_hybrid_rrf_ann", oracle=_hybrid_rrf_ann_oracle())
+def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual 100 TB hybrid-serving shape (VERDICT r10 item 3):
+    BM25 from the pinned inverted index fused with a semantic leg
+    served from the persisted IVF index PROBE
+    (operators/ann_index.query_ivf_index, nprobe=2 of 8 clusters) —
+    the semantic leg dot-products only the candidates in the probed
+    cells, never the corpus. q_hybrid_rrf / q_hybrid_rrf_persisted
+    keep the exact exhaustive leg as the recall ceiling; this query is
+    what a search stack actually executes per query. Hash-exact: the
+    oracle replays the portable-IVF probe in DuckDB, so cluster
+    assignment, probe choice, candidate set, and fusion all
+    cross-check."""
+    from aoseventstreamer_spark.operators import ann_index as AI
+    from aoseventstreamer_spark.operators import fusion as FU
+
+    bm = _pinned_bm25_leg(spark, sf_dir)
+    ann_cache, ann_ident, ann_v = _pinned_ivf_index(spark, sf_dir)
+    pairs = AI.query_ivf_index(
+        spark,
+        ann_cache,
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0),
+        corpus_ident=ann_ident,
+        corpus_version=ann_v,
+    )
+    sem = pairs.select(
+        F.col("cand_id").alias("doc_id"), F.col("dot_scaled").alias("dot")
     )
     return FU.rrf_fuse(
         [

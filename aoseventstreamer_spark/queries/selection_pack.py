@@ -12,7 +12,7 @@ discipline), and randomness is hash-derived (gumbel_key_u).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aoseventstreamer_spark.operators.lm import (
@@ -103,17 +103,26 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluent third that CCNet keeps. Ranking and comparison use the
     EXACT integer avg_nll_u (avg micro-nats per bigram — monotone in
     ppl), never the derived float ppl, so the tercile is cross-engine
-    exact. The ranked frame is (doc_id, avg_nll_u) — two longs per
-    doc, NOT the text — so the exact global tercile is a narrow
-    single sort; at 100 TB the production path replaces it with fixed
-    thresholds read off the training distribution's quantiles (as
-    CCNet itself does), turning the bucket into a pure codegen CASE
-    with no shuffle at all."""
+    exact. The tercile itself is operators/ranking.ntile_exact — the
+    two-phase distributed global rank (range-repartition → local rank
+    → P-row offset join → arithmetic bucket), value-identical to the
+    oracle's plain NTILE(3) window while keeping every wide op bounded:
+    a global ``ntile().over(Window.orderBy(...))`` would funnel the
+    per-doc frame (~16 B × corpus docs) through ONE task at 10^10 docs.
+    The plan gate (tests/test_window_gate.py) holds this query to that
+    shape."""
+    from aoseventstreamer_spark.operators.ranking import ntile_exact
+
     docs = t(spark, sf_dir, "documents")
     scores = perplexity_scores(docs, vocab_size=24).select("doc_id", "avg_nll_u")
-    w = Window.orderBy(F.asc("avg_nll_u"), F.asc("doc_id"))
-    n = F.ntile(3).over(w)
-    return scores.select(
+    bucketed = ntile_exact(
+        scores,
+        3,
+        [F.asc("avg_nll_u"), F.asc("doc_id")],
+        bucket_col="__tercile",
+    )
+    n = F.col("__tercile")
+    return bucketed.select(
         "doc_id",
         "avg_nll_u",
         F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail").alias("bucket"),

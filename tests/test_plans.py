@@ -394,3 +394,53 @@ def test_near_dup_verified_plan_is_slim(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2, plan
     assert plan.count("SortMergeJoin") == 0, plan
     assert shuffle_count(df) <= 6, plan
+
+
+def test_rrf_fuse_legs_are_bounded_before_ranking(spark, sf_dir):
+    """VERDICT r10 item 1: each fusion leg must be truncated by a
+    TakeOrderedAndProject (orderBy+limit: parallel per-partition
+    top-k heaps) BEFORE its rank window, and no unpartitioned window
+    anywhere in the plan may sit on an unbounded corpus frame. The
+    round-10 rank-then-filter form left the bound to the optimizer
+    (LimitPushDownThroughWindow); the rewrite makes it structural."""
+    from aoseventstreamer_spark.plans.inspect import (
+        unbounded_global_window_sites,
+    )
+
+    for qname in ("q_hybrid_rrf", "q_hybrid_rrf_persisted",
+                  "q_hybrid_rrf_ann"):
+        df = QUERIES[qname](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one TakeOrdered per leg (bm25 + semantic) at minimum; the
+        # fused-top window is fed by the bounded union so a third may
+        # appear above it
+        assert plan.count("TakeOrderedAndProject") >= 2, (qname, plan)
+        assert unbounded_global_window_sites(df) == [], qname
+
+
+def test_hybrid_ann_semantic_leg_is_probe_bounded(spark, sf_dir):
+    """VERDICT r10 item 3: q_hybrid_rrf_ann's semantic leg must be
+    served from the IVF probe — candidate dot products happen ABOVE a
+    cluster equi-join against the broadcast probe list, never as a
+    corpus-wide cross join the way the exhaustive recall-ceiling
+    variants (q_hybrid_rrf/_persisted) do."""
+    df = QUERIES["q_hybrid_rrf_ann"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every raw-corpus embeddings scan must be the 1-row query-vector
+    # read (vec_id = 0 pushed); candidates come from the persisted
+    # assignments table via the cluster equi-join
+    emb_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "embeddings.parquet" in ln
+    ]
+    assert emb_scans, plan  # the query vector is read from the corpus
+    for ln in emb_scans:
+        assert "= 0)" in ln, f"full-corpus embeddings scan:\n{ln}"
+    # the probe join itself: assignments joined on cluster
+    assert "BroadcastHashJoin [cluster" in plan, plan
+    # and the postings scan is pruned by the query-term IN-list
+    posting_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "postings" in ln
+    ]
+    assert posting_scans and all("token" in ln and " IN " in ln for ln in posting_scans), plan
