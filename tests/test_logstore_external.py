@@ -4,8 +4,10 @@ emulations are in-repo and could encode the same wrong assumption
 twice — list ordering after overwrite, ``start_after`` edge
 semantics, list-after-write visibility). ``PyArrowFSObjectStore``
 binds the 5-method ``ObjectStore`` client to ``pyarrow.fs`` (always
-available); ``FsspecObjectStore`` binds it to fsspec when importable
-(skipped otherwise — fsspec is absent from the pinned environment).
+available). An fsspec binding existed behind an import gate in
+rounds 9-10 but was removed (VERDICT r10 item 7): fsspec is absent
+from the pinned environment, so the binding was untestable dead code
+in the commit path — see the note in logstore.py.
 
 Every semantic the in-repo emulations are probed for runs here too:
 conditional-PUT create-if-absent + 64-thread single-winner race,
@@ -31,23 +33,10 @@ from aoseventstreamer_spark.logstore import (
 from aoseventstreamer_spark.tablelog import TableLog
 
 
-def _makers():
-    out = [
-        ("pyarrow-local", PyArrowFSObjectStore.local),
-        ("pyarrow-subtree", PyArrowFSObjectStore.subtree),
-    ]
-    try:
-        import fsspec  # noqa: F401
-
-        from aoseventstreamer_spark.logstore import FsspecObjectStore
-
-        out.append(("fsspec-local", FsspecObjectStore.local))
-    except ImportError:
-        pass
-    return out
-
-
-MAKERS = _makers()
+MAKERS = [
+    ("pyarrow-local", PyArrowFSObjectStore.local),
+    ("pyarrow-subtree", PyArrowFSObjectStore.subtree),
+]
 IDS = [m[0] for m in MAKERS]
 
 
