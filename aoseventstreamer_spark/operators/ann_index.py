@@ -323,11 +323,32 @@ def fold_cdf_batch_into_lsh_index(
     """One CDF micro-batch folded into the LSH index — the body of
     ``attach_lsh_index_maintenance``'s foreachBatch, module-level so
     the replay path is DIRECTLY testable: calling it twice with the
-    same (batch, batch_id) must change nothing the second time except
-    re-advancing a lagging pin (the crash-between-commits recovery).
-    Idempotence rests on the ``(maint app, batch_id)`` stamp carried
-    by the band append; the delete half is naturally idempotent
-    (deleting already-absent ids is a no-op)."""
+    same batch must change nothing the second time except re-advancing
+    a lagging pin (the crash-between-commits recovery).
+
+    Idempotence rests on the ``(maint app, max _commit_version)``
+    stamp carried by the band append — the CORPUS version, not the
+    stream's ``batch_id``. Batch ids restart at 0 for every new
+    checkpoint directory, so a batch-id stamp from an earlier
+    maintenance stream would make a re-attached stream skip folding
+    REAL new changes while still advancing the pin — an index that
+    claims a corpus version it does not contain (r11 fresh-eyes
+    finding, regression-tested in test_ann_index.py). Corpus versions
+    are monotone across streams, checkpoints, and the batch refresher,
+    so the stamp survives all of them. Rows whose ``_commit_version``
+    is ≤ the current pin are additionally filtered out before folding:
+    a resumed old checkpoint can deliver versions the BATCH refresher
+    already folded, and re-banding them would duplicate index rows.
+    The delete half is naturally idempotent (deleting absent ids is a
+    no-op).
+
+    Transient-read caveat (documented, not a bug): the fold is
+    delete-commit → append-commit → pin-commit, so a reader hitting
+    the index BETWEEN those commits can see a state slightly ahead of
+    the pin (deletes land first). Readers needing strict snapshot
+    isolation should read the index table at a pinned tablelog
+    snapshot version rather than latest; the pin refusal in
+    ``query_lsh_index`` bounds the staleness either way."""
     app = _app_id(corpus_ident, n_planes, n_tables, dim)
     maint_app = app + "|maint"
     idx = TableLog(spark, index_path)
@@ -339,8 +360,8 @@ def fold_cdf_batch_into_lsh_index(
         if max_v is None:
             return  # layout-only range: nothing to fold or pin
         max_v = int(max_v)
-        if idx.last_txn_version(maint_app) >= batch_id:
-            # replayed batch: bands landed; re-advance the pin if
+        if idx.last_txn_version(maint_app) >= max_v:
+            # replayed range: bands landed; re-advance the pin if
             # the crash hit between the two commits
             if idx.last_txn_version(app) < max_v:
                 idx.commit(
@@ -348,8 +369,12 @@ def fold_cdf_batch_into_lsh_index(
                     txn=(app, max_v), operation="ANN_INDEX_PIN",
                 )
             return
+        # drop rows already folded (pin = corpus version the index
+        # holds); a resumed stale checkpoint may re-deliver them
+        pinned = idx.last_txn_version(app)
+        fresh = batch_df.filter(F.col("_commit_version") > F.lit(pinned))
         deleted = (
-            batch_df.filter(F.col("_change_type") == "delete")
+            fresh.filter(F.col("_change_type") == "delete")
             .select(F.col(id_col))
             .distinct()
         )
@@ -369,11 +394,18 @@ def fold_cdf_batch_into_lsh_index(
                 id_col=id_col,
                 vec_col=vec_col,
             )
+            # stamp the maint range too so a replay of this batch is a
+            # clean skip instead of an empty re-fold
+            idx2 = TableLog(spark, index_path)
+            idx2.commit(
+                added=[], removed=[], data_change=False,
+                txn=(maint_app, max_v), operation="ANN_INDEX_PIN",
+            )
             return
         if del_ids:
             idx.delete_where([("cand_id", "in", del_ids)])
         band = portable_band_frame(
-            batch_df.filter(F.col("_change_type") == "insert").select(
+            fresh.filter(F.col("_change_type") == "insert").select(
                 id_col, vec_col
             ),
             "cand",
@@ -389,7 +421,7 @@ def fold_cdf_batch_into_lsh_index(
             F.col("tb.t").alias("t"),
             F.col("tb.bucket").alias("bucket"),
         )
-        idx.append(band, txn_app=maint_app, txn_version=batch_id)
+        idx.append(band, txn_app=maint_app, txn_version=max_v)
         idx.commit(
             added=[], removed=[], data_change=False,
             txn=(app, max_v), operation="ANN_INDEX_PIN",

@@ -42,12 +42,18 @@ def vocab_counts(
 
 def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Top-k tokens by occurrence count, ties broken by token asc —
-    fully deterministic, plans as TakeOrderedAndProject."""
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    fully deterministic. The truncation is a structural
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps over
+    the token frame, which can be 10^9 rows at corpus scale) and only
+    the ≤k survivors see the rank window — the kmv.py:58 /
+    fusion.py discipline, enforced registry-wide by
+    tests/test_window_gate.py. (The old rank-then-filter form was
+    bounded only because the optimizer happened to rewrite it.)"""
+    order = [F.col("n_occurrences").desc(), F.col("token")]
+    top = vocab_counts(docs, text_col).orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        vocab_counts(docs, text_col)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "token", "n_docs", "n_occurrences")
     )
 

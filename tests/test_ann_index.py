@@ -410,7 +410,9 @@ def test_maintenance_fold_replay_is_idempotent(spark, tmp_path, corpus):
         SF.col("tb.t").alias("t"), SF.col("tb.bucket").alias("bucket"),
     )
     app = AI._app_id("c", 4, 4, DIM)
-    it.append(band2, txn_app=app + "|maint", txn_version=2)  # no pin
+    # the maint stamp is the batch's max corpus version (v3), NOT the
+    # stream batch_id — batch ids restart per checkpoint (r11 fix)
+    it.append(band2, txn_app=app + "|maint", txn_version=v3)  # no pin
     assert (
         AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
         == v2  # pin lags: the simulated crash window
@@ -432,3 +434,92 @@ def test_maintenance_fold_replay_is_idempotent(spark, tmp_path, corpus):
         spark, idx, queries, corpus_ident="c", corpus_version=v3, dim=DIM
     )
     assert _rows(got) == _rows(portable_lsh_pairs(snap3, queries, dim=DIM))
+
+
+def test_reattach_with_fresh_checkpoint_folds_new_changes(
+    spark, tmp_path, corpus
+):
+    """r11 fresh-eyes regression: maintenance stamped the band append
+    with the stream's ``batch_id``, which restarts at 0 for every new
+    checkpoint directory — a RE-ATTACHED stream (new checkpoint, old
+    index) saw the stale stamp, skipped folding the genuinely new
+    changes, and still advanced the pin: an index claiming a corpus
+    version it does not contain. The stamp is now the batch's max
+    corpus ``_commit_version`` (monotone across streams), so the
+    re-attach must fold and the final bands must equal a from-scratch
+    build."""
+    idx = str(tmp_path / "idx")
+    ck1 = str(tmp_path / "ck1")
+    ck2 = str(tmp_path / "ck2")
+    _run_maintenance(spark, corpus, idx, ck1)
+
+    corpus.append(_vecs(spark, 6, offset=3000))
+    _run_maintenance(spark, corpus, idx, ck1)
+
+    # re-attach with a FRESH checkpoint after more appends
+    corpus.append(_vecs(spark, 6, offset=4000))
+    q = AI.attach_lsh_index_maintenance(
+        spark, corpus.path, idx, ck2, corpus_ident="c", dim=DIM,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    head = corpus.latest_version()
+    assert (
+        AI.pinned_corpus_version(spark, idx, corpus_ident="c", dim=DIM)
+        == head
+    )
+    snap = corpus.read(version=head)
+    queries = snap.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=head,
+        dim=DIM,
+    )
+    assert _rows(got) == _rows(portable_lsh_pairs(snap, queries, dim=DIM))
+
+
+def test_fold_skips_rows_already_covered_by_pin(spark, tmp_path, corpus):
+    """r11 fresh-eyes: a resumed stale checkpoint can deliver a batch
+    whose version range OVERLAPS what the batch refresher already
+    folded (its offsets predate the refresh). Rows at or below the pin
+    must be filtered out of the fold, or their bands duplicate."""
+    idx = str(tmp_path / "idx")
+    v1 = corpus.latest_version()
+    AI.build_lsh_index(
+        spark, corpus.read(version=v1), idx, corpus_ident="c",
+        corpus_version=v1, dim=DIM,
+    )
+    corpus.append(_vecs(spark, 5, offset=5000))
+    v2 = corpus.latest_version()
+    # batch refresher brings the index to v2
+    assert (
+        AI.refresh_lsh_index_incremental(
+            spark, corpus, idx, corpus_ident="c", dim=DIM
+        )
+        == "incremental"
+    )
+    corpus.append(_vecs(spark, 5, offset=6000))
+    v3 = corpus.latest_version()
+    # a stale stream delivers the WHOLE (v1, v3] range in one batch
+    stale_batch = corpus.read_changes(v1, v3)
+    AI.fold_cdf_batch_into_lsh_index(
+        spark, corpus.path, idx, stale_batch, 0, corpus_ident="c",
+        dim=DIM,
+    )
+    snap = corpus.read(version=v3)
+    queries = snap.filter(F.col("vec_id") < 5)
+    got = AI.query_lsh_index(
+        spark, idx, queries, corpus_ident="c", corpus_version=v3,
+        dim=DIM,
+    )
+    assert _rows(got) == _rows(portable_lsh_pairs(snap, queries, dim=DIM))
+    # band multiset == from-scratch build (no duplicates)
+    scratch = str(tmp_path / "scratch")
+    AI.build_lsh_index(
+        spark, snap, scratch, corpus_ident="c", corpus_version=v3,
+        dim=DIM,
+    )
+    assert (
+        TableLog(spark, idx).read().count()
+        == TableLog(spark, scratch).read().count()
+    )
