@@ -138,7 +138,22 @@ class _LocalManifests:
             raise ValueError(
                 f"tablelog table {self.root} has no committed schema"
             )
-        return T.StructType.fromJson(doc)
+        sch = T.StructType.fromJson(doc)
+        # column-mapped tables store data under PHYSICAL names; this
+        # Arrow reader resolves file columns by the stored field name
+        # and would silently null-fill every renamed column — refuse
+        # until the source learns the translation (tablelog.py's
+        # batch paths — read/CDF/DML — all speak mapping already)
+        from aoseventstreamer_spark.tablelog import _mapping_active
+
+        if _mapping_active(sch):
+            raise ValueError(
+                f"tablelog table {self.root} uses column mapping; the "
+                "streaming source does not translate physical names "
+                "yet — stream the unmapped table, or consume batch "
+                "read_changes()"
+            )
+        return sch
 
     def version_at(self, timestamp_ms: int) -> int:
         """Newest version committed at or before ``timestamp_ms``
@@ -493,6 +508,19 @@ class TableLogBatchWriter(DataSourceArrowWriter):
 
     def _schema_for_commit(self, stored_json: dict | None) -> dict | None:
         mine = self.schema_.jsonValue()
+        if stored_json is not None and any(
+            "tablelog.columnMapping.physicalName"
+            in (f.get("metadata") or {})
+            for f in stored_json["fields"]
+        ):
+            # column-mapped table: this writer stamps file columns
+            # with the caller's LOGICAL names, which a mapped reader
+            # would null-fill — refuse before any commit lands
+            raise ValueError(
+                f"table {self.path} uses column mapping; the native "
+                "Arrow writer does not translate physical names yet — "
+                "write through TableLog.append/overwrite"
+            )
         if self.overwrite or stored_json is None:
             return mine
         stored_names = {f["name"] for f in stored_json["fields"]}

@@ -125,6 +125,60 @@ from aoseventstreamer_spark.logstore import (
 
 DV_DIR = "_dv"  # deletion-vector sidecars: _dv/<commit>/[__f=<file>]/
 
+# ---------- column mapping (metadata-only RENAME/DROP) ----------
+#
+# Delta's "name mode" column mapping, carried entirely in the stored
+# schema's per-field metadata (the manifest format is unchanged —
+# StructType JSON round-trips field metadata): each field records the
+# PHYSICAL column name its data files use. On an upgraded table,
+# RENAME COLUMN and DROP COLUMN become one metadata commit — the
+# logical name changes, the physical name (and every data file, hive
+# dir, and file stat) stays — instead of the table-scale rewrite
+# tools/migration_cost_probe.py measures (~170 MiB/s/node: the first
+# wall a schema-evolving 100 TB table hits). Readers scan files under
+# physical names and alias to logical at the scan boundary
+# (_scan_entries); writers rename logical→physical just before the
+# parquet job; file stats are keyed by PHYSICAL name (stable across
+# renames) and where= predicates translate at prune time. Columns
+# added AFTER the upgrade get minted ``col-<uuid>`` physical names, so
+# dropping a column and later re-adding its logical name can never
+# resurrect the old bytes. Mapping covers TOP-LEVEL fields (renaming a
+# nested struct field remains a rewrite). Upgrade is one-way, matching
+# Delta.
+
+COLUMN_MAPPING_KEY = "tablelog.columnMapping.physicalName"
+
+
+def _phys_name(f: T.StructField) -> str:
+    return (f.metadata or {}).get(COLUMN_MAPPING_KEY, f.name)
+
+
+def _mapping_active(sch: T.StructType | None) -> bool:
+    return sch is not None and any(
+        COLUMN_MAPPING_KEY in (f.metadata or {}) for f in sch.fields
+    )
+
+
+def _physical_schema(sch: T.StructType) -> T.StructType:
+    """The schema of the DATA FILES: field names replaced by their
+    physical names (metadata dropped — files know nothing of it)."""
+    return T.StructType(
+        [
+            T.StructField(_phys_name(f), f.dataType, f.nullable)
+            for f in sch.fields
+        ]
+    )
+
+
+def _phys_map(sch: T.StructType | None) -> dict[str, str]:
+    if sch is None:
+        return {}
+    return {f.name: _phys_name(f) for f in sch.fields}
+
+
+def _mint_physical() -> str:
+    return f"col-{uuid.uuid4().hex[:16]}"
+
 
 # CommitConflict is defined in logstore (the commit CAS lives there)
 # and re-exported here for compatibility: tablelog callers catch the
@@ -834,6 +888,91 @@ class TableLog:
         _, _, _, cons = self._replay(v)
         return cons
 
+    # ---------- column mapping ----------
+
+    def column_mapping_active(self, version: int | None = None) -> bool:
+        """True when this table has been upgraded to column mapping
+        (``enable_column_mapping``): RENAME/DROP COLUMN are
+        metadata-only, files/stats/hive dirs use physical names."""
+        return _mapping_active(self.schema(version))
+
+    def enable_column_mapping(self) -> int:
+        """One-way upgrade to column mapping: stamp every field's
+        CURRENT name as its physical name (existing data files and
+        hive dirs therefore stay valid byte-for-byte) in one
+        metadata-only commit. After this, ``rename_column`` /
+        ``drop_column`` are O(manifest) instead of O(table), and
+        columns added later get minted ``col-<uuid>`` physical names.
+        Idempotent (returns the current version when already active).
+        Caveats, enforced with loud errors where they bite: the
+        streaming source and the native Arrow writer do not speak
+        mapping yet and refuse mapped tables; nested fields are not
+        mapped (renaming one remains a rewrite)."""
+        sch = self.schema()
+        if sch is None:
+            raise ValueError(
+                f"table {self.path} has no commits; column mapping is "
+                "enabled on an existing table (the first write fixes "
+                "the physical names)"
+            )
+        if _mapping_active(sch):
+            return self.latest_version()
+        stamped = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}), COLUMN_MAPPING_KEY: f.name},
+                )
+                for f in sch.fields
+            ]
+        )
+        return self.commit(
+            added=[], removed=[], data_change=False, schema=stamped,
+            operation="ENABLE COLUMN MAPPING",
+        )
+
+    def _attach_mapping(
+        self,
+        schema: T.StructType,
+        stored: T.StructType,
+        mint_cache: dict[str, str],
+    ) -> T.StructType:
+        """``schema`` (a write's logical schema) with physical names
+        attached: carried over from ``stored`` by logical name, else
+        from the field's own metadata, else MINTED (``mint_cache``
+        keeps mints stable across commit-retry re-derivations — the
+        data files were written once, under the first mint)."""
+        by_name = {f.name: f for f in stored.fields}
+        out = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            if COLUMN_MAPPING_KEY not in md:
+                prior = by_name.get(f.name)
+                if prior is not None and COLUMN_MAPPING_KEY in (
+                    prior.metadata or {}
+                ):
+                    md[COLUMN_MAPPING_KEY] = prior.metadata[
+                        COLUMN_MAPPING_KEY
+                    ]
+                else:
+                    if f.name not in mint_cache:
+                        mint_cache[f.name] = _mint_physical()
+                    md[COLUMN_MAPPING_KEY] = mint_cache[f.name]
+            out.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        return T.StructType(out)
+
+    def _logical_pcols(self, rel_paths: list[str]) -> list[str]:
+        """Hive partition columns of ``rel_paths`` as LOGICAL names
+        (dir segments carry physical names on mapped tables)."""
+        phys = self._partition_cols(rel_paths)
+        sch = self.schema()
+        if not _mapping_active(sch):
+            return phys
+        inv = {p: l for l, p in _phys_map(sch).items()}
+        return [inv.get(c, c) for c in phys]
+
     def last_txn_version(self, app_id: str, version: int | None = None) -> int:
         """Latest transaction version committed by idempotent writer
         ``app_id`` (-1 if it never committed) — Delta's ``txnVersion``
@@ -1016,13 +1155,31 @@ class TableLog:
                 break
         return out
 
-    def _collect_stats(self, added: list[dict], schema: T.StructType) -> None:
+    def _collect_stats(
+        self,
+        added: list[dict],
+        schema: T.StructType,
+        logical_to_phys: dict[str, str] | None = None,
+    ) -> None:
         """Attach exact per-file min/max/null_count/num_rows to each
         `add` entry — ONE distributed agg job over exactly the files
-        just written, grouped by input_file_name. Mutates `added`."""
+        just written, grouped by input_file_name. Mutates `added`.
+        ``schema`` is the WRITTEN files' schema; on mapped tables that
+        is the physical one, so stats are keyed by PHYSICAL name
+        (stable across renames — old files' stats stay valid) and a
+        user-configured ``stats_columns`` list (logical names) is
+        translated via ``logical_to_phys``."""
         from pyspark.sql import functions as F
 
-        cols = self._stats_cols_for(schema)
+        if logical_to_phys and self.stats_columns is not None:
+            have = set(schema.fieldNames())
+            cols = [
+                logical_to_phys.get(c, c)
+                for c in self.stats_columns
+                if logical_to_phys.get(c, c) in have
+            ]
+        else:
+            cols = self._stats_cols_for(schema)
         if not added or not cols:
             return
         paths = [f"{self.path}/{e['path']}" for e in added]
@@ -1072,7 +1229,11 @@ class TableLog:
             }
 
     def _enforce_constraints(
-        self, added: list[dict], schema: T.StructType, cons: dict[str, str]
+        self,
+        added: list[dict],
+        schema: T.StructType,
+        cons: dict[str, str],
+        rename_to_logical: list[tuple[str, str]] | None = None,
     ) -> None:
         """Validate just-promoted (still uncommitted) files against the
         CHECK constraints in ONE aggregate job — per-constraint
@@ -1080,7 +1241,10 @@ class TableLog:
         passes per the SQL standard. On any violation the promoted
         files are deleted (they are referenced by no manifest, so this
         only tidies what VACUUM would sweep) and ConstraintViolation
-        carries the counts; the table is unchanged."""
+        carries the counts; the table is unchanged. On mapped tables
+        the files carry physical names; ``rename_to_logical`` (pairs
+        of (physical, logical)) restores the logical view the
+        constraint SQL was written against."""
         from pyspark.sql import functions as F
 
         if not cons or not added:
@@ -1090,6 +1254,10 @@ class TableLog:
             .schema(schema)
             .parquet(*[f"{self.path}/{e['path']}" for e in added])
         )
+        if rename_to_logical:
+            df = df.select(
+                *[F.col(p).alias(l) for p, l in rename_to_logical]
+            )
         aggs = [
             F.sum(
                 (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
@@ -1233,7 +1401,7 @@ class TableLog:
             live = self.snapshot_files()
             if not live:
                 return
-            existing = self._partition_cols([e["path"] for e in live])
+            existing = self._logical_pcols([e["path"] for e in live])
             if existing != list(partition_by or []):
                 raise ValueError(
                     f"append partition_by={list(partition_by or [])} does "
@@ -1242,16 +1410,44 @@ class TableLog:
                     "overwrite() to change the partitioning"
                 )
 
+        from pyspark.sql import functions as F
+
         check_layout()
         new_schema = derive_schema()  # validate BEFORE the parquet job
+        # column mapping: files store PHYSICAL names. Convert once,
+        # before the parquet job; mint_cache keeps physical names for
+        # merge_schema's new columns stable across commit retries.
+        stored0 = self.schema()
+        mapped = _mapping_active(stored0)
+        mint_cache: dict[str, str] = {}
+        if mapped:
+            attached0 = self._attach_mapping(
+                new_schema if new_schema is not None else stored0,
+                stored0,
+                mint_cache,
+            )
+            pm = _phys_map(attached0)
+            write_df = df.select(
+                *[F.col(c).alias(pm.get(c, c)) for c in df.columns]
+            )
+            write_pb = (
+                [pm.get(c, c) for c in partition_by] if partition_by else None
+            )
+            to_logical = [(pm.get(c, c), c) for c in df.columns]
+        else:
+            pm = None
+            write_df, write_pb, to_logical = df, partition_by, None
         rel = self._stage_dir()
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
+        w = write_df.write.mode("overwrite")
+        if write_pb:
+            w = w.partitionBy(*write_pb)
         w.parquet(f"{self.path}/{rel}")
         added = self._promote_staged(rel)
-        self._collect_stats(added, df.schema)
-        self._enforce_constraints(added, df.schema, self.constraints())
+        self._collect_stats(added, write_df.schema, logical_to_phys=pm)
+        self._enforce_constraints(
+            added, write_df.schema, self.constraints(),
+            rename_to_logical=to_logical,
+        )
         txn = (
             (str(txn_app), int(txn_version)) if txn_app is not None else None
         )
@@ -1264,6 +1460,12 @@ class TableLog:
             base = self.latest_version()
             check_layout()  # a racing first-append may have set one
             new_schema = derive_schema()  # re-merge against the head
+            if mapped and new_schema is not None:
+                # re-attach the SAME minted physical names the files
+                # were written under (mint_cache pins them)
+                new_schema = self._attach_mapping(
+                    new_schema, self.schema() or stored0, mint_cache
+                )
             try:
                 # the CAS is pinned so a concurrent attempt of the SAME
                 # stamped batch cannot slip in between the txn re-check
@@ -1366,21 +1568,34 @@ class TableLog:
                     "__tl_key", F.lit(None).cast("string")
                 ).withColumn("__tl_pos", F.lit(None).cast("long"))
             return df
+        mapped = _mapping_active(sch)
         reader = self.spark.read.option("basePath", self.path)
         if sch is not None:
-            reader = reader.schema(sch)
+            # mapped tables: the FILES carry physical names (hive dirs
+            # included), so the scan schema is the physical one; the
+            # logical aliasing happens below, after the position
+            # metadata columns are materialized (_metadata resolves on
+            # the scan relation, not through an arbitrary projection)
+            reader = reader.schema(_physical_schema(sch) if mapped else sch)
         df = reader.parquet(*[f"{self.path}/{e['path']}" for e in entries])
         for c in ("__tl_key", "__tl_pos"):
-            if c in df.columns:
+            if c in df.columns or (sch is not None and c in sch.fieldNames()):
                 raise ValueError(
                     f"table schema may not contain reserved column {c!r}"
                 )
         dv = self._dv_rows(entries)
-        if dv is None and not with_meta:
+        need_meta = with_meta or dv is not None
+        if need_meta:
+            df = df.withColumn(
+                "__tl_key", F.md5(self._rel_path_expr())
+            ).withColumn("__tl_pos", F.col("_metadata.row_index"))
+        if mapped:
+            cols = [F.col(_phys_name(f)).alias(f.name) for f in sch.fields]
+            if need_meta:
+                cols += [F.col("__tl_key"), F.col("__tl_pos")]
+            df = df.select(*cols)
+        if not need_meta:
             return df
-        df = df.withColumn(
-            "__tl_key", F.md5(self._rel_path_expr())
-        ).withColumn("__tl_pos", F.col("_metadata.row_index"))
         if dv is not None:
             df = df.join(
                 dv,
@@ -1497,6 +1712,9 @@ class TableLog:
         entries = self.snapshot_files(version)
         sch = self.schema(version)
         fields = {f.name: f.dataType for f in sch.fields} if sch else {}
+        # stats are keyed by PHYSICAL column name (stable across
+        # renames); predicates arrive logical — translate for lookup
+        pm = _phys_map(sch) if _mapping_active(sch) else {}
         survivors = []
         for e in entries:
             stats = e.get("stats")
@@ -1506,7 +1724,9 @@ class TableLog:
                 alive = False
                 for b in branches:
                     col, op, norm, known = self._norm_branch(fields, b)
-                    if not known or _file_survives(stats, col, op, norm):
+                    if not known or _file_survives(
+                        stats, pm.get(col, col), op, norm
+                    ):
                         alive = True
                         break
                 if not alive:
@@ -1538,6 +1758,7 @@ class TableLog:
         entries = self.snapshot_files(v)
         sch = self.schema(v)
         fields = {f.name: f.dataType for f in sch.fields} if sch else {}
+        pm = _phys_map(sch) if _mapping_active(sch) else {}
         groups: list[list[tuple]] = []
         for clause in where or []:
             branches = clause if _is_or_group(clause) else [clause]
@@ -1546,7 +1767,7 @@ class TableLog:
                 col, op, norm, known = self._norm_branch(fields, b)
                 if not known:
                     return None  # un-normalizable branch: not provable
-                normed.append((col, op, norm))
+                normed.append((pm.get(col, col), op, norm))
             groups.append(normed)
         total = 0
         for e in entries:
@@ -1592,6 +1813,8 @@ class TableLog:
         dt = None
         if sch is not None and col in sch.fieldNames():
             dt = sch[col].dataType
+        if _mapping_active(sch):
+            col = _phys_map(sch).get(col, col)  # stats keys: physical
         lo = hi = None
         for e in entries:
             if e.get("dv"):
@@ -1982,8 +2205,16 @@ class TableLog:
             rel = stage + (f"/{sub}" if sub else "")
             # dv-applied scan: the rewrite physically PURGES deleted
             # rows, and the fresh entries carry no dv
-            df = self._scan_entries(es, self.schema(base_version))
-            pcols = [s.split("=", 1)[0] for s in hive_segs]
+            sch0 = self.schema(base_version)
+            df = self._scan_entries(es, sch0)
+            # hive dir segments carry PHYSICAL names on mapped tables;
+            # the scanned frame is logical — translate before dropping
+            pm0 = _phys_map(sch0) if _mapping_active(sch0) else {}
+            inv0 = {p: l for l, p in pm0.items()}
+            pcols = [
+                inv0.get(s.split("=", 1)[0], s.split("=", 1)[0])
+                for s in hive_segs
+            ]
             if pcols:
                 df = df.drop(*pcols)
             if cluster_by:
@@ -2002,6 +2233,17 @@ class TableLog:
                 )
             else:
                 shaped = df.coalesce(n_out)
+            if pm0:
+                # files store physical names (clustering/zorder ran on
+                # the logical frame above — the rename is the last step)
+                from pyspark.sql import functions as F
+
+                shaped = shaped.select(
+                    *[
+                        F.col(c).alias(pm0.get(c, c))
+                        for c in shaped.columns
+                    ]
+                )
             shaped.write.mode("overwrite").parquet(f"{self.path}/{rel}")
             added.extend(self._promote_staged(stage))
             removed.extend(
@@ -2013,7 +2255,13 @@ class TableLog:
                     "files_removed": 0, "files_added": 0}
         sch = self.schema(base_version)
         if sch is not None:
-            self._collect_stats(added, sch)
+            if _mapping_active(sch):
+                self._collect_stats(
+                    added, _physical_schema(sch),
+                    logical_to_phys=_phys_map(sch),
+                )
+            else:
+                self._collect_stats(added, sch)
         # rebase-aware CAS: concurrent APPENDs never touch our removed
         # set, so they rebase for free; a concurrent DML that rewrote a
         # file we are compacting raises ConcurrentModification —
@@ -2049,7 +2297,12 @@ class TableLog:
                         cols.append(k)
         return cols
 
-    def _write_rewrite(self, df: DataFrame, pcols: list[str]) -> list[dict]:
+    def _write_rewrite(
+        self,
+        df: DataFrame,
+        pcols: list[str],
+        mapped_schema: T.StructType | None = None,
+    ) -> list[dict]:
         """Stage + promote a copy-on-write rewrite, preserving the
         table's hive layout; returns stats-annotated add entries.
         CHECK constraints are enforced on the written files (UPDATE /
@@ -2057,14 +2310,32 @@ class TableLog:
         survivors trivially pass — the check is one agg over only the
         rewritten files). An ``overwrite`` whose new schema drops a
         constraint's column fails loudly at expression analysis —
-        drop the constraint first."""
+        drop the constraint first.
+
+        ``df`` and ``pcols`` are LOGICAL; on a mapped table the frame
+        is renamed to physical names before the parquet job
+        (``mapped_schema`` overrides the stored schema as the mapping
+        source when the caller is changing the schema, e.g.
+        ``overwrite`` adding columns)."""
+        from pyspark.sql import functions as F
+
+        msch = mapped_schema if mapped_schema is not None else self.schema()
+        if _mapping_active(msch):
+            pm = _phys_map(msch)
+            to_logical = [(pm.get(c, c), c) for c in df.columns]
+            df = df.select(
+                *[F.col(c).alias(pm.get(c, c)) for c in df.columns]
+            )
+            pcols = [pm.get(c, c) for c in pcols]
+        else:
+            pm, to_logical = None, None
         stage = self._stage_dir()
         w = df.write.mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(f"{self.path}/{stage}")
         added = self._promote_staged(stage)
-        self._collect_stats(added, df.schema)
+        self._collect_stats(added, df.schema, logical_to_phys=pm)
         # drop provably-empty outputs (e.g. a DELETE that emptied its
         # file): committing them would only accumulate dead files
         empty = [
@@ -2074,7 +2345,10 @@ class TableLog:
         for e in empty:
             self._fs.delete(self._Path(f"{self.path}/{e['path']}"), False)
         added = [e for e in added if e not in empty]
-        self._enforce_constraints(added, df.schema, self.constraints())
+        self._enforce_constraints(
+            added, df.schema, self.constraints(),
+            rename_to_logical=to_logical,
+        )
         return added
 
     def _write_dv(self, matched: DataFrame) -> tuple[str, dict[str, int]]:
@@ -2269,7 +2543,7 @@ class TableLog:
             n_match = tdf.filter(pred).count()
             survivors = tdf.filter(~F.coalesce(pred, F.lit(False)))
             added = self._write_rewrite(
-                survivors, self._partition_cols(touched)
+                survivors, self._logical_pcols(touched)
             )
             try:
                 v = self._commit_or_rebase(
@@ -2344,7 +2618,7 @@ class TableLog:
             candidates, _total = self.pruned_files(where, base)
             if not candidates:
                 return {"version": base, "files_rewritten": 0, "rows_updated": 0}
-            pcols = self._partition_cols([e["path"] for e in candidates])
+            pcols = self._logical_pcols([e["path"] for e in candidates])
             clash = [c for c in set_exprs if c in pcols]
             if clash:
                 raise ValueError(
@@ -2405,14 +2679,14 @@ class TableLog:
                     touched_entries, marked
                 )
                 added = dv_added + self._write_rewrite(
-                    new_rows, self._partition_cols(touched)
+                    new_rows, self._logical_pcols(touched)
                 )
             else:
                 tdf = self._scan_entries(touched_entries, sch)
                 n_match = tdf.filter(pred).count()
                 new_rows = post_image(tdf, all_hit=False)
                 added = self._write_rewrite(
-                    new_rows, self._partition_cols(touched)
+                    new_rows, self._logical_pcols(touched)
                 )
                 removed = [
                     {
@@ -2461,6 +2735,15 @@ class TableLog:
         exists to remove). The new schema replaces the stored one."""
         last_exc: Exception | None = None
         added = None
+        # column mapping survives an overwrite (Delta's contract):
+        # matching logical names keep their physical names, new
+        # columns mint fresh ones — committed schema + written files
+        # agree via the shared attached schema
+        stored0 = self.schema()
+        if _mapping_active(stored0):
+            commit_schema = self._attach_mapping(df.schema, stored0, {})
+        else:
+            commit_schema = df.schema
         for _ in range(max_retries):
             base = self.latest_version()
             live = [
@@ -2468,13 +2751,15 @@ class TableLog:
                 for e in self.snapshot_files(base)
             ]
             if added is None:  # stage once; only the commit retries
-                added = self._write_rewrite(df, partition_by or [])
+                added = self._write_rewrite(
+                    df, partition_by or [], mapped_schema=commit_schema
+                )
             try:
                 v = self.commit(
                     added=added,
                     removed=live,
                     data_change=True,
-                    schema=df.schema,
+                    schema=commit_schema,
                     expected_version=base,
                     operation=operation,
                     op_metrics={
@@ -2548,7 +2833,7 @@ class TableLog:
             if survivors is not None:
                 new_data = survivors.select(*cols).unionByName(new_data)
             added = self._write_rewrite(
-                new_data, self._partition_cols(touched)
+                new_data, self._logical_pcols(touched)
             )
             try:
                 v = self._commit_or_rebase(
@@ -2695,7 +2980,7 @@ class TableLog:
                 return {"version": base, "files_rewritten": 0,
                         "rows_updated": 0, "rows_inserted": 0,
                         "rows_deleted": 0}
-            pcols = self._partition_cols([e["path"] for e in entries])
+            pcols = self._logical_pcols([e["path"] for e in entries])
             if use_dv:
                 # mark every matched target row; append only the
                 # replacement rows (update) and the inserts
@@ -3020,9 +3305,14 @@ class TableLog:
         }
 
     def rename_column(self, old: str, new: str) -> dict:
-        """ALTER TABLE RENAME COLUMN as a one-commit full rewrite —
-        the table-scale cost is stated, not hidden behind a mapping
-        layer. Partition columns rename with their hive dirs."""
+        """ALTER TABLE RENAME COLUMN. On a column-mapped table
+        (``enable_column_mapping``) this is ONE metadata commit — the
+        logical name changes, the physical name and every data file,
+        hive dir, and file stat stay put. On an unmapped table it
+        remains the honest full rewrite whose table-scale cost
+        tools/migration_cost_probe.py measures. Refused while CHECK
+        constraints exist either way (their SQL may reference the
+        column; drop them first, re-add rewritten)."""
         sch = self.schema()
         if sch is None:
             raise ValueError(f"table {self.path} has no commits")
@@ -3031,6 +3321,34 @@ class TableLog:
             raise ValueError(f"column {old!r} not in {sorted(names)}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        if _mapping_active(sch):
+            cons = self.constraints()
+            if cons:
+                raise ValueError(
+                    f"table has CHECK constraints {sorted(cons)}; drop "
+                    "them before a column migration and re-add "
+                    "rewritten forms"
+                )
+            stamped = T.StructType(
+                [
+                    T.StructField(
+                        new if f.name == old else f.name,
+                        f.dataType,
+                        f.nullable,
+                        dict(f.metadata or {}),
+                    )
+                    for f in sch.fields
+                ]
+            )
+            v = self.commit(
+                added=[], removed=[], data_change=False, schema=stamped,
+                operation="RENAME COLUMN",
+                op_metrics={"metadata_only": 1},
+            )
+            return {
+                "version": v, "files_removed": 0,
+                "operation": "RENAME COLUMN",
+            }
         pcols = self._partition_cols(
             [e["path"] for e in self.snapshot_files()]
         )
@@ -3042,9 +3360,15 @@ class TableLog:
         )
 
     def drop_column(self, col: str) -> dict:
-        """ALTER TABLE DROP COLUMN as a one-commit full rewrite.
-        Dropping a partition column keeps the rows (their other
-        values persist) and flattens that hive level."""
+        """ALTER TABLE DROP COLUMN. On a column-mapped table this is
+        ONE metadata commit: the field leaves the schema, readers stop
+        projecting its physical column, and a LATER column with the
+        same logical name gets a fresh minted physical name — the old
+        bytes can never resurrect (regression-tested). Dropping a
+        partition column on a mapped table is refused (the hive layout
+        is built on it; flattening is a real rewrite — use an
+        overwrite). On an unmapped table it remains the honest full
+        rewrite."""
         sch = self.schema()
         if sch is None:
             raise ValueError(f"table {self.path} has no commits")
@@ -3053,6 +3377,35 @@ class TableLog:
             raise ValueError(f"column {col!r} not in {sorted(names)}")
         if len(names) == 1:
             raise ValueError("cannot drop the table's only column")
+        if _mapping_active(sch):
+            cons = self.constraints()
+            if cons:
+                raise ValueError(
+                    f"table has CHECK constraints {sorted(cons)}; drop "
+                    "them before a column migration and re-add "
+                    "rewritten forms"
+                )
+            pcols_logical = self._logical_pcols(
+                [e["path"] for e in self.snapshot_files()]
+            )
+            if col in pcols_logical:
+                raise ValueError(
+                    f"column {col!r} is a hive partition column; "
+                    "dropping it flattens the layout, which is a real "
+                    "rewrite — overwrite() with the new layout instead"
+                )
+            stamped = T.StructType(
+                [f for f in sch.fields if f.name != col]
+            )
+            v = self.commit(
+                added=[], removed=[], data_change=False, schema=stamped,
+                operation="DROP COLUMN",
+                op_metrics={"metadata_only": 1},
+            )
+            return {
+                "version": v, "files_removed": 0,
+                "operation": "DROP COLUMN",
+            }
         pcols = self._partition_cols(
             [e["path"] for e in self.snapshot_files()]
         )

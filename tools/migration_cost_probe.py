@@ -1,12 +1,13 @@
-"""Measured cost of RENAME/DROP COLUMN's full-rewrite design
-(VERDICT r9 item 5): tablelog deliberately skips Delta-style
-column-mapping indirection — a rename rewrites the table once instead
-of making EVERY future read translate logical→physical names and
-keying stats/skipping/DVs physical forever. This probe quantifies the
-wall the 100 TB operator hits so the trade-off is a number, not an
-argument: rename wall + bytes rewritten at growing row counts, next
-to the O(metadata) ops (constraint add, schema-widening append) that
-show what the metadata tier costs by contrast.
+"""Measured cost of RENAME/DROP COLUMN, both designs side by side.
+
+Round 9-10 quantified the full-rewrite default (a rename pays one
+parquet decode+encode pass, ~170 MiB/s/node). Round 11 added the
+opt-in column-mapping tier (``enable_column_mapping()`` — Delta name
+mode: rename/drop become one metadata commit and reads alias
+physical→logical at the scan boundary). This probe now measures BOTH
+on the same table sizes: the unmapped rewrite wall, the mapped
+metadata-commit wall, and the post-rename read+skipping wall on the
+mapped table (the indirection's steady-state cost).
 
 Usage: python tools/migration_cost_probe.py [row_counts...]
 (default: 1_000_000 4_000_000 16_000_000)
@@ -62,6 +63,17 @@ def probe(spark, n_rows: int) -> dict:
     log.drop_column("payload")
     drop_wall = time.time() - t0
 
+    # the mapped tier on an identical second table
+    path2 = tempfile.mkdtemp(prefix=f"migmap_{n_rows}_")
+    log2 = TableLog(spark, path2)
+    log2.append(df, partition_by=["part"])
+    baseline_read = _timed_filtered_count(log2, "v")
+    log2.enable_column_mapping()
+    t0 = time.time()
+    log2.rename_column("v", "val")
+    mapped_rename_wall = time.time() - t0
+    mapped_read = _timed_filtered_count(log2, "val")
+
     return {
         "rows": n_rows,
         "table_mib": round(size0 / (1 << 20), 1),
@@ -69,7 +81,17 @@ def probe(spark, n_rows: int) -> dict:
         "rename_column_s": round(rename_wall, 2),
         "drop_column_s": round(drop_wall, 2),
         "rename_mib_per_s": round(size0 / (1 << 20) / rename_wall, 1),
+        "mapped_rename_s": round(mapped_rename_wall, 3),
+        "read_unmapped_s": round(baseline_read, 2),
+        "read_mapped_renamed_s": round(mapped_read, 2),
     }
+
+
+def _timed_filtered_count(log: TableLog, col: str) -> float:
+    t0 = time.time()
+    n = log.read(where=[(col, ">=", 90)]).count()
+    assert n > 0
+    return time.time() - t0
 
 
 def main() -> None:
