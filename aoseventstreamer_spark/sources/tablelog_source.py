@@ -138,22 +138,11 @@ class _LocalManifests:
             raise ValueError(
                 f"tablelog table {self.root} has no committed schema"
             )
-        sch = T.StructType.fromJson(doc)
-        # column-mapped tables store data under PHYSICAL names; this
-        # Arrow reader resolves file columns by the stored field name
-        # and would silently null-fill every renamed column — refuse
-        # until the source learns the translation (tablelog.py's
-        # batch paths — read/CDF/DML — all speak mapping already)
-        from aoseventstreamer_spark.tablelog import _mapping_active
-
-        if _mapping_active(sch):
-            raise ValueError(
-                f"tablelog table {self.root} uses column mapping; the "
-                "streaming source does not translate physical names "
-                "yet — stream the unmapped table, or consume batch "
-                "read_changes()"
-            )
-        return sch
+        # column-mapped tables keep their mapping metadata on the
+        # fields; _read_file_batches resolves file columns by the
+        # PHYSICAL name each field's metadata records and emits the
+        # logical name, so mapped tables stream like unmapped ones
+        return T.StructType.fromJson(doc)
 
     def version_at(self, timestamp_ms: int) -> int:
         """Newest version committed at or before ``timestamp_ms``
@@ -735,12 +724,22 @@ def _read_file_batches(
     """Arrow batches for one data file, with hive partition-dir values
     re-attached as constant columns, the entry's deletion vector
     applied (row positions masked out), and columns ordered per the
-    stored schema."""
+    stored schema. Column-mapped tables (the field's metadata carries
+    a physical name) resolve file columns and hive-dir keys by the
+    PHYSICAL name and emit the logical one — the same aliasing
+    TableLog._scan_entries does JVM-side."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
+    # physical lookup name per field (== field.name when unmapped)
+    phys = [
+        (f.metadata or {}).get(
+            "tablelog.columnMapping.physicalName", f.name
+        )
+        for f in schema.fields
+    ]
     part_vals = {}
     for seg in rel_path.split("/")[:-1]:
         if "=" in seg:
@@ -762,12 +761,12 @@ def _read_file_batches(
             )
     n = table.num_rows
     cols = []
-    for field in arrow_schema:
-        if field.name in table.column_names:
-            cols.append(table[field.name].cast(field.type))
-        elif field.name in part_vals:
+    for field, pname in zip(arrow_schema, phys):
+        if pname in table.column_names:
+            cols.append(table[pname].cast(field.type))
+        elif pname in part_vals:
             cols.append(
-                pa.array([part_vals[field.name]] * n).cast(field.type)
+                pa.array([part_vals[pname]] * n).cast(field.type)
             )
         else:
             cols.append(pa.nulls(n, field.type))
@@ -919,9 +918,13 @@ class TableLogBatchReader(DataSourceReader):
         files, schema_doc = _LocalManifests(self.path).state(self.version)
         if self.pushed and files:
             fields = {}
+            pm = {}  # logical -> physical (stats are keyed physical)
             if schema_doc:
                 for fld in T.StructType.fromJson(schema_doc).fields:
                     fields[fld.name] = fld.dataType
+                    pm[fld.name] = (fld.metadata or {}).get(
+                        "tablelog.columnMapping.physicalName", fld.name
+                    )
             kept = {}
             for path, entry in files.items():
                 ok = True
@@ -945,7 +948,7 @@ class TableLogBatchReader(DataSourceReader):
                             continue
                     if not _file_survives(
                         entry.get("stats") if isinstance(entry, dict) else None,
-                        col,
+                        pm.get(col, col),
                         op,
                         norm,
                     ):

@@ -905,9 +905,11 @@ class TableLog:
         columns added later get minted ``col-<uuid>`` physical names.
         Idempotent (returns the current version when already active).
         Caveats, enforced with loud errors where they bite: the
-        streaming source and the native Arrow writer do not speak
-        mapping yet and refuse mapped tables; nested fields are not
-        mapped (renaming one remains a rewrite)."""
+        native Arrow WRITER does not translate physical names and
+        refuses mapped tables (the batch/streaming/CDF SOURCE does
+        translate — mapped tables stream fine; write them through
+        ``append``/``overwrite``); nested fields are not mapped
+        (renaming one remains a rewrite)."""
         sch = self.schema()
         if sch is None:
             raise ValueError(

@@ -256,15 +256,87 @@ def test_constraints_enforced_on_mapped_writes(spark, table):
         table.rename_column("v", "value")
 
 
-def test_streaming_source_refuses_mapped_table(spark, table):
+def test_native_source_reads_mapped_table(spark, table):
+    """The pure-Python Arrow source resolves file columns by PHYSICAL
+    name and emits logical ones, so a mapped table reads identically
+    through format('tablelog') and TableLog.read — including after a
+    rename and for hive partition columns."""
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+
+    table.enable_column_mapping()
+    table.rename_column("v", "value")
+    register_tablelog_source(spark)
+    got = spark.read.format("tablelog").load(table.path)
+    assert got.columns == ["id", "value", "p"]
+    assert _rows(got) == _rows(table.read())
+    # pushed-filter file skipping translates to the physical stats key
+    assert _rows(
+        spark.read.format("tablelog").load(table.path)
+        .filter(F.col("value") >= 80)
+    ) == [(8, 80, "p0"), (9, 90, "p1")]
+
+
+def test_cdf_stream_reads_mapped_table(spark, table, tmp_path):
+    """The CDF streaming source on a mapped table delivers logical
+    column names for changes committed AFTER a rename."""
+    from aoseventstreamer_spark.sources.tablelog_source import (
+        register_tablelog_source,
+    )
+
+    table.enable_column_mapping()
+    table.rename_column("v", "value")
+    v0 = table.latest_version()
+    table.append(
+        spark.createDataFrame(
+            [(800, 8000, "p0")], "id long, value long, p string"
+        ),
+        partition_by=["p"],
+    )
+    register_tablelog_source(spark)
+    out = str(tmp_path / "cdf_out")
+    ck = str(tmp_path / "cdf_ck")
+    q = (
+        spark.readStream.format("tablelog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v0))
+        .load(table.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert "value" in got.columns
+    rows = [
+        tuple(r)
+        for r in got.filter(F.col("_change_type") == "insert")
+        .select("id", "value")
+        .collect()
+    ]
+    assert rows == [(800, 8000)]
+
+
+def test_native_writer_refuses_mapped_table(spark, table):
     from aoseventstreamer_spark.sources.tablelog_source import (
         register_tablelog_source,
     )
 
     table.enable_column_mapping()
     register_tablelog_source(spark)
+    add = spark.createDataFrame(
+        [(900, 9, "p0")], "id long, v long, p string"
+    )
     with pytest.raises(Exception, match="column mapping"):
-        spark.read.format("tablelog").load(table.path).collect()
+        (
+            add.write.format("tablelog")
+            .mode("append")
+            .option("partitionBy", "p")
+            .save(table.path)
+        )
 
 
 def test_restore_across_enable_boundary(spark, table):
