@@ -741,3 +741,47 @@ def q_tablelog_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
     log.update_where([("doc_id", "in", [1, 2, 3])], {"lang": "'xx'"})
     return log.read(as_of_timestamp_ms=t_mid)
+
+
+@query(
+    "q_tablelog_column_mapping",
+    oracle="""
+    SELECT doc_id, text AS body, lang FROM documents
+    WHERE NOT (doc_id >= 100 AND doc_id < 200)
+    """,
+)
+def q_tablelog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-only schema-evolution tier (r11): load the corpus
+    into a tablelog table, ``enable_column_mapping()``, RENAME
+    text→body as ONE metadata commit (asserted: zero file actions),
+    then run a DELETE through the mapped DML path and read back on
+    the new logical name — hash-exact against the renamed/filtered
+    plain scan. Also asserts the rename really was free (the live
+    file set is untouched) and that data skipping still prunes on the
+    renamed column via the physical stats key (tablelog.py column
+    mapping; the 100 TB story in docs/SCALE.md)."""
+    import tempfile
+
+    from aoseventstreamer_spark.tablelog import TableLog
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    log = TableLog(spark, tempfile.mkdtemp(prefix="q_tablelog_map_"))
+    hi = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    step = max(1, hi // 4)
+    for lo in range(0, hi, step):
+        log.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + step)
+            ).coalesce(1)
+        )
+    log.enable_column_mapping()
+    before = {e["path"] for e in log.snapshot_files()}
+    out = log.rename_column("text", "body")
+    assert out["files_removed"] == 0, "mapped rename must be metadata-only"
+    assert {e["path"] for e in log.snapshot_files()} == before
+    log.delete_where([("doc_id", ">=", 100), ("doc_id", "<", 200)])
+    # skipping on the renamed column: the doc_id-range files written
+    # above must prune through the physical stats key
+    surv, total = log.pruned_files([("doc_id", "<", step)])
+    assert len(surv) < total, "stats must keep pruning after the rename"
+    return log.read()
