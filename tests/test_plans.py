@@ -407,6 +407,7 @@ def test_rrf_fuse_legs_are_bounded_before_ranking(spark, sf_dir):
         unbounded_global_window_sites,
     )
 
+    spark.catalog.clearCache()  # see test_hybrid_ann_semantic_leg_...
     for qname in ("q_hybrid_rrf", "q_hybrid_rrf_persisted",
                   "q_hybrid_rrf_ann"):
         df = QUERIES[qname](spark, sf_dir)
@@ -424,6 +425,12 @@ def test_hybrid_ann_semantic_leg_is_probe_bounded(spark, sf_dir):
     cluster equi-join against the broadcast probe list, never as a
     corpus-wide cross join the way the exhaustive recall-ceiling
     variants (q_hybrid_rrf/_persisted) do."""
+    # a prior test (the parity sweep runs every query in this session)
+    # may have left persisted frames whose logical plans overlap this
+    # query's subtrees; CacheManager would then swap FileScans for
+    # InMemoryTableScans and the scan-line assertions below would read
+    # the wrong plan shape
+    spark.catalog.clearCache()
     df = QUERIES["q_hybrid_rrf_ann"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     # every raw-corpus embeddings scan must be the 1-row query-vector

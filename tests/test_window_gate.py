@@ -54,6 +54,11 @@ ALLOWLIST: dict[str, str] = {
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_unbounded_global_window(name, spark, sf_dir):
+    # plan-shape checks need a clean CacheManager: a frame persisted
+    # by an earlier test substitutes InMemoryTableScans into matching
+    # subtrees, which can hide (or fake) the bound the walker looks
+    # for (same hygiene as tests/test_plans.py's scan-line tests)
+    spark.catalog.clearCache()
     sites = unbounded_global_window_sites(QUERIES[name](spark, sf_dir))
     if name in ALLOWLIST:
         # the allowlist documents a KNOWN bounded frame; if the plan
