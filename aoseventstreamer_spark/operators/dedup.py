@@ -94,7 +94,9 @@ def minhash_docs(
     value-comparable against a DuckDB oracle."""
     from ..session import ensure_parallelism
 
-    exploded = ensure_parallelism(df).select(
+    # keyed: the groupBy(id_col) below then reuses this exchange's
+    # partitioning — one shuffle instead of two on an under-split scan
+    exploded = ensure_parallelism(df, key=id_col).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("shingle")
     )
     if portable:
@@ -430,7 +432,9 @@ def simhash_docs(
 
     if n_bits != 64:
         raise ValueError("packed simhash supports n_bits=64 only")
-    df = ensure_parallelism(df)
+    # keyed: the vote groupBy(id_col) reuses this exchange's
+    # partitioning — one shuffle instead of two on an under-split scan
+    df = ensure_parallelism(df, key=id_col)
     from .text import whitespace_tokens
 
     toks = df.select(

@@ -103,7 +103,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
-def ensure_parallelism(df, min_partitions: int | None = None):
+def ensure_parallelism(df, min_partitions: int | None = None, key: str | None = None):
     """Spread per-row compute across the cluster when the scan under-splits.
 
     A single small parquet file (often one row-group) arrives as ONE
@@ -113,6 +113,18 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     splits, ``getNumPartitions() >= min_partitions`` and the DataFrame
     is returned untouched, so there is no shuffle on the scale path.
     Streaming DataFrames are returned as-is (no RDD introspection).
+
+    ``key``: when the caller's downstream pipeline aggregates by a
+    (near-)unique column, pass it so the forced exchange does double
+    duty (guide §2.4 "two operations keyed the same way share one
+    exchange"): hash-partitioning by ``key`` lets the later
+    groupBy(key) reuse the partitioning instead of paying a second
+    exchange, and — unlike round-robin — needs no local pre-sort of
+    the input (keyless ``repartition(n)`` sorts every partition first
+    so retried tasks re-deal rows identically, SPARK-23207). Only pass
+    near-unique keys: a low-cardinality key would funnel the compute
+    into few partitions, which is the opposite of what this helper is
+    for.
     """
     if df.isStreaming:
         return df
@@ -120,5 +132,7 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < min_partitions:
+        if key is not None:
+            return df.repartition(min_partitions, key)
         return df.repartition(min_partitions)
     return df
