@@ -77,11 +77,17 @@ def _stub_decode_image(payload: bytes) -> list[float]:
     Deterministic fake: 8 byte-histogram buckets normalized to [0,1]."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("real image decode requires PIL — stubbed")
-    buckets = [0] * 8
-    for b in payload:
-        buckets[b >> 5] += 1
+    import numpy as np
+
+    # vectorized byte histogram (guide §4.2): np.bincount over the
+    # shifted byte view replaces a per-byte Python loop; bucket counts
+    # are exact ints either way and the final division is the same
+    # IEEE double op, so the output is bit-identical
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8) >> 5, minlength=8
+    )
     n = len(payload)
-    return [c / n for c in buckets]
+    return [int(c) / n for c in counts]
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -126,10 +132,14 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 data = decode_png(bytes(p)).tobytes()  # REAL pixels
             except ValueError:
                 pass  # undecodable PNG profile: byte-level stub
-        buckets = [0] * 8
-        for b in data:
-            buckets[b >> 5] += 1
-        return [c / len(data) for c in buckets]
+        import numpy as np
+
+        # vectorized byte histogram (guide §4.2) — bit-identical to the
+        # per-byte loop it replaces: exact int counts, same IEEE division
+        counts = np.bincount(
+            np.frombuffer(data, dtype=np.uint8) >> 5, minlength=8
+        )
+        return [int(c) / len(data) for c in counts]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:

@@ -50,6 +50,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by BYTES; its
+        # default 1m floor serializes small-but-CPU-dense stages (the
+        # LSH band buckets explode into C(b,2) pairs, window frames
+        # sort, exact percentiles merge — high compute per shuffled
+        # byte) onto one task. A 64k floor keeps those stages parallel
+        # and is a no-op wherever partitions exceed 1 MiB — i.e. on
+        # every data-proportional stage at cluster scale. Override via
+        # SPARK_GRAFT_AQE_MIN_PARTITION for clusters whose small-stage
+        # task overhead dominates (guide §2.2: prefer fewer, larger
+        # partitions once data is the cost).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
