@@ -451,3 +451,41 @@ def test_hybrid_ann_semantic_leg_is_probe_bounded(spark, sf_dir):
         if "FileScan" in ln and "postings" in ln
     ]
     assert posting_scans and all("token" in ln and " IN " in ln for ln in posting_scans), plan
+
+
+def test_dedup_signature_agg_reuses_parallelism_exchange(spark, sf_dir):
+    """r11 optimization gate: when ensure_parallelism must repartition
+    an under-split documents scan, it hash-partitions by the doc id so
+    the signature groupBy reuses that exchange — the minhash and
+    simhash pipelines must each show exactly ONE exchange feeding the
+    signature aggregation (keyed, not round-robin), not a round-robin
+    spread followed by a second agg shuffle."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    simhash = QUERIES["q_doc_simhash"](spark, sf_dir)
+    plan = formatted_plan(simhash)
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert shuffle_count(simhash) == 1, plan
+
+    minhash = QUERIES["q_doc_minhash_band"](spark, sf_dir)
+    plan = formatted_plan(minhash)
+    assert "RoundRobinPartitioning" not in plan, plan
+    # doc_id-keyed spread + band-bucket groupBy + pair distinct
+    assert shuffle_count(minhash) == 3, plan
+
+
+def test_explodes_do_not_reevaluate_generator_inputs(spark, sf_dir):
+    """r11 optimization gate: InferFiltersFromGenerate is excluded at
+    session level — a synthesized `size(relations) > 0` filter would
+    re-evaluate the whole relation-array construction once per row
+    below the routing fan-out (and the shingle/token explodes of the
+    dedup family). The routing pipeline must stay filter-free below
+    its Generate nodes."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q_route_emits"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the only Filter permitted is none at all: the token check is
+    # constant-folded and no size() filter may be inferred
+    assert ") Filter" not in plan, plan
