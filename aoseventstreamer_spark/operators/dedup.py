@@ -636,15 +636,31 @@ def substring_dup_counts(
     one — use ``hashed=False`` (exact strings, the oracle-checked
     form) when exactness beats shuffle volume.
     """
+    from ..session import ensure_parallelism
+
     # word_shingles guards the descending-sequence hazard: docs with
     # fewer than k tokens yield [] (and therefore no rows), matching
-    # generate_series(1, n-k+1) semantics in the oracle
-    g = df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s"))
+    # generate_series(1, n-k+1) semantics in the oracle.
+    # ensure_parallelism spreads the gram explode when the scan
+    # under-splits (key= avoids round-robin's pre-sort; the s-keyed
+    # exchange below re-deals anyway, so any uniform key serves).
+    g = ensure_parallelism(df, key=id_col).select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s")
+    )
     if hashed:
         g = g.select(id_col, F.xxhash64("s").alias("s"))
-    own = g.groupBy("s").agg(F.min(id_col).alias("first_doc"))
+    # min-over-gram-partition window instead of groupBy + self-join:
+    # the old shape referenced g twice (re-running scan + shingle
+    # explode per reference — two full passes) and paid a join; the
+    # window attaches each gram's owning doc in the SAME s-keyed
+    # shuffle the join would have needed, so g is computed and
+    # shuffled exactly once. Values are identical: min(id) per gram
+    # joined back == min(id) over the gram's partition. Skew parity
+    # too: a boilerplate mega-gram heats one window partition exactly
+    # as it heated the join's s-partition.
+    w = Window.partitionBy("s")
     return (
-        g.join(own, "s")
+        g.withColumn("first_doc", F.min(id_col).over(w))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_grams"),

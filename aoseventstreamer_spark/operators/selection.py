@@ -83,23 +83,26 @@ def _doc_features(
     DSIR paper's hashed n-gram featurization); both feature kinds
     share one hash space of ``buckets`` ids. md5_long is >= 0, so
     plain ``%`` matches DuckDB."""
-    toks = df.select(
+    from ..session import ensure_parallelism
+
+    toks = ensure_parallelism(df, key=id_col).select(
         F.col(id_col), *[F.col(c) for c in extra], whitespace_tokens(text_col).alias("__t")
     )
-    uni = toks.select(id_col, *extra, F.explode("__t").alias("f"))
-    bi = toks.filter(F.size("__t") >= 2).select(
-        F.col(id_col),
-        *extra,
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__t) - 1),"
-                " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
-            )
-        ).alias("f"),
+    # ONE explode of unigrams ++ bigrams instead of a union of two
+    # explodes: the union referenced ``toks`` twice, re-tokenizing the
+    # whole corpus per branch (two full scans at scale). Concatenating
+    # the two feature arrays per document before the explode emits the
+    # identical feature multiset in one pass.
+    bigrams = F.expr(
+        "transform(sequence(1, size(__t) - 1),"
+        " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
     )
-    return uni.unionByName(bi).select(
-        id_col, *extra, (md5_long("f") % buckets).alias("b")
+    all_feats = F.when(F.size("__t") >= 2, F.concat(F.col("__t"), bigrams)).otherwise(
+        F.col("__t")
     )
+    return toks.select(
+        id_col, *extra, F.explode(all_feats).alias("f")
+    ).select(id_col, *extra, (md5_long("f") % buckets).alias("b"))
 
 
 def dsir_log_weights(
@@ -123,6 +126,15 @@ def dsir_log_weights(
     logw = logw_u / 1e6 is the same value as a double (one exact
     decimal scaling, no rounding step to tie-break).
     """
+    # the feature stream feeds TWO consumers (the bucket-count model
+    # and the per-doc scoring join), so the corpus is tokenized twice —
+    # the guide-§8 decide-then-place shape: pass 1 reduces to a ≤B-row
+    # model, pass 2 scores against its broadcast. Deliberately NOT
+    # pinned/cached: the feature stream is ~3× the text bytes, so
+    # materializing it (cache or a shared exchange) costs more I/O at
+    # scale than the second tokenize; and a shared b-keyed exchange
+    # doesn't dedupe anyway (the two consumers prune different columns,
+    # so their exchange subtrees are not canonically equal — measured).
     feats = _doc_features(
         df.withColumn("__is_t", target_filter), text_col, id_col, buckets, ["__is_t"]
     )

@@ -106,7 +106,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     no all-pairs comparison anywhere. Docs sharing ≥1 shingle with
     any benchmark doc surface with their overlap counts (training
     sets are decontaminated by anti-joining this result)."""
-    docs = t(spark, sf_dir, "documents")
+    from aoseventstreamer_spark.session import ensure_parallelism
+
+    # spread the gram explode when the scan under-splits (each side's
+    # source filter still pushes below the keyed repartition)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"), key="doc_id")
     toks = F.split("text", " ")
     n = F.size(toks)
     grams = F.array_distinct(
