@@ -90,10 +90,24 @@ def _stub_decode_image(payload: bytes) -> list[float]:
     return [int(c) / n for c in counts]
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Spread codec work across the cluster when the scan under-splits.
+
+    Every wrap_as_* payload builder feeds a Python codec kernel
+    (mapInPandas); on an under-split scan the ENTIRE encode+decode
+    pipeline would otherwise run on one core (measured: q_video_frames
+    61 s single-task at sf0.1). Keyed spread (no round-robin pre-sort);
+    no-op on well-split inputs, so the scale path is unchanged."""
+    from ..session import ensure_parallelism
+
+    return ensure_parallelism(df, key=id_col)
+
+
 def attach_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Build a media table from any source table by treating encoded
     text as the opaque payload — the schema/partitioning stand-in the
     real ingest (S3 blobs) would produce."""
+    df = _spread(df, id_col)
     return df.select(
         F.col(id_col).alias("media_id"),
         F.lit("image").alias("kind"),
@@ -433,6 +447,7 @@ def wrap_as_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     width/height derived from row fields. Used to exercise the binary
     path end-to-end: sniff_media must recover exactly the dimensions
     written here (oracle-checked as q_media_sniff)."""
+    df = _spread(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -493,6 +508,7 @@ def wrap_as_mp4(
     extract_video_meta must recover exactly what was written
     (oracle-checked as q_video_meta). Rows with id % 17 == 0 are
     truncated mid-moov to exercise the typed-quarantine path."""
+    df = _spread(df, id_col)
     from ..functions.mp4 import encode_mp4
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -616,6 +632,7 @@ def wrap_as_audio(
     id % 19 == 0 are truncated to 9 bytes to exercise the typed
     quarantine path (mid-STREAMINFO for FLAC, mid-ID3v2/mid-frame for
     MP3)."""
+    df = _spread(df, id_col)
     from ..functions.audio import encode_flac, encode_mp3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -807,6 +824,7 @@ def wrap_as_video(
     exactly, so decode recovers g BIT-EXACTLY and a SQL oracle can
     state the decoded pixels (q_video_frames). Rows with id % 29 == 0
     truncate mid-header for the typed quarantine path."""
+    df = _spread(df, id_col)
     import numpy as np
 
     from ..functions.avi import encode_avi_mjpeg
@@ -913,6 +931,7 @@ def wrap_as_wav(
     subframes, mid/side, CRCs), so one oracle formula verifies BOTH
     decode paths bit-for-bit. Rows with id % 23 == 0 truncate to 20
     bytes to exercise the null-evidence quarantine path."""
+    df = _spread(df, id_col)
     import struct
 
     from ..functions.audio import encode_flac_pcm
@@ -1114,6 +1133,7 @@ def wrap_as_real_png(
     from the text length — so the real decode path (resize_images,
     extract_image_features) can be exercised end-to-end on fixture
     tables without any image files on disk."""
+    df = _spread(df, id_col)
     from ..functions.png import encode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1263,6 +1283,7 @@ def wrap_as_mixed_media(
     a single oracle can state what content-based sniffing must
     recover for the whole zoo (q_media_catalog). Rows with
     id % 31 == 0 carry unrecognizable bytes (all-null sniff)."""
+    df = _spread(df, id_col)
     import struct
 
     import numpy as np
@@ -1348,6 +1369,7 @@ def wrap_as_pixels(
     the image leg of the q_audio_features two-decode-path design.
     Rows with id % 23 == 0 truncate to 16 bytes to exercise the
     null-evidence quarantine."""
+    df = _spread(df, id_col)
     import numpy as np
 
     from ..functions.gif import encode_gif
@@ -1492,6 +1514,7 @@ def wrap_as_mjpeg_mp4(
     stsc run expansion and stss subset logic are both under the hash.
     Rows with id % 19 == 0 truncate mid-moov for the typed
     quarantine."""
+    df = _spread(df, id_col)
     import numpy as np
 
     from ..functions.jpeg import encode_jpeg
