@@ -77,13 +77,24 @@ def train_pq_codebooks(
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
     base = base.select(_normalize(F.col("v")).alias("v"))
-    codebooks: list[list[list[float]]] = []
-    for sub in range(m):
+
+    # The m fits are independent jobs over small frames, and each one
+    # alone cannot fill the cluster (an MLlib fit is a chain of short
+    # barrier stages with driver rounds between them). Submitting them
+    # from a thread pool lets the scheduler back-fill idle executors
+    # with the next subspace's stages (guide §2.6); results are
+    # unchanged — each fit keeps its own data, seed and partitioning.
+    def fit(sub: int) -> list[list[float]]:
         subvec = base.select(
             array_to_vector(F.slice("v", sub * d_sub + 1, d_sub)).alias("features")
         )
         model = KMeans(k=k, seed=seed + sub, maxIter=max_iter).fit(subvec)
-        codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        codebooks = list(pool.map(fit, range(m)))
     return codebooks
 
 

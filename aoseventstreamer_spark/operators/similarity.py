@@ -644,11 +644,19 @@ def cosine_near_dup_pairs(
         n = embeddings.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows)))
     buckets = _packed_buckets_udf(n_planes, n_tables, dim)
-    side = (
-        ensure_parallelism(embeddings)
+    vecs = (
+        ensure_parallelism(embeddings, key=id_col)
         .select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("vec"))
         .filter(F.size("vec") == F.lit(dim))
-        .withColumn("bucket", F.explode(buckets(F.col("vec"))))
+    )
+    side = (
+        vecs.withColumn("bucket", F.explode(buckets(F.col("vec"))))
+        # ids only past this point: the candidate join and the
+        # multi-table dedup shuffle must move 16-byte pair rows, not
+        # two 64-double vectors per candidate (measured 4.3 MB of
+        # input ballooning into a 217 MB shuffle). Vectors are
+        # re-attached once, AFTER dedup, by id.
+        .select("id", "bucket")
         # persisted: the self-join below references this frame twice,
         # and without the cache the Arrow bucket kernel — the dominant
         # cost — would run over the full corpus once per branch
@@ -658,13 +666,14 @@ def cosine_near_dup_pairs(
         cache_handles.append(side)
     cos = _cosine_udf()
     a, b = side.alias("a"), side.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
         .withColumn("sim", cos(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
@@ -909,6 +918,29 @@ def _ivf_dist2(qq: Column, qv: Column, cv: list[int]) -> Column:
     return qq - 2 * int_dot(qv, carr) + F.lit(cc).cast("long")
 
 
+def _int_dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string twin of int_dot — identical expression after parsing.
+
+    Centroid expressions embed K × dim literal nodes; building them
+    through the Column API costs one py4j round trip per node
+    (measured: ~2 s of pure DRIVER time per _ivf_assign build, paid
+    once per Lloyd round per subspace). One F.expr parse builds the
+    same tree JVM-side in a single call."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _dist2_sql(qv_sql: str, cv: list[int]) -> str:
+    """SQL-string twin of _ivf_dist2 (qq inlined per cell, exactly as
+    the Column form embeds it)."""
+    carr = "array(" + ",".join(f"{int(v)}L" for v in cv) + ")"
+    cc = sum(int(v) * int(v) for v in cv)
+    qq = _int_dot_sql(qv_sql, qv_sql)
+    return f"({qq} - 2 * {_int_dot_sql(qv_sql, carr)} + {cc}L)"
+
+
 def _ivf_assign(
     df: DataFrame, cents: dict[int, list[int]], vec: str = "qv",
     out: str = "cluster",
@@ -916,16 +948,13 @@ def _ivf_assign(
     """Nearest-centroid assignment, tie → smaller cluster id. The
     (dist2, cluster) structs compare lexicographically, so array_min
     IS the argmin with the tie rule — one narrow projection, no
-    shuffle, no UDF."""
-    qq = int_dot(F.col(vec), F.col(vec))
-    cells = [
-        F.struct(
-            _ivf_dist2(qq, F.col(vec), cv).alias("d2"),
-            F.lit(cid).cast("int").alias("cluster"),
-        )
+    shuffle, no UDF. Built as one SQL parse (see _int_dot_sql)."""
+    cells = ",".join(
+        f"named_struct('d2', {_dist2_sql(vec, cv)}, "
+        f"'cluster', CAST({int(cid)} AS INT))"
         for cid, cv in sorted(cents.items())
-    ]
-    return df.withColumn(out, F.array_min(F.array(*cells))["cluster"])
+    )
+    return df.withColumn(out, F.expr(f"array_min(array({cells})).cluster"))
 
 
 def _lloyd_rounds(
@@ -1041,14 +1070,15 @@ def ivf_probe_join(
     persisted-index query path (operators/ann_index.py), so both are
     hash-identical by construction."""
     qq = int_dot(F.col("qv"), F.col("qv"))
-    probe_cells = F.array(
-        *[
-            F.struct(
-                _ivf_dist2(qq, F.col("qv"), cv).alias("d2"),
-                F.lit(cid).cast("int").alias("cluster"),
-            )
+    # one SQL parse instead of K × dim py4j Column calls (_int_dot_sql)
+    probe_cells = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('d2', {_dist2_sql('qv', cv)}, "
+            f"'cluster', CAST({int(cid)} AS INT))"
             for cid, cv in sorted(cents.items())
-        ]
+        )
+        + ")"
     )
     probed = (
         qry.withColumn("qnormsq", qq)
@@ -1241,11 +1271,19 @@ def portable_pq_topk(
     def slice_m(m: int) -> Column:
         return F.slice(F.col("full"), m * sub + 1, sub)
 
-    codebooks: list[dict[int, list[int]]] = []
-    for m in range(m_subspaces):
+    # the m subspace trainings are independent job chains over small
+    # frames — submit them concurrently so the scheduler back-fills
+    # idle executors between each chain's driver rounds (guide §2.6);
+    # per-subspace results are unchanged (own slice, own seeds)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train(m: int) -> dict[int, list[int]]:
         sliced = cand.select("cand_id", slice_m(m).alias("qv"))
-        codebooks.append(
-            _lloyd_rounds(sliced, "cand_id", n_clusters, rounds, sub)
+        return _lloyd_rounds(sliced, "cand_id", n_clusters, rounds, sub)
+
+    with ThreadPoolExecutor(max_workers=m_subspaces) as pool:
+        codebooks: list[dict[int, list[int]]] = list(
+            pool.map(train, range(m_subspaces))
         )
 
     encoded = cand
@@ -1281,13 +1319,14 @@ def pq_adc_rank(
     qtabs = qry
     adc = F.lit(0).cast("long")
     for m in range(m_subspaces):
-        sl = F.slice(F.col("full"), m * sub + 1, sub)
-        qq = int_dot(sl, sl)
-        tab = F.array(
-            *[
-                _ivf_dist2(qq, sl, codebooks[m][c])
-                for c in range(n_clusters)
-            ]
+        sl_sql = f"slice(full, {m * sub + 1}, {sub})"
+        # one SQL parse instead of K × sub py4j Column calls
+        tab = F.expr(
+            "array("
+            + ",".join(
+                _dist2_sql(sl_sql, codebooks[m][c]) for c in range(n_clusters)
+            )
+            + ")"
         )
         qtabs = qtabs.withColumn(f"tab_{m}", tab)
         adc = adc + F.element_at(f"tab_{m}", F.col(f"code_{m}") + 1)
