@@ -504,7 +504,15 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lang", {"keep": ["en"]}),
             ("quality", {"min_score": 0.5}),
             ("exact_dedup", {}),
+            # near_dedup reads its input twice (pair mine + anti-join)
+            # and perplexity five times (c2/c1/vocab aggregates,
+            # scoring, semi-join) — without these cache points every
+            # consumer re-runs the whole upstream chain from the scan
+            # (results identical either way; see the materialize step
+            # docs in operators/curation.py)
+            ("materialize", {}),
             ("near_dedup", {"threshold": 0.4, "portable": True}),
+            ("materialize", {}),
             ("perplexity", {"max_ppl": 29.5}),
             ("weighted_sample", {"weight_col": "n_chars"}),
         ]
