@@ -65,6 +65,13 @@ def token_windows(
     ``gram_key``: "string" (oracle-portable), "md5" (portable 60-bit
     hash), or "xxhash64" (production: cheapest, Spark-only).
     """
+    from ..session import ensure_parallelism
+
+    # the rolling-window construction (slice+concat per gram) is the
+    # CPU-dense stage of every span query; on an under-split scan it
+    # would run single-task (measured 2.1 s on one core at sf0.1
+    # feeding a 10.6 MB shuffle). Keyed spread; no-op at scale.
+    docs = ensure_parallelism(docs, key=id_col)
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.when(
