@@ -489,3 +489,65 @@ def test_explodes_do_not_reevaluate_generator_inputs(spark, sf_dir):
     # the only Filter permitted is none at all: the token check is
     # constant-folded and no size() filter may be inferred
     assert ") Filter" not in plan, plan
+
+
+def test_embed_near_dup_pair_shuffle_carries_ids_only(spark, sf_dir):
+    """r11 optimization gate: cosine_near_dup_pairs must dedup
+    candidate pairs on ids alone and re-attach vectors afterwards —
+    the multi-table dedup aggregate dragging both 64-double vectors
+    through its exchange was a measured 50x shuffle blowup (4.3 MB of
+    embeddings -> 217 MB shuffled). The pair-dedup HashAggregate must
+    therefore carry no vector columns (no first(va)/first(vb))."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q_embed_near_dup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "first(va" not in plan, plan
+    assert "first(vb" not in plan, plan
+    assert "hashpartitioning(id_a" in plan, plan
+
+
+def test_ivf_assign_sql_build_matches_column_build(spark):
+    """r11 optimization gate: _ivf_assign builds its argmin expression
+    as ONE SQL parse (the Column API paid a py4j round trip per literal
+    node — ~2 s of driver time per Lloyd round). The parsed expression
+    must stay value-identical to the Column construction it replaced."""
+    from aoseventstreamer_spark.operators.similarity import (
+        _ivf_assign,
+        _ivf_dist2,
+        int_dot,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3, -2, 5]), (2, [0, 0, 1]), (3, [-4, 4, -4])], "id long, qv array<bigint>"
+    )
+    cents = {0: [1, 1, 1], 1: [-3, 3, -3], 2: [3, -2, 5]}
+    new = {r["id"]: r["cluster"] for r in _ivf_assign(df, cents).collect()}
+
+    qq = int_dot(F.col("qv"), F.col("qv"))
+    cells = [
+        F.struct(
+            _ivf_dist2(qq, F.col("qv"), cv).alias("d2"),
+            F.lit(cid).cast("int").alias("cluster"),
+        )
+        for cid, cv in sorted(cents.items())
+    ]
+    legacy = {
+        r["id"]: r["cluster"]
+        for r in df.withColumn(
+            "cluster", F.array_min(F.array(*cells))["cluster"]
+        ).collect()
+    }
+    assert new == legacy
+
+
+def test_span_gram_construction_is_spread(spark, sf_dir):
+    """r11 optimization gate: token_windows must spread an under-split
+    scan with the doc-id-keyed exchange (no round-robin pre-sort)
+    before the CPU-dense rolling-window construction."""
+    from aoseventstreamer_spark.plans.inspect import formatted_plan
+
+    df = QUERIES["q_span_dup_spans"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
