@@ -65,6 +65,20 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle codec (guide §2.3 "measure both"): zstd halves shuffle
+        # bytes on the gram/minhash/span workloads (measured 1.9-2.2x
+        # at a 200k-doc amplification, tools/shuffle_codec_probe.py)
+        # but local wall time is a wash-to-loss — local[N] shuffles
+        # through the page cache, so the byte saving buys nothing and
+        # the extra compression CPU shows. Default stays lz4 for local
+        # parity with the driver's bench; on a real cluster whose
+        # shuffles cross NICs, set SPARK_GRAFT_SHUFFLE_CODEC=zstd —
+        # there the ~2x byte cut is network time (guide §1.3 napkin
+        # math: shuffle crosses the network once).
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # InferFiltersFromGenerate synthesizes `size(e) > 0 AND
