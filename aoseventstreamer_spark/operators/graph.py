@@ -80,20 +80,31 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    # node count rides along as a broadcast 1-row frame — no driver
-    # action during plan construction
-    n_frame = nodes.agg(F.count("*").alias("n"))
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     e_out = e.join(out_w, "src")
     if cache_edges:
         e_out = e_out.persist()
         if cache_handles is not None:
             cache_handles.append(e_out)
+    # derive the node list from the (cached) out-weighted edge table,
+    # not the raw edge frame: the inner join on src preserves e's row
+    # multiset exactly (out_w has every src, one row each), so the node
+    # SET is identical — but each union leg now reads the persisted
+    # frame instead of re-executing the caller's whole edge pipeline
+    # (for q_pagerank that pipeline is a full LEAD window over events:
+    # it ran three times per invocation, once for e_out and once per
+    # leg — measured 8 parquet scans in the executed plan, now 1 edge
+    # build). With cache_edges=False stay on the raw frame: the join
+    # would make the re-execution strictly heavier there.
+    node_src = e_out if cache_edges else e
+    nodes = (
+        node_src.select(F.col("src").alias("node"))
+        .unionByName(node_src.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # node count rides along as a broadcast 1-row frame — no driver
+    # action during plan construction
+    n_frame = nodes.agg(F.count("*").alias("n"))
 
     base = F.expr(f"({TOTAL} * (100 - {damping_pct})) div (100 * n)")
     # static node frame reused every iteration — the new rank frame

@@ -120,3 +120,42 @@ def test_pagerank_generic_edges_and_dangling(spark):
     assert set(rows) == {"a", "b", "c"}
     assert rows["c"] > rows["b"] > 0
     assert sum(rows.values()) <= 10**12
+
+
+def test_pagerank_builds_edge_pipeline_once(spark):
+    """The r11 duplicate-pass fix: with cache_edges=True the node list
+    is derived from the persisted out-weighted edge table, never by
+    re-executing the caller's (often expensive) edge pipeline per
+    union leg. An accumulator inside an opaque per-row kernel counts
+    TRUE executions of the edge source: this shape pays 2 (the out_w
+    aggregate and the broadcast-join side of e_out's one
+    materialization — an opaque source can't share that exchange),
+    where the old shape measured 6 on this same test (extra passes for
+    the node-list legs and n_frame). On the parquet-backed q_pagerank
+    the same fix measured 200k -> 100k events scan records per
+    build — 2 full passes down to 1 (the scan exchange IS shared
+    there)."""
+    from aoseventstreamer_spark.operators.graph import pagerank
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a")],
+        "src string, dst string",
+    ).repartition(1)
+    edges = base.mapInPandas(counting, "src string, dst string")
+
+    handles: list = []
+    ranks = pagerank(edges, iters=2, cache_edges=True, cache_handles=handles)
+    rows = {r.node: r.rank for r in ranks.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # one materialization of e_out (<= 2 source executions); the old
+    # shape measured 6x here
+    assert acc.value <= 8, f"edge pipeline executed {acc.value // 4}x"
+    for h in handles:
+        h.unpersist()
