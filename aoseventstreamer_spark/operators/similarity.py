@@ -519,30 +519,46 @@ def ivf_topk(
     the candidates into n_clusters lists; each query scores only the
     n_probe nearest lists.
 
-    Scale shape: KMeans training is distributed MLlib; the probe
-    assignment is a broadcast join against the (tiny) centroid table;
-    candidate scoring is an equi-join on cluster id. With
-    n_probe == n_clusters this is EXACTLY brute force (tested), so
-    recall degrades smoothly and measurably as n_probe shrinks.
+    Scale shape: the coarse quantizer is the deterministic
+    portable-Lloyd core (_lloyd_rounds — md5-seeded, exact-int64 over
+    quantized vectors), replacing the former engine-specific MLlib
+    single fit: one TakeOrdered seed job plus ``rounds`` narrow
+    assignment passes (each collecting K·dim partial-sum rows),
+    instead of MLlib's ~20-stage barrier job chain whose driver
+    overhead dominated the query at small SF (7.3 s cold for
+    near-zero task time). At scale both are corpus passes per round —
+    this one with fewer, simpler jobs. The probe assignment is a
+    broadcast join against the (tiny) centroid table; candidate
+    scoring is an equi-join on cluster id. With n_probe == n_clusters
+    this is EXACTLY brute force (tested) REGARDLESS of the quantizer
+    (every candidate sits in exactly one probed list), so recall
+    degrades smoothly and measurably as n_probe shrinks.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
     )
-    with_features = cand.withColumn("features", array_to_vector("cand_vec"))
-    model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(with_features)
+    dim = _probe_dim(embeddings, vec_col)
+    spark = embeddings.sparkSession
+    if dim is None:  # empty corpus
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double"
+        )
+    qcand = cand.where(F.size("cand_vec") == dim).withColumn(
+        "qv", quantize_vec("cand_vec")
+    )
+    cents_int = _lloyd_rounds(qcand, "cand_id", n_clusters, 2, dim)
     assigned = (
-        model.transform(with_features)
-        .select("cand_id", "cand_vec", F.col("prediction").alias("cluster"))
+        _ivf_assign(qcand, cents_int)
+        .drop("qv")
         .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
         .filter(F.col("cand_norm") > 0)  # NaN sim wins desc — exclude
     )
 
-    spark = embeddings.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [
+            (i, [v / Q_SCALE for v in cv])
+            for i, cv in sorted(cents_int.items())
+        ],
         "cluster int, centroid array<double>",
     )
 
@@ -720,16 +736,21 @@ def semantic_dedup(
     if cluster_col is None:
         import math
 
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         if n_clusters is None:
             n_clusters = max(16, math.ceil(math.sqrt(embeddings.count())))
-        feat = base.withColumn("features", array_to_vector("vec"))
-        model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(feat)
-        base = model.transform(feat).select(
-            "id", "vec", F.col("prediction").alias("cluster")
+        # deterministic portable-Lloyd coarse clusters (the
+        # _lloyd_rounds core) instead of the engine-specific MLlib
+        # single fit — same SemDeDup recipe (k ~ sqrt(N) partitions,
+        # greedy in-cluster prune), far fewer driver job rounds, and
+        # the clustering now replays identically on any engine.
+        dim = _probe_dim(base, "vec")
+        if dim is None:  # empty corpus
+            return base.select("id", F.lit(0).alias("cluster")).limit(0)
+        qb = base.where(F.size("vec") == dim).withColumn(
+            "qv", quantize_vec("vec")
         )
+        cents_int = _lloyd_rounds(qb, "id", n_clusters, 2, dim)
+        base = _ivf_assign(qb, cents_int).drop("qv")
     base = base.withColumn("norm", l2_norm(F.col("vec")))
     a, b = base.alias("a"), base.alias("b")
     tau_units = int(round(tau * 10000))
@@ -941,6 +962,36 @@ def _dist2_sql(qv_sql: str, cv: list[int]) -> str:
     return f"({qq} - 2 * {_int_dot_sql(qv_sql, carr)} + {cc}L)"
 
 
+def _cent_lits_sql(cents: dict[int, list[int]]) -> str:
+    """The centroid table as ONE literal array<struct<cv,cc,cluster>>
+    in cluster-id order — K·dim data literals constructed once, walked
+    by a single transform lambda (below), instead of K separately
+    codegen'd distance expressions. cc = c·c is folded in per cell so
+    the lambda does one dot product, not two."""
+    return "array(" + ",".join(
+        f"named_struct("
+        f"'cv', array({','.join(str(int(v)) + 'L' for v in cv)}), "
+        f"'cc', {sum(int(v) * int(v) for v in cv)}L, "
+        f"'cluster', CAST({int(cid)} AS INT))"
+        for cid, cv in sorted(cents.items())
+    ) + ")"
+
+
+def _rel_cells_sql(vec_sql: str, cents: dict[int, list[int]]) -> str:
+    """array<struct<d2,cluster>> of per-centroid distances with the
+    row-constant q·q term DROPPED: d2_rel = c·c - 2·q·c. Subtracting
+    the same integer from every cell preserves the (d2, cluster)
+    lexicographic order exactly, so argmin/sort consumers (cluster
+    assignment, probe-list selection) are value-identical while the
+    plan sheds K copies of the q·q aggregate. Consumers that expose
+    the distance VALUE must use _dist2_sql instead."""
+    return (
+        f"transform({_cent_lits_sql(cents)}, cell -> named_struct("
+        f"'d2', cell.cc - 2 * {_int_dot_sql(vec_sql, 'cell.cv')}, "
+        f"'cluster', cell.cluster))"
+    )
+
+
 def _ivf_assign(
     df: DataFrame, cents: dict[int, list[int]], vec: str = "qv",
     out: str = "cluster",
@@ -948,13 +999,15 @@ def _ivf_assign(
     """Nearest-centroid assignment, tie → smaller cluster id. The
     (dist2, cluster) structs compare lexicographically, so array_min
     IS the argmin with the tie rule — one narrow projection, no
-    shuffle, no UDF. Built as one SQL parse (see _int_dot_sql)."""
-    cells = ",".join(
-        f"named_struct('d2', {_dist2_sql(vec, cv)}, "
-        f"'cluster', CAST({int(cid)} AS INT))"
-        for cid, cv in sorted(cents.items())
+    shuffle, no UDF. Built as one SQL parse (see _int_dot_sql) over
+    one literal centroid array walked by a single lambda
+    (_rel_cells_sql): codegen compiles ONE distance loop instead of K
+    unrolled copies, and the row-constant q·q term is dropped (argmin
+    is translation-invariant), shrinking the plan from O(K·dim) code
+    to O(dim) code + O(K·dim) data literals."""
+    return df.withColumn(
+        out, F.expr(f"array_min({_rel_cells_sql(vec, cents)}).cluster")
     )
-    return df.withColumn(out, F.expr(f"array_min(array({cells})).cluster"))
 
 
 def _lloyd_rounds(
@@ -1070,16 +1123,10 @@ def ivf_probe_join(
     persisted-index query path (operators/ann_index.py), so both are
     hash-identical by construction."""
     qq = int_dot(F.col("qv"), F.col("qv"))
-    # one SQL parse instead of K × dim py4j Column calls (_int_dot_sql)
-    probe_cells = F.expr(
-        "array("
-        + ",".join(
-            f"named_struct('d2', {_dist2_sql('qv', cv)}, "
-            f"'cluster', CAST({int(cid)} AS INT))"
-            for cid, cv in sorted(cents.items())
-        )
-        + ")"
-    )
+    # one SQL parse instead of K × dim py4j Column calls (_int_dot_sql);
+    # q·q dropped from the sort key — constant per row, so the probe
+    # ORDER (all this slice/sort exposes) is unchanged (_rel_cells_sql)
+    probe_cells = F.expr(_rel_cells_sql("qv", cents))
     probed = (
         qry.withColumn("qnormsq", qq)
         .withColumn(
@@ -1319,16 +1366,23 @@ def pq_adc_rank(
     qtabs = qry
     adc = F.lit(0).cast("long")
     for m in range(m_subspaces):
-        sl_sql = f"slice(full, {m * sub + 1}, {sub})"
-        # one SQL parse instead of K × sub py4j Column calls
+        # the ADC entries expose the distance VALUE (adc_dist is an
+        # output column), so q·q stays — but hoisted into ONE column
+        # per subspace (with the slice) instead of re-inlined into
+        # every one of the K cells, and the codebook is one literal
+        # array walked by a single lambda (one codegen'd dot-product
+        # loop instead of K unrolled copies). Same integer ops per
+        # entry → bit-identical table values.
+        sl, qq = f"_sl_{m}", f"_qq_{m}"
+        qtabs = qtabs.withColumn(
+            sl, F.expr(f"slice(full, {m * sub + 1}, {sub})")
+        ).withColumn(qq, F.expr(_int_dot_sql(sl, sl)))
+        cents_m = {c: codebooks[m][c] for c in range(n_clusters)}
         tab = F.expr(
-            "array("
-            + ",".join(
-                _dist2_sql(sl_sql, codebooks[m][c]) for c in range(n_clusters)
-            )
-            + ")"
+            f"transform({_cent_lits_sql(cents_m)}, "
+            f"cell -> {qq} - 2 * {_int_dot_sql(sl, 'cell.cv')} + cell.cc)"
         )
-        qtabs = qtabs.withColumn(f"tab_{m}", tab)
+        qtabs = qtabs.withColumn(f"tab_{m}", tab).drop(sl, qq)
         adc = adc + F.element_at(f"tab_{m}", F.col(f"code_{m}") + 1)
     qtabs = qtabs.drop("full")
 
