@@ -79,10 +79,26 @@ def pagerank(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
-    )
+    # null endpoints are dropped UP FRONT: a null src never matched the
+    # out_w equi-join anyway (so it contributed no rank in any variant),
+    # and a "null node" receiving rank is meaningless. Filtering here
+    # makes the cache_edges=True/False node lists and the oracle SQL
+    # agree on every input class (the r11 advice note: the e_out-derived
+    # node list silently dropped dst nodes of null-src edges).
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     e_out = e.join(out_w, "src")
     if cache_edges:
+        if broadcast_ranks:
+            # ranks arrive by broadcast, so e_out's layout is free to
+            # serve the ONLY shuffle left in the loop: hash-partition
+            # the persisted table by dst ONCE so every iteration's
+            # contrib groupBy("dst") reuses the cached partitioning
+            # (InMemoryTableScan reports it) instead of paying one
+            # exchange per iteration — guide §2.4. Without broadcast
+            # ranks the rank join would re-shuffle this by src each
+            # round, so the raw layout is kept there.
+            e_out = e_out.repartition("dst")
         e_out = e_out.persist()
         if cache_handles is not None:
             cache_handles.append(e_out)
@@ -267,7 +283,12 @@ def pagerank_oracle_sql(
     identical integer recurrence, so values hash-match exactly."""
     d, TO = damping_pct, TOTAL
     sql = [
-        f"WITH edges AS ({edges_cte}),",
+        # same null-endpoint drop as pagerank() — keeps the two engines'
+        # node lists identical even when the caller's edge CTE can
+        # produce null keys (SQL UNION would otherwise keep a null node)
+        f"WITH edges_raw AS ({edges_cte}),",
+        "edges AS (SELECT * FROM edges_raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL),",
         "nodes AS (SELECT src AS node FROM edges"
         " UNION SELECT dst FROM edges),",
         "nn AS (SELECT COUNT(*) AS n FROM nodes),",

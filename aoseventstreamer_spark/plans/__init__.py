@@ -3,6 +3,7 @@ from aoseventstreamer_spark.plans.inspect import (
     formatted_plan,
     has_pushed_filter,
     shuffle_count,
+    strip_cached_children,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "has_pushed_filter",
     "shuffle_count",
     "broadcast_join_count",
+    "strip_cached_children",
 ]

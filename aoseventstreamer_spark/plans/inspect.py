@@ -29,6 +29,35 @@ def has_pushed_filter(df: DataFrame, pattern: str) -> bool:
     return False
 
 
+def strip_cached_children(plan: str) -> str:
+    """Drop every InMemoryRelation's printed child plan from a SIMPLE
+    (toString) plan rendering: the renderer re-prints a cached frame's
+    FULL build subtree at every reference, so textual operator counts
+    inflate linearly with the number of cache reads even though the
+    build executes once. What remains is the per-run RECURRING shape —
+    the right text to assert iteration-plan properties on (used by the
+    pagerank exchange gate and tools/plan_audit.py). Depth is the
+    length of the tree-indent prefix (spaces / ':' rails) before the
+    optional '+-'/'*-' marker; blank lines inside a stripped subtree
+    are skipped rather than treated as depth 0."""
+    out = []
+    skip_deeper_than = None
+    prefix = re.compile(r"^([ :]*)(?:[+\-*]{1,2} )?")
+    for line in plan.splitlines():
+        if skip_deeper_than is not None and not line.strip():
+            continue
+        depth = len(prefix.match(line).group(1))
+        if skip_deeper_than is not None:
+            if depth > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+        if "InMemoryRelation" in line:
+            skip_deeper_than = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchange (shuffle) operators in the physical plan.
     AQE may later coalesce them, but a plan with 0 exchanges is

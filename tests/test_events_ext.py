@@ -159,3 +159,60 @@ def test_pagerank_builds_edge_pipeline_once(spark):
     assert acc.value <= 8, f"edge pipeline executed {acc.value // 4}x"
     for h in handles:
         h.unpersist()
+
+
+def test_pagerank_broadcast_iterations_are_exchange_free(spark):
+    """r12 optimization gate: with cache_edges + broadcast_ranks (the
+    q_pagerank shape) the persisted edge table is pre-partitioned by
+    dst ONCE, so every iteration's contrib groupBy("dst") reuses the
+    cached partitioning — the recurring per-iteration plan must carry
+    NO hash exchange (ranks enter by broadcast, contrib leaves by
+    broadcast). The one-time dst repartition lives inside the
+    InMemoryRelation build subtree, which the renderer re-prints at
+    every cache read and is therefore stripped before counting."""
+    from aoseventstreamer_spark.operators.graph import pagerank
+    from aoseventstreamer_spark.plans import strip_cached_children
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "a"), ("b", "a")],
+        "src string, dst string",
+    )
+    handles: list = []
+    ranks = pagerank(
+        edges, iters=3, cache_edges=True, broadcast_ranks=True,
+        cache_handles=handles,
+    )
+    full = ranks._jdf.queryExecution().executedPlan().toString()
+    recurring = strip_cached_children(full)
+    assert "Exchange hashpartitioning" not in recurring, recurring
+    # the one-time build DOES carry the dst partitioning the loop reuses
+    assert "hashpartitioning(dst" in full, full
+    rows = {r.node: r.rank for r in ranks.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    for h in handles:
+        h.unpersist()
+
+
+def test_pagerank_null_endpoints_dropped_consistently(spark):
+    """r12 advice fix: null src/dst edges are filtered UP FRONT, so the
+    cached and uncached node lists (and the oracle SQL, which applies
+    the same WHERE) agree on every input class — previously the
+    e_out-derived node list silently dropped the dst nodes of null-src
+    edges while the raw-frame path kept them."""
+    from aoseventstreamer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), (None, "d", 1), ("c", None, 1),
+         ("d", "a", 1)],
+        "src string, dst string, w long",
+    )
+    variants = [
+        pagerank(edges, iters=3, weight_col="w", cache_edges=True),
+        pagerank(edges, iters=3, weight_col="w", cache_edges=False),
+        pagerank(edges, iters=3, weight_col="w", cache_edges=True,
+                 broadcast_ranks=True),
+    ]
+    results = [{r.node: r.rank for r in v.collect()} for v in variants]
+    assert results[0] == results[1] == results[2], results
+    assert None not in results[0]
+    assert set(results[0]) == {"a", "b", "c", "d"}
