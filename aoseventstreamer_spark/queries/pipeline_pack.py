@@ -690,11 +690,17 @@ def _jaccard_edges_verify_set(docs):
     as verified_near_dup_pairs, operators/dedup.py); the oracle keeps
     string lists, equal short of a 2^-64 xxhash64 collision."""
     from aoseventstreamer_spark.operators.dedup import ngram_set
+    from aoseventstreamer_spark.session import ensure_parallelism
 
     g = docs.select(
         "doc_id",
         F.transform(ngram_set("text", 3), lambda s: F.xxhash64(s)).alias("grams"),
     )
+    # the pair join is a nested-loop whose streamed side inherits the
+    # scan's partitioning: an under-split fixture scan ran ALL the
+    # quadratic array_intersect work on one core (guide §2.5). Keyed
+    # spread = no round-robin pre-sort, no-op on well-split scans.
+    g = ensure_parallelism(g, key="doc_id")
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
