@@ -44,8 +44,15 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"scan-audit: {name}")
         try:
             df = Q.QUERIES[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # execute THIS dataset's own QueryExecution (a .write would
+            # create a fresh one, leaving df's plan un-executed with
+            # isFinalPlan=false — the r11 advice note): toRdd() returns
+            # the physical plan's RDD, count() runs it, and the
+            # executedPlan read below then shows the post-AQE final
+            # plan with stage reuse applied.
+            qe = df._jdf.queryExecution()
+            qe.toRdd().count()
+            plan = qe.executedPlan().toString()
         except Exception as e:  # audit tool: record, keep sweeping
             results[name] = {"err": str(e)[:200]}
             continue
