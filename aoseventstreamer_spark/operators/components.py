@@ -71,11 +71,22 @@ def _propagation_round(adj: DataFrame, labels: DataFrame) -> DataFrame:
             F.col("component"), F.coalesce("nbr_component", "component")
         ).alias("component"),
     )
-    # (c) pointer doubling: follow the component's own label
-    parents = stepped.select(
-        F.col("node").alias("component"), F.col("component").alias("grand")
+    # (c) SYNCHRONOUS pointer jumping: follow the INPUT label's input
+    # label — textbook pointer jumping, and deliberately referencing
+    # ``labels`` (the cheap block-start checkpoint / prior round)
+    # instead of ``stepped``: the old self-referential form
+    # (stepped ⋈ stepped-as-parents) put the expensive join chain in
+    # the plan TWICE per round — its shuffles dedupe at runtime via
+    # ReuseExchange but the post-shuffle join re-executes per copy and
+    # the lazy block plan grew ~4× per composed round (cold codegen
+    # compiled every copy). Any batching still converges to the same
+    # fixed point (min of component), so results are protocol-
+    # identical; O(log diameter) rounds still hold (distance to the
+    # minimum contracts via the jump each round).
+    parents = labels.select(
+        F.col("node").alias("prev"), F.col("component").alias("grand")
     )
-    return stepped.join(parents, on="component", how="left").select(
+    return stepped.join(parents, on="prev", how="left").select(
         "node",
         "prev",
         F.least(F.col("component"), F.coalesce("grand", "component")).alias(
@@ -113,10 +124,29 @@ def connected_components(
     """
     from pyspark.sql import Observation
 
-    # symmetric neighbor list: every edge in both directions
-    fwd = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-    rev = edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
-    adj = fwd.unionByName(rev).distinct().localCheckpoint()
+    # symmetric neighbor list: every edge in both directions, emitted
+    # by ONE explode over the caller's edge frame — the old
+    # union(fwd, rev) referenced the edge pipeline twice, and a
+    # nested-loop pair join has no exchange boundary for ReuseExchange
+    # to dedupe, so the caller's (often expensive) edge build EXECUTED
+    # once per union leg and codegen compiled both copies
+    adj = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("node"), F.col(dst).alias("nbr")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("node"), F.col(src).alias("nbr")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
+        .distinct()
+        .localCheckpoint()
+    )
     if adj.isEmpty():
         # AQE's empty-relation propagation can prune Observation nodes
         # (observed trap), so the empty graph exits before the loop
