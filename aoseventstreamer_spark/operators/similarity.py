@@ -519,46 +519,39 @@ def ivf_topk(
     the candidates into n_clusters lists; each query scores only the
     n_probe nearest lists.
 
-    Scale shape: the coarse quantizer is the deterministic
-    portable-Lloyd core (_lloyd_rounds — md5-seeded, exact-int64 over
-    quantized vectors), replacing the former engine-specific MLlib
-    single fit: one TakeOrdered seed job plus ``rounds`` narrow
-    assignment passes (each collecting K·dim partial-sum rows),
-    instead of MLlib's ~20-stage barrier job chain whose driver
-    overhead dominated the query at small SF (7.3 s cold for
-    near-zero task time). At scale both are corpus passes per round —
-    this one with fewer, simpler jobs. The probe assignment is a
-    broadcast join against the (tiny) centroid table; candidate
-    scoring is an equi-join on cluster id. With n_probe == n_clusters
-    this is EXACTLY brute force (tested) REGARDLESS of the quantizer
-    (every candidate sits in exactly one probed list), so recall
-    degrades smoothly and measurably as n_probe shrinks.
+    Scale shape: KMeans training is distributed MLlib; the probe
+    assignment is a broadcast join against the (tiny) centroid table;
+    candidate scoring is an equi-join on cluster id. With
+    n_probe == n_clusters this is EXACTLY brute force (tested), so
+    recall degrades smoothly and measurably as n_probe shrinks.
+
+    An r12 experiment replaced the MLlib fit with the portable-Lloyd
+    core (VERDICT r12 item 6's hypothesis: MLlib's ~20-stage job
+    chain dominates at small SF). MEASURED SLOWER and reverted:
+    isolated A/B cold 10.6 vs 10.2 s (wash), warm 3.5 vs 4.3 s
+    (worse) — the integer-HOF assignment is interpreted per element
+    while MLlib's transform is JVM-native, and the fit's job chain
+    amortizes across the session. q_ann_ivf_portable remains the
+    deterministic twin for engines that need replayability.
     """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("cand_vec")
     )
-    dim = _probe_dim(embeddings, vec_col)
-    spark = embeddings.sparkSession
-    if dim is None:  # empty corpus
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double"
-        )
-    qcand = cand.where(F.size("cand_vec") == dim).withColumn(
-        "qv", quantize_vec("cand_vec")
-    )
-    cents_int = _lloyd_rounds(qcand, "cand_id", n_clusters, 2, dim)
+    with_features = cand.withColumn("features", array_to_vector("cand_vec"))
+    model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(with_features)
     assigned = (
-        _ivf_assign(qcand, cents_int)
-        .drop("qv")
+        model.transform(with_features)
+        .select("cand_id", "cand_vec", F.col("prediction").alias("cluster"))
         .withColumn("cand_norm", l2_norm(F.col("cand_vec")))
         .filter(F.col("cand_norm") > 0)  # NaN sim wins desc — exclude
     )
 
+    spark = embeddings.sparkSession
     centroids = spark.createDataFrame(
-        [
-            (i, [v / Q_SCALE for v in cv])
-            for i, cv in sorted(cents_int.items())
-        ],
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     )
 
@@ -736,21 +729,22 @@ def semantic_dedup(
     if cluster_col is None:
         import math
 
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
         if n_clusters is None:
             n_clusters = max(16, math.ceil(math.sqrt(embeddings.count())))
-        # deterministic portable-Lloyd coarse clusters (the
-        # _lloyd_rounds core) instead of the engine-specific MLlib
-        # single fit — same SemDeDup recipe (k ~ sqrt(N) partitions,
-        # greedy in-cluster prune), far fewer driver job rounds, and
-        # the clustering now replays identically on any engine.
-        dim = _probe_dim(base, "vec")
-        if dim is None:  # empty corpus
-            return base.select("id", F.lit(0).alias("cluster")).limit(0)
-        qb = base.where(F.size("vec") == dim).withColumn(
-            "qv", quantize_vec("vec")
+        # an r12 experiment swapped this MLlib fit for the portable
+        # Lloyd core — measured SLOWER (isolated A/B cold+warms
+        # 6.9/3.5/3.2 s MLlib vs 11.1/5.4/4.9 s portable at sf0.1:
+        # k ~ sqrt(N) clusters make the interpreted HOF assignment
+        # K·dim·N element ops, while MLlib's transform is JVM-native)
+        # and reverted.
+        feat = base.withColumn("features", array_to_vector("vec"))
+        model = KMeans(k=n_clusters, seed=42, maxIter=10).fit(feat)
+        base = model.transform(feat).select(
+            "id", "vec", F.col("prediction").alias("cluster")
         )
-        cents_int = _lloyd_rounds(qb, "id", n_clusters, 2, dim)
-        base = _ivf_assign(qb, cents_int).drop("qv")
     base = base.withColumn("norm", l2_norm(F.col("vec")))
     a, b = base.alias("a"), base.alias("b")
     tau_units = int(round(tau * 10000))
@@ -1100,6 +1094,12 @@ def portable_ivf_pairs(
             quantize_vec(vec_col).alias("qv"),
         ).where(F.size("qv") == dim)
 
+    # NOT spread: an r12 A/B measured the keyed spread ~1 s SLOWER per
+    # warm invocation here — the Lloyd protocol runs several actions
+    # (seed + per-round collects + final), each re-paying the forced
+    # exchange, while the K=8 interpreted distance work it would
+    # parallelize is ~0.3 s single-core at this SF (and data-
+    # proportional scans split naturally at scale).
     cand = prep(embeddings, "cand")
     cents = _lloyd_rounds(cand, "cand_id", n_clusters, rounds, dim)
 
@@ -1308,6 +1308,7 @@ def portable_pq_topk(
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
     sub = dim // m_subspaces
 
+    # not spread — same A/B rationale as portable_ivf_pairs
     cand = embeddings.select(
         F.col(id_col).alias("cand_id"), quantize_vec(vec_col).alias("full")
     ).where(F.size("full") == dim)
