@@ -1,7 +1,8 @@
-"""Dump .explain('formatted') for a set of queries to plans/r11/.
+"""Dump .explain('formatted') for a set of queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-  suffix: 'before' or 'after' — file name becomes plans/r11/<q>_<suffix>.txt
+  suffix: 'before' or 'after' — file name becomes
+  plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<suffix>.txt (round default: r12);
   with no query names, dumps every bench.HEADLINE query.
 
 The captured plan is the pre-execution formatted plan (AdaptiveSparkPlan
@@ -44,7 +45,8 @@ def main() -> None:
     spark = get_spark("plan-dump", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     builders = dict(Q.QUERIES)
